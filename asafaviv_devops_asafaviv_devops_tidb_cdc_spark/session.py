@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for the test environment (local[N], one
+JVM) while keeping every knob meaningful on a real multi-executor
+cluster at 100 TB scale (see ``plans/scale.py`` for the rationale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tidb_cdc_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Local-mode defaults; on a real cluster only ``shuffle.partitions``
+    and memory sizing change (AQE coalescing makes the partition count
+    an upper bound, not a fixed cost).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS); read as long, convert
+        # explicitly in sources.tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

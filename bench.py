@@ -1,0 +1,59 @@
+"""Benchmark harness: runs every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry  # noqa: E402
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("tidb_cdc_spark_bench")
+    registry.load_all()
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the query, not session startup
+    registry.QUERIES["q_ops_by_table_op"](spark, sf_dir).count()
+
+    total = 0.0
+    for name, fn in sorted(registry.QUERIES.items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
