@@ -54,6 +54,21 @@ cdc_rows AS (
 _OP_CASE = "CASE WHEN e = 7 THEN 'update' WHEN e = 8 THEN 'delete' ELSE 'insert' END"
 _TABLE_CASE = "CASE WHEN no_table THEN 'unknown' ELSE event_type END"
 
+# Typed-row view shared by downstream oracles (replay, set ops, metrics).
+TYPED_CTE = CDC_ROWS_CTE + f""",
+typed AS (
+  SELECT epoch_ms(es) AS ts,
+         {_TABLE_CASE} AS table_name,
+         {_OP_CASE} AS operation,
+         row_id,
+         user_id,
+         CAST(row_value AS DECIMAL(18,2)) AS value,
+         event_id AS offset_,
+         rownum
+  FROM cdc_rows
+)
+"""
+
 
 @register(
     "q_ops_by_table_op",

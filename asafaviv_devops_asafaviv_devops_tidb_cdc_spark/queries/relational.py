@@ -1,0 +1,382 @@
+"""Relational operator queries (SURVEY §2.3 filters/scalars, §2.4
+joins, §2.7 sorts/limits/set-ops) with DuckDB oracles.
+
+Determinism rules (SURVEY §5.2): money math stays in the DECIMAL
+domain end-to-end (double `round()` diverges between engines); ratios
+are reported in exact integer parts-per-million via integer division.
+
+Scale posture per query in its docstring; broadcast hints are explicit
+where a dimension is guaranteed small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import parse as P
+from ..operators.replay import current_state
+from ..registry import register
+from ..sources import envelopes_from_events, load_table
+from .cdc import TYPED_CTE
+
+
+def _typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    typed = P.typed_rows(
+        P.normalized_events(envelopes_from_events(load_table(spark, sf_dir, "events")))
+    )
+    return typed.withColumnRenamed("offset", "offset_")
+
+
+# --- §2.3 filters / scalar functions -------------------------------------
+
+
+@register(
+    "q_filter_cmp",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice
+FROM lineitem
+WHERE l_quantity > 45 AND l_linestatus = 'F'
+""",
+)
+def q_filter_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — comparison predicates (reference run_test.sh:42,67,74:
+    ``WHERE stock > 20`` / ``status='pending'``). Both predicates are
+    pushed into the parquet scan (PushedFilters in .explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_linestatus") == "F")).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+    )
+
+
+@register(
+    "q_arith_update",
+    oracle="""
+SELECT p_partkey,
+       CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST('1.10' AS DECIMAL(4,2))
+            AS DECIMAL(18,2)) AS new_price
+FROM part
+""",
+)
+def q_arith_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — arithmetic update expression ``SET price = price * 1.10``
+    (reference run_test.sh:42), computed in exact DECIMAL."""
+    part = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice").cast("decimal(18,2)")
+    return part.select(
+        "p_partkey",
+        price.alias("price"),
+        (price * F.lit("1.10").cast("decimal(4,2)")).cast("decimal(18,2)").alias("new_price"),
+    )
+
+
+@register(
+    "q_sha2",
+    oracle="""
+SELECT c_custkey, sha256(c_name || '|' || c_mktsegment) AS name_hash
+FROM customer
+""",
+)
+def q_sha2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — crypto hash scalar ``SHA2(pass, 256)`` (reference
+    run_test.sh:50-51, sql/seed.sql:10)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.sha2(F.concat_ws("|", F.col("c_name"), F.col("c_mktsegment")), 256).alias("name_hash"),
+    )
+
+
+@register(
+    "q_string_ops",
+    oracle="""
+SELECT p_partkey,
+       lower(p_type) AS type_lc,
+       upper(p_brand) AS brand_uc,
+       'BatchProduct' || CAST(p_partkey AS VARCHAR) AS batch_name,
+       substr(p_name, 1, 8) AS name_prefix
+FROM part
+""",
+)
+def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — string ops: lowercase op names (reference index.js:247),
+    template concat 'BatchProduct'+i (reference run_test.sh:83)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.concat(F.lit("BatchProduct"), F.col("p_partkey").cast("string")).alias("batch_name"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+    )
+
+
+# --- §2.4 joins ------------------------------------------------------------
+
+
+@register(
+    "q_join_fk",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def q_join_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — broadcast hash equi-join over the FK (reference
+    sql/schema.sql:30-31 declares orders->users/products). customer is
+    the small dim — broadcast keeps the fact-side scan shuffle-free at
+    any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q_join_star",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — multi-way star join, revenue by region/nation. Fact table
+    shuffles once on l_orderkey (SMJ with orders under AQE); the three
+    dims are broadcast so no extra fact shuffles. revenue stays scale-4
+    DECIMAL: product of two scale-2 decimals is exact, so no rounding
+    divergence at any row order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue_term = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(revenue_term).cast("decimal(18,4)").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_anti_orphans",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+ANTI JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') o
+  ON c.c_custkey = o.o_custkey
+""",
+)
+def q_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — left anti join: referential-integrity / absence check
+    (FK declared at reference sql/schema.sql:30-31). Here: customers
+    with no finalized ('F') orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_semi_active",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+SEMI JOIN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) o
+  ON c.c_custkey = o.o_custkey
+""",
+)
+def q_semi_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — left semi join: existence ("users having orders",
+    SURVEY §2.4). Here: customers with at least one order > 300k."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q_ratio_join",
+    oracle="""
+WITH totals AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+errors AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT t.user_id, t.n_events,
+       CAST(COALESCE(e.n_errors, 0) AS BIGINT) AS n_errors,
+       CAST(COALESCE(e.n_errors, 0) * 1000000 // t.n_events AS BIGINT) AS error_ppm
+FROM totals t LEFT JOIN errors e ON t.user_id = e.user_id
+""",
+)
+def q_ratio_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/W2 — ratio of two separately-keyed aggregates, the
+    error-ratio recording rule (reference monitoring/
+    recording-rules.yml:16-17: rate(errors)/rate(ops)). Reported as
+    exact integer ppm (integer division) — float division is not
+    hash-stable across engines."""
+    events = load_table(spark, sf_dir, "events")
+    totals = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errors"))
+    )
+    joined = totals.join(errors, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        F.coalesce(F.col("n_errors"), F.lit(0)).cast("long").alias("n_errors"),
+    )
+    return joined.withColumn(
+        "error_ppm", F.expr("(n_errors * 1000000) div n_events").cast("long")
+    )
+
+
+@register(
+    "q_cdc_replay",
+    oracle=TYPED_CTE
+    + """
+SELECT table_name, user_id,
+       value AS last_value, ts AS last_ts
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_name, user_id
+    ORDER BY ts DESC, offset_ DESC, rownum DESC) AS rn
+  FROM typed
+)
+WHERE rn = 1 AND operation <> 'delete'
+""",
+)
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — CDC current-state materialization: replay the DML log
+    (reference run_test.sh:30-84 semantics), last-writer-wins per
+    (table, user_id), key absent when latest op is DELETE. One shuffle
+    on the state key; streaming equivalent is foreachBatch MERGE."""
+    state = current_state(
+        _typed(spark, sf_dir),
+        keys=["table_name", "user_id"],
+        order_by=["ts", "offset_", "rownum"],
+    )
+    return state.select(
+        "table_name",
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+# --- §2.7 set ops ----------------------------------------------------------
+
+
+@register(
+    "q_union_variants",
+    oracle="""
+SELECT * FROM (
+  SELECT p_partkey, p_name, p_brand, CAST(NULL AS DECIMAL(18,2)) AS retail
+  FROM part WHERE p_size < 20
+  UNION ALL
+  SELECT p_partkey, p_name, CAST(NULL AS VARCHAR) AS p_brand,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS retail
+  FROM part WHERE p_size >= 20
+)
+""",
+)
+def q_union_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — unionByName with missing columns: the reference carries two
+    schema variants of the same logical tables (reference sql/schema.sql
+    vs init-scripts/init.sql; SURVEY §2.7)."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.filter(F.col("p_size") < 20).select("p_partkey", "p_name", "p_brand")
+    b = part.filter(F.col("p_size") >= 20).select(
+        "p_partkey", "p_name", F.col("p_retailprice").cast("decimal(18,2)").alias("retail")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "q_except_deleted",
+    oracle=TYPED_CTE
+    + """
+SELECT table_name, user_id FROM typed WHERE operation = 'insert'
+EXCEPT
+SELECT table_name, user_id FROM typed WHERE operation = 'delete'
+""",
+)
+def q_except_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — delete replay as a set op: keys ever inserted minus keys
+    ever deleted (reference run_test.sh:73-75 ``DELETE WHERE stock<10``
+    semantics; SURVEY §2.7)."""
+    typed = _typed(spark, sf_dir)
+    inserted = typed.filter(F.col("operation") == "insert").select("table_name", "user_id")
+    deleted = typed.filter(F.col("operation") == "delete").select("table_name", "user_id")
+    return inserted.subtract(deleted)
+
+
+@register(
+    "q_unique_check",
+    oracle="""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT sha256(text) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS first_doc_id
+FROM doubled
+GROUP BY 1
+HAVING COUNT(*) > 1
+""",
+)
+def q_unique_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — UNIQUE-constraint violation detection (reference
+    sql/schema.sql:16,18 declares UNIQUE username/email but nothing
+    enforces it downstream). Synthetic duplicates: every 10th document
+    re-appears under a shifted id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        doubled.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("first_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
