@@ -1,0 +1,429 @@
+"""Metrics algebra (SURVEY §2.5 aggregations, §2.6 windowed/PromQL
+layer): the reference's Prometheus counters + recording rules +
+Grafana panels re-expressed as DataFrame/SQL over the event table.
+
+Alignment rule: every time bucket is an epoch-millis floor
+(``epoch // width * width``) — identical in Spark's ``window()``
+(epoch-aligned) and spelled explicitly in the DuckDB oracles, so no
+engine-specific bucket-origin convention can diverge.
+
+Determinism: rates divide identical integers by identical literals ->
+bit-identical doubles in both engines; ratios use exact integer ppm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import parse as P
+from ..registry import register
+from ..sources import envelopes_from_events, load_table
+
+# Prometheus histogram bucket bounds (reference node-consumer/index.js:102)
+LATENCY_BUCKETS = [0.001, 0.005, 0.01, 0.05, 0.1, 0.5, 1, 2, 5]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.normalized_events(envelopes_from_events(_events(spark, sf_dir)))
+
+
+def _bucket_case_sql(expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {expr} <= {b} THEN '{b}'" for b in LATENCY_BUCKETS
+    )
+    return f"CASE {branches} ELSE '+Inf' END"
+
+
+@register(
+    "q_latency_histogram",
+    oracle=f"""
+WITH obs AS (
+  SELECT event_type, {_bucket_case_sql('value / 1000')} AS le,
+         CASE WHEN value / 1000 <= 0.001 THEN 0 WHEN value / 1000 <= 0.005 THEN 1
+              WHEN value / 1000 <= 0.01 THEN 2 WHEN value / 1000 <= 0.05 THEN 3
+              WHEN value / 1000 <= 0.1 THEN 4 WHEN value / 1000 <= 0.5 THEN 5
+              WHEN value / 1000 <= 1 THEN 6 WHEN value / 1000 <= 2 THEN 7
+              WHEN value / 1000 <= 5 THEN 8 ELSE 9 END AS bucket_idx
+  FROM events
+),
+per_bucket AS (
+  SELECT event_type, le, bucket_idx, CAST(COUNT(*) AS BIGINT) AS n
+  FROM obs GROUP BY 1, 2, 3
+)
+SELECT event_type, le,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_count
+FROM per_bucket
+""",
+)
+def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — Prometheus-style cumulative histogram with the consumer's
+    explicit bucket bounds (reference index.js:98-104: buckets
+    [.001,.005,...,5] observed per (table, op)). Latency here =
+    value/1000 s. Cumulative-over-le is the Prometheus `_bucket`
+    series shape that histogram_quantile consumes."""
+    ev = _events(spark, sf_dir)
+    d = F.col("value") / 1000
+    le = F.lit("+Inf")
+    idx = F.lit(len(LATENCY_BUCKETS))
+    for i, b in reversed(list(enumerate(LATENCY_BUCKETS))):
+        le = F.when(d <= b, F.lit(str(b))).otherwise(le)
+        idx = F.when(d <= b, F.lit(i)).otherwise(idx)
+    per_bucket = (
+        ev.select("event_type", le.alias("le"), idx.alias("bucket_idx"))
+        .groupBy("event_type", "le", "bucket_idx")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_bucket.select(
+        "event_type", "le", F.sum("n").over(w).cast("long").alias("cumulative_count")
+    )
+
+
+@register(
+    "q_totals_last",
+    oracle="""
+WITH totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS processed_count,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS error_count
+  FROM events
+),
+last_row AS (
+  SELECT event_type AS last_type, ts AS last_ts
+  FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+)
+SELECT * FROM totals CROSS JOIN last_row
+""",
+)
+def q_totals_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — global totals + last-processed tracking (reference
+    index.js:131-139,305-306: processedCount / errorCount /
+    lastProcessedMessage)."""
+    ev = _events(spark, sf_dir)
+    totals = ev.agg(
+        F.count("*").alias("processed_count"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("error_count"),
+    )
+    last = (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select(F.col("event_type").alias("last_type"), F.col("ts").alias("last_ts"))
+    )
+    return totals.crossJoin(last)
+
+
+@register(
+    "q_sums_filtered",
+    oracle="""
+WITH gen AS (
+  SELECT event_id, event_type, event_id % 10 AS e,
+         (event_id % 101 = 0) AS corrupt, (event_id % 53 = 0) AS no_table
+  FROM events
+),
+success AS (SELECT * FROM gen WHERE NOT corrupt AND e <> 9),
+cdc_rows AS (
+  SELECT g.* FROM success g
+  UNION ALL
+  SELECT g.* FROM success g WHERE g.e = 5
+)
+SELECT CASE WHEN no_table THEN 'unknown' ELSE event_type END AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN e NOT IN (7, 8) THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(SUM(CASE WHEN e = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(SUM(CASE WHEN e = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+FROM cdc_rows
+GROUP BY 1
+""",
+)
+def q_sums_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — PromQL ``sum(counter)`` + label-filtered sums
+    (dashboard json:314,375,436: sum over ops, sum{op="insert"}, ...):
+    one conditional aggregation replaces three panels."""
+    return (
+        _normalized(spark, sf_dir)
+        .groupBy("table_name")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("operation") == "insert", 1).otherwise(0))
+            .cast("long")
+            .alias("n_insert"),
+            F.sum(F.when(F.col("operation") == "update", 1).otherwise(0))
+            .cast("long")
+            .alias("n_update"),
+            F.sum(F.when(F.col("operation") == "delete", 1).otherwise(0))
+            .cast("long")
+            .alias("n_delete"),
+        )
+    )
+
+
+@register(
+    "q_rollup_ops",
+    oracle="""
+WITH gen AS (
+  SELECT event_id, event_type, event_id % 10 AS e,
+         (event_id % 101 = 0) AS corrupt, (event_id % 53 = 0) AS no_table
+  FROM events
+),
+success AS (SELECT * FROM gen WHERE NOT corrupt AND e <> 9),
+cdc_rows AS (
+  SELECT g.* FROM success g
+  UNION ALL
+  SELECT g.* FROM success g WHERE g.e = 5
+),
+named AS (
+  SELECT CASE WHEN no_table THEN 'unknown' ELSE event_type END AS table_name,
+         CASE WHEN e = 7 THEN 'update' WHEN e = 8 THEN 'delete' ELSE 'insert' END
+           AS operation
+  FROM cdc_rows
+)
+SELECT table_name, operation, CAST(COUNT(*) AS BIGINT) AS n
+FROM named
+GROUP BY ROLLUP (table_name, operation)
+""",
+)
+def q_rollup_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — grouping-sets rollup: per-(table,op) AND per-table AND
+    grand total, which the reference renders as three separate
+    dashboard panels (dashboard json:162,314,375). One shuffle."""
+    return (
+        _normalized(spark, sf_dir)
+        .rollup("table_name", "operation")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- §2.6 time-windowed (PromQL recording rules / Grafana panels) ---------
+
+_W5M = 300_000  # 5-minute bucket in epoch millis
+_W1H = 3_600_000
+_W1M = 60_000
+
+
+def _bucket(col, width_ms: int):
+    # epoch-floor bucketing; identical alignment to Spark's window()
+    return F.timestamp_millis(
+        (F.unix_millis(col) - (F.unix_millis(col) % width_ms)).cast("long")
+    )
+
+
+@register(
+    "q_rate_5m",
+    oracle=f"""
+WITH slid AS (
+  SELECT e.event_type,
+         epoch_ms(CAST(epoch_ms(e.ts) // {_W1M} * {_W1M} - k.k * {_W1M} AS BIGINT))
+           AS window_start
+  FROM events e CROSS JOIN (SELECT UNNEST(range(5)) AS k) k
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       COUNT(*) / 300.0 AS rate_per_sec
+FROM slid
+GROUP BY 1, 2
+""",
+)
+def q_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — sliding-window rate: ``rate(counter[5m])`` evaluated every
+    minute (reference monitoring/recording-rules.yml:6-10). Spark's
+    sliding window assigns each event to 5 one-minute-slid windows —
+    same set the oracle builds with an explicit 0..4 shift."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "5 minutes", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            (F.col("n") / 300.0).alias("rate_per_sec"),
+        )
+    )
+
+
+@register(
+    "q_error_ratio",
+    oracle=f"""
+WITH b AS (
+  SELECT epoch_ms(CAST(epoch_ms(ts) // {_W5M} * {_W5M} AS BIGINT)) AS window_start,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT window_start, n_total, n_errors,
+       CAST(n_errors * 1000000 // n_total AS BIGINT) AS error_ppm
+FROM b
+""",
+)
+def q_error_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — ratio of two windowed rates: the error-ratio recording rule
+    (reference recording-rules.yml:16-17). Single conditional agg
+    instead of PromQL's two-series division; exact integer ppm."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_total",
+            "n_errors",
+            F.expr("(n_errors * 1000000) div n_total").cast("long").alias("error_ppm"),
+        )
+    )
+
+
+@register(
+    "q_quantiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY 1
+""",
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — p50/p95/p99 (reference recording-rules.yml:20-27
+    ``histogram_quantile(0.95, rate(..._bucket[5m]))``). Exact
+    ``percentile`` (linear interpolation on sorted values — the same
+    math as DuckDB quantile_cont), not percentile_approx: bit-parity
+    beats sketch speed at test scale; the bucketized Prometheus
+    estimator lives in q_latency_histogram."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+@register(
+    "q_rate_per_op",
+    oracle=f"""
+WITH gen AS (
+  SELECT event_id, event_type, epoch_ms(ts) AS es, event_id % 10 AS e,
+         (event_id % 101 = 0) AS corrupt
+  FROM events
+),
+success AS (SELECT * FROM gen WHERE NOT corrupt AND e <> 9),
+cdc_rows AS (
+  SELECT g.* FROM success g
+  UNION ALL
+  SELECT g.* FROM success g WHERE g.e = 5
+)
+SELECT epoch_ms(CAST(es // {_W5M} * {_W5M} AS BIGINT)) AS window_start,
+       CAST(SUM(CASE WHEN e NOT IN (7, 8) THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(SUM(CASE WHEN e = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(SUM(CASE WHEN e = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+FROM cdc_rows
+GROUP BY 1
+""",
+)
+def q_rate_per_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — label-filtered windowed rate per op (reference
+    recording-rules.yml:30-37: three rules, one per op) — pivoted into
+    one windowed conditional aggregation."""
+    norm = _normalized(spark, sf_dir)
+    return (
+        norm.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.sum(F.when(F.col("operation") == "insert", 1).otherwise(0))
+            .cast("long")
+            .alias("n_insert"),
+            F.sum(F.when(F.col("operation") == "update", 1).otherwise(0))
+            .cast("long")
+            .alias("n_update"),
+            F.sum(F.when(F.col("operation") == "delete", 1).otherwise(0))
+            .cast("long")
+            .alias("n_delete"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_insert", "n_update", "n_delete")
+    )
+
+
+@register(
+    "q_increase_1h",
+    oracle=f"""
+SELECT epoch_ms(CAST(epoch_ms(ts) // {_W1H} * {_W1H} AS BIGINT)) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS increase
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_increase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — ``increase(counter[1h])`` (dashboard json:162) as a
+    tumbling 1-hour count."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("increase"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "increase")
+    )
+
+
+@register(
+    "q_date_histogram",
+    oracle=f"""
+SELECT epoch_ms(CAST(epoch_ms(ts) // {_W1M} * {_W1M} AS BIGINT)) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — the ES/Grafana ``date_histogram`` panel (dashboard
+    json:62-85): tumbling 1-minute counts."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@register(
+    "q_topk_recent",
+    oracle="""
+SELECT event_id, event_type, ts, rn FROM (
+  SELECT event_id, event_type, ts,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 5
+""",
+)
+def q_topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9/O2 — newest-first top-k per group (Grafana raw-event table,
+    dashboard json:46-98). Per-partition row_number -> rank filter:
+    partial top-k per input split, no global sort at scale."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_id", "event_type", "ts", "rn")
+    )
