@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (north-star E3):
+brute-force cosine top-k as the exactness baseline, plus an
+LSH-bucketed variant as the 100 TB scale path.
+
+All vector math is built-in higher-order SQL (zip_with + sequential
+aggregate fold — deterministic summation order), no UDFs.
+
+Scale posture: brute force broadcasts the query vector(s) and is one
+map + top-k reduce — fine for one query over any corpus size.
+For query-batch × corpus workloads, ``lsh_buckets`` pre-partitions by
+random-hyperplane sign bits so candidate generation is a bucket
+equi-join instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _fold_sum(expr: str) -> str:
+    # aggregate() folds left-to-right — a fixed summation order, which
+    # cross-engine comparisons need (groupBy(sum) would be partition-
+    # order-dependent)
+    return f"aggregate({expr}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(_fold_sum(f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"))
+
+
+def sq_norm(a: str) -> Column:
+    return F.expr(_fold_sum(f"transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / F.sqrt(sq_norm(a) * sq_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of one corpus vector against the rest.
+    The 1-row query side is broadcast; ranking is a per-partition
+    top-k under the row_number filter."""
+    q = corpus.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    scored = (
+        corpus.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            cosine(vec_col, "qv").alias("cos_raw"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_raw").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.round("cos_raw", 4).alias("cosine"), "rank")
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector. Hyperplanes are
+    derived deterministically from sha2 of (plane, component) — no
+    RNG state, reproducible across runs/engines. Vectors in the same
+    bucket are cosine-similar with high probability; ANN search joins
+    query buckets to corpus buckets instead of cross-joining."""
+    bits = []
+    for p in range(n_planes):
+        # pseudo-random ±1 plane component from a stable hash
+        plane = (
+            f"transform(sequence(0, {dim - 1}), "
+            f"j -> CASE WHEN substring(sha2(concat('{p}_', CAST(j AS STRING)), 256), 1, 1) < '8' "
+            f"THEN 1.0D ELSE -1.0D END)"
+        )
+        proj = _fold_sum(
+            f"zip_with({vec_col}, {plane}, (x, y) -> CAST(x AS DOUBLE) * y)"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    bucket = F.expr("concat(" + ", ".join(bits) + ")")
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def planted_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding near-dup detection: pairs with cosine above threshold.
+    Bucketed pre-filter (LSH) then exact verify — here corpus already
+    includes whatever duplicates exist; at test scale the driver data
+    is random, so callers plant scaled copies to exercise the path."""
+    lhs = lsh_buckets(corpus, id_col=id_col, vec_col=vec_col)
+    a = lhs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = lhs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn("cos_raw", cosine("va", "vb"))
+        .filter(F.col("cos_raw") > threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis building blocks for the training-data pipeline
+(north-star operators E1/E4, BASELINE.json): tokenization, shingling,
+fingerprinting, language-ID scoring, quality metrics.
+
+All pure built-in SQL expressions (JVM-side, whole-stage codegen) —
+no Python UDFs. At 100 TB these are map-only stages; the only
+shuffles are the final aggregations callers add.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Marker stopwords per language, deliberately disjoint so the argmax
+# is order-independent except for documented priority ties.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "ne"],
+    "es": ["el", "los", "las", "y"],
+    "zh": ["的", "是", "了"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (single-space corpora; regex-tokenize
+    via ``regex_tokens`` for messy text)."""
+    return F.split(F.col(col), " ")
+
+
+def regex_tokens(col: str = "text") -> Column:
+    """BPE-ish tokenizer: words / digit runs as separate tokens."""
+    return F.expr(f"regexp_extract_all({col}, '[a-z]+|[0-9]+', 0)")
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles; short docs fall back to the
+    whole text as a single shingle."""
+    toks = f"split({col}, ' ')"
+    parts = ", ".join(f"element_at({toks}, i + {k + 1})" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE array({col}) END"
+    )
+
+
+def minhash(shingle_col: str, salt: int) -> Column:
+    """One salted MinHash value: lexicographic min of sha256(salt||s).
+    sha256 is engine-portable (DuckDB oracle uses the identical
+    construction), uniform, and deterministic."""
+    return F.expr(
+        f"array_min(transform({shingle_col}, x -> sha2(concat('{salt}', x), 256)))"
+    )
+
+
+def doc_fingerprint(col: str = "text", n: int = 3) -> Column:
+    """Document fingerprint: min sha256 over word n-gram shingles
+    (a one-permutation MinHash — stable under small reorderings,
+    unlike sha256(text))."""
+    toks = f"split({col}, ' ')"
+    parts = ", ".join(f"element_at({toks}, i + {k + 1})" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_min(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> sha2(concat_ws(' ', {parts}), 256))) "
+        f"ELSE sha2({col}, 256) END"
+    )
+
+
+def marker_score(toks_col: str, markers: list[str]) -> Column:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(
+        f"size(filter({toks_col}, x -> array_contains(array({arr}), x)))"
+    )
+
+
+def predicted_lang(scores: dict[str, Column]) -> Column:
+    """Argmax with fixed priority en > de > fr > es > zh on ties."""
+    s = scores
+    return (
+        F.when(s["zh"] > F.greatest(s["en"], s["de"], s["fr"], s["es"]), F.lit("zh"))
+        .when(s["es"] > F.greatest(s["en"], s["de"], s["fr"]), F.lit("es"))
+        .when(s["fr"] > F.greatest(s["en"], s["de"]), F.lit("fr"))
+        .when(s["de"] > s["en"], F.lit("de"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def with_quality_metrics(df: DataFrame, col: str = "text") -> DataFrame:
+    """Quality-scoring columns: token count, mean token length (x100,
+    exact integer), stopword ppm, and a keep/drop flag. Integer math
+    only — ratios are hash-stable across engines."""
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        df.withColumn("_toks", tokens(col))
+        .withColumn("n_chars", F.length(F.col(col)).cast("long"))
+        .withColumn("n_tokens", F.size(F.col("_toks")).cast("long"))
+        .withColumn(
+            "mean_token_len_x100",
+            F.expr("((n_chars - (n_tokens - 1)) * 100) div n_tokens").cast("long"),
+        )
+        .withColumn(
+            "stopword_ppm",
+            F.expr(
+                f"(size(filter(_toks, x -> array_contains(array({stop_arr}), x)))"
+                " * 1000000) div n_tokens"
+            ).cast("long"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 100_000)
+            & (F.col("stopword_ppm") < 500_000),
+        )
+        .drop("_toks")
+    )

@@ -1,0 +1,384 @@
+"""North-star training-data pipeline queries (SURVEY §2.11, mandated
+by BASELINE.json): dedup, similarity search, text analysis, multimodal
+plumbing — each over the driver's documents/embeddings tables.
+
+The synthetic corpora carry no natural duplicates (verified at sf0.01),
+so dedup/near-dup queries plant deterministic copies (every 10th doc, a
+mutated every-7th doc, a scaled every-10th vector) — the operator then
+has a known, oracle-checkable answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import multimodal, similarity, text as TX
+from ..functions.dedup import exact_dedup, neardup_pairs
+from ..registry import register
+from ..sources import load_table
+
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+
+
+# --- E1: exact dedup -------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+WITH doubled AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM doubled
+)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — exact dedup: one shuffle on the 256-bit content hash,
+    deterministic min-id survivor."""
+    return exact_dedup(_doubled_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# --- E2: near-dup detection (MinHash-LSH) ----------------------------------
+
+
+@register(
+    "q_minhash_neardup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz zzz zzz'
+  FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(0, len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id, k,
+         list_aggregate(list_transform(s, x -> sha256(CAST(k AS VARCHAR) || x)),
+                        'min') AS h
+  FROM sh, (SELECT unnest(range(4)) AS k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.k = b.k AND a.h = b.h AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.s, sb.s)) AS inter,
+         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST(inter * 1000000 // uni AS BIGINT) AS jaccard_ppm
+FROM verified
+WHERE inter * 1000000 // uni >= 500000
+""",
+)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — MinHash-LSH near-dup: shingle -> salted-minhash bands ->
+    bucket equi-join candidates (never the n² pair space) -> exact
+    Jaccard verify in integer ppm. Planted mutants (doc || ' zzz…')
+    are the expected catches."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz zzz zzz")).alias("text"),
+        )
+    )
+    return neardup_pairs(corpus)
+
+
+# --- E3: similarity search -------------------------------------------------
+
+
+def _cosine_oracle_sql() -> str:
+    def lsum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         {lsum('e.embedding', 'q.qv')} AS dot,
+         {lsum('e.embedding', 'e.embedding')} AS na,
+         {lsum('q.qv', 'q.qv')} AS nb
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id, dot / sqrt(na * nb) AS cos_raw,
+         row_number() OVER (ORDER BY dot / sqrt(na * nb) DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT vec_id, round(cos_raw, 4) AS cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("q_cosine_topk", oracle=_cosine_oracle_sql())
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — brute-force cosine top-k against query vec_id=0: the
+    exactness baseline for ANN (higher-order zip_with/aggregate fold,
+    broadcast query, no UDF). Scale path: q_lsh_buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, query_vec_id=0, k=10)
+
+
+def _lsh_oracle_sql() -> str:
+    bits = []
+    for p in range(8):
+        plane = (
+            f"list_transform(range(0, 64), j -> CASE WHEN "
+            f"substring(sha256('{p}_' || CAST(j AS VARCHAR)), 1, 1) < '8' "
+            f"THEN 1.0 ELSE -1.0 END)"
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({plane})[i]))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return (
+        "SELECT vec_id, concat(" + ", ".join(bits) + ") AS bucket FROM embeddings"
+    )
+
+
+@register("q_lsh_buckets", oracle=_lsh_oracle_sql())
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path — random-hyperplane LSH bucketing with
+    hash-derived (RNG-free, engine-portable) planes; ANN becomes a
+    bucket equi-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_buckets(emb).select("vec_id", "bucket")
+
+
+@register("q_embedding_neardup")  # rows-only: float compare too sharp to hash
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3 — embedding-cosine near-dup over LSH buckets; planted
+    scaled copies (cosine exactly 1) are the expected catches.
+    Rows-only: raw cosine values near the threshold are not
+    hash-portable across engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").alias("embedding"),
+        )
+    )
+    return similarity.planted_neardup_pairs(corpus)
+
+
+# --- E4: text analysis -----------------------------------------------------
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) * 100 // COUNT(*) AS BIGINT) AS avg_chars_x100
+FROM documents
+GROUP BY 1
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — corpus statistics per language (counts, chars, tokens,
+    exact integer mean)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("n_toks", F.size(TX.tokens()))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "avg_chars_x100", F.expr("(total_chars * 100) div n_docs").cast("long")
+        )
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — token counting: whitespace split + BPE-ish regex runs."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(TX.tokens()).cast("long").alias("n_ws_tokens"),
+        F.size(TX.regex_tokens()).cast("long").alias("n_re_tokens"),
+    )
+
+
+def _lang_scores_sql() -> str:
+    cols = []
+    for lang, markers in TX.LANG_MARKERS.items():
+        lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        cols.append(
+            f"len(list_filter(string_split(text, ' '), "
+            f"x -> list_contains({lst}, x))) AS s_{lang}"
+        )
+    return ", ".join(cols)
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang, {_lang_scores_sql()}
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN s_zh > greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
+            WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+            WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+            WHEN s_de > s_en THEN 'de'
+            ELSE 'en' END AS predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM scored
+GROUP BY 1, 2
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — marker-token language ID (n-gram-heuristic family),
+    confusion counts vs the labeled lang column. (The synthetic corpus
+    is same-vocabulary across labels, so the classifier output is
+    uniform — the scoring machinery is what's exercised.)"""
+    docs = _docs(spark, sf_dir).withColumn("_toks", TX.tokens())
+    scores = {
+        lang: TX.marker_score("_toks", markers)
+        for lang, markers in TX.LANG_MARKERS.items()
+    }
+    return (
+        docs.withColumn("predicted_lang", TX.predicted_lang(scores))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> list_contains({_STOP_LIST}, x))) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       CAST((n_chars - (n_tokens - 1)) * 100 // n_tokens AS BIGINT)
+         AS mean_token_len_x100,
+       CAST(stop_hits * 1000000 // n_tokens AS BIGINT) AS stopword_ppm,
+       (n_tokens >= 10 AND n_tokens <= 100000
+        AND stop_hits * 1000000 // n_tokens < 500000) AS keep
+FROM m
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — quality scoring: length/token/stopword metrics in exact
+    integer arithmetic plus the keep/drop gate."""
+    return TX.with_quality_metrics(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars", "n_tokens", "mean_token_len_x100", "stopword_ppm", "keep"
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents)
+SELECT doc_id,
+       CASE WHEN len(t) >= 3 THEN
+         list_aggregate(list_transform(range(0, len(t) - 2),
+           i -> sha256(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])), 'min')
+       ELSE sha256(text) END AS fingerprint
+FROM toks
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — document fingerprint: min-sha256 over word 3-gram shingles
+    (one-permutation MinHash; stable under small edits, unlike a
+    whole-text hash)."""
+    return _docs(spark, sf_dir).select("doc_id", TX.doc_fingerprint().alias("fingerprint"))
+
+
+# --- E5: multimodal columns ------------------------------------------------
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       'text/plain' AS mime,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha,
+       CAST((octet_length(CAST(text AS BLOB)) + 255) // 256 AS INTEGER) AS n_chunks
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — multimodal column plumbing: opaque binary payload + typed
+    metadata (octet length, content hash, chunk count), computed
+    engine-side. Decode itself is the stubbed mapInPandas path
+    (q_multimodal_features)."""
+    media = multimodal.as_media_table(_docs(spark, sf_dir))
+    return media.select(
+        "media_id",
+        "mime",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("payload_sha"),
+        F.expr("(meta.n_bytes + 255) div 256").cast("int").alias("n_chunks"),
+    )
+
+
+@register("q_multimodal_features")  # rows-only: Python mapInPandas path
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — Arrow-batched mapInPandas feature extraction over binary
+    payloads (deterministic fake decoder standing in for codec libs;
+    see functions/multimodal.py). Rows-only check."""
+    media = multimodal.as_media_table(_docs(spark, sf_dir))
+    feats = multimodal.fake_decode_features(media)
+    return feats.select(
+        "media_id", "n_bytes", "n_chunks", F.round("mean_byte", 4).alias("mean_byte")
+    )
