@@ -1,0 +1,87 @@
+"""Streaming-semantics queries (SURVEY §2.9 / W7). The sustained-alert
+batch form is SQL-expressible and gets a DuckDB oracle; the replay
+harness queries run REAL Structured Streaming (availableNow file
+source -> P1-P5 -> parquet sink) and are rows-only — the accompanying
+pytest asserts stream-equals-batch.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..sources import load_table
+from ..streaming import alerts, ingest
+
+_W = alerts.WINDOW_MS
+
+
+@register(
+    "q_alert_sustained",
+    oracle=f"""
+WITH b AS (
+  SELECT epoch_ms(CAST(epoch_ms(ts) // {_W} * {_W} AS BIGINT)) AS window_start,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events GROUP BY 1
+),
+breached AS (
+  SELECT window_start,
+         CAST(n_errors * 1000000 // n_total AS BIGINT) AS error_ppm
+  FROM b WHERE n_errors * 1000000 // n_total >= {alerts.DEFAULT_THRESHOLD_PPM}
+),
+islanded AS (
+  SELECT window_start, error_ppm,
+         epoch_ms(window_start) - row_number() OVER (ORDER BY window_start) * {_W}
+           AS island
+  FROM breached
+)
+SELECT window_start, error_ppm,
+       CAST(COUNT(*) OVER (PARTITION BY island ORDER BY window_start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS streak
+FROM islanded
+QUALIFY streak >= {alerts.DEFAULT_FOR_WINDOWS}
+""",
+)
+def q_alert_sustained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — sustained-condition alert (reference monitoring/
+    alerts.yml:6-14: error rate above threshold, sustained ``for:``
+    N windows) via gaps-and-islands; streaming twin in
+    streaming/alerts.py::sustained_alerts_stream."""
+    return alerts.sustained_alerts(load_table(spark, sf_dir, "events"))
+
+
+def _stream_workdir(sf_dir: str, tag: str) -> Path:
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return Path(tempfile.gettempdir()) / "tidb_cdc_spark_stream" / f"{sf}_{tag}"
+
+
+def _run_stream(spark: SparkSession, sf_dir: str, tag: str, dup_mod: int | None) -> DataFrame:
+    base = _stream_workdir(sf_dir, tag)
+    src = ingest.write_envelope_files(spark, sf_dir, str(base / "src"), dup_mod)
+    ingest.run_ingest(spark, src, str(base / "sink"), str(base / "ckpt"))
+    return spark.read.parquet(str(base / "sink"))
+
+
+@register("q_stream_ingest_counts")  # rows-only: real streaming execution
+def q_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — the P1-P5 chain executed as a REAL Structured Streaming
+    query (availableNow file source standing in for Kafka, parquet
+    sink partitioned by table); returns per-(table,op) counts from the
+    sink — pytest asserts equality with the batch chain."""
+    sink = _run_stream(spark, sf_dir, "plain", dup_mod=None)
+    return sink.groupBy("table_name", "operation").agg(F.count("*").alias("n"))
+
+
+@register("q_stream_dedupe")  # rows-only: real streaming execution
+def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 exactly-once upgrade: every 5th envelope is replayed
+    (at-least-once duplicate, reference index.js:350-352 semantics);
+    watermarked dropDuplicates on (partition, offset, rownum) must make
+    the sink identical to single-delivery — pytest asserts it."""
+    sink = _run_stream(spark, sf_dir, "dup", dup_mod=5)
+    return sink.groupBy("table_name", "operation").agg(F.count("*").alias("n"))

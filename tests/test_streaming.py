@@ -1,0 +1,69 @@
+"""Streaming semantics: stream-equals-batch, exactly-once dedupe, and
+the stateful sustained-alert operator's stream/batch agreement."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import alerts
+
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def _counts(df):
+    return {
+        (r["table_name"], r["operation"]): r["n"]
+        for r in df.collect()
+    }
+
+
+def test_stream_matches_batch(spark):
+    batch = registry.QUERIES["q_ops_by_table_op"](spark, SF_SMOKE)
+    stream = registry.QUERIES["q_stream_ingest_counts"](spark, SF_SMOKE)
+    assert _counts(stream) == _counts(batch)
+
+
+def test_stream_dedupe_is_exactly_once(spark):
+    batch = registry.QUERIES["q_ops_by_table_op"](spark, SF_SMOKE)
+    deduped = registry.QUERIES["q_stream_dedupe"](spark, SF_SMOKE)
+    assert _counts(deduped) == _counts(batch)
+
+
+def test_sustained_alert_stream_matches_batch(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = {
+        (r["window_start"], r["streak"])
+        for r in alerts.sustained_alerts(events, threshold_ppm=1).collect()
+    }
+
+    # replay events through the stateful streaming operator
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    work = Path(tempfile.gettempdir()) / "tidb_cdc_spark_stream" / "alert_check"
+    if work.exists():
+        shutil.rmtree(work)
+    events.write.mode("overwrite").parquet(str(work / "src"))
+    stream_src = spark.readStream.schema(events.schema).parquet(str(work / "src"))
+    out = alerts.sustained_alerts_stream(stream_src, threshold_ppm=1)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(work / "sink"))
+        .option("checkpointLocation", str(work / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(work / "sink"))
+    stream = {
+        (r["ws"], r["streak"])
+        for r in got.select(
+            F.timestamp_millis(F.col("window_ms")).alias("ws"), "streak"
+        ).collect()
+    }
+    assert stream == batch
