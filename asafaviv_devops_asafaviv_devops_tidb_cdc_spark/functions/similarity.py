@@ -93,6 +93,65 @@ def lsh_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    centroid_mod: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    cells around deterministic centroids (every ``centroid_mod``-th
+    vector — RNG-free stand-in for k-means; swap in trained centroids at
+    scale), then search only the query's ``nprobe`` nearest cells.
+
+    Scale posture: centroids are a tiny broadcast side; assignment is a
+    map stage (corpus × broadcast-centroids, rank-1 filter). The probed
+    search touches ~nprobe/n_cells of the corpus instead of all of it —
+    the standard ANN scale path when brute force stops fitting the
+    latency budget. Cell id is a natural partition/bucket key for a
+    100 TB vector table, so repeated queries prune at the scan."""
+    cents = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    scored_cells = corpus.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "cid",
+        cosine(vec_col, "cv").alias("ccos"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cid")
+    )
+    assigned = (
+        scored_cells.withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    probe_cells = (
+        assigned.filter(F.col(id_col) == query_vec_id)
+        .select(F.col(vec_col).alias("qv"))
+        .crossJoin(cents)
+        .select("cid", "qv", cosine("qv", "cv").alias("qcos"))
+        .orderBy(F.col("qcos").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select("cid", "qv")
+    )
+    scored = (
+        assigned.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(probe_cells), "cid")
+        .select(id_col, cosine(vec_col, "qv").alias("cos_raw"))
+    )
+    w = Window.orderBy(F.col("cos_raw").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.round("cos_raw", 4).alias("cosine"), "rank")
+    )
+
+
 def planted_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

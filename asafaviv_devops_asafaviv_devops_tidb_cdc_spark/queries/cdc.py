@@ -112,6 +112,36 @@ def q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_validate_events",
+    oracle=GEN_CTE
+    + """
+SELECT event_id AS "offset",
+       CASE WHEN corrupt THEN 'error'
+            WHEN e = 9 THEN 'invalid_format'
+            ELSE 'success' END AS status,
+       CASE WHEN corrupt THEN 'unparseable_json'
+            WHEN e = 9 THEN 'missing_data_array' END AS reason,
+       NOT (corrupt OR e = 9) AS routable
+FROM gen
+""",
+)
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — format validation + dead-letter classification (reference
+    index.js:244,311-332; DDL counted invalid per README.MD:14): every
+    message tagged with status, rejection reason, and whether it routes
+    to the success branch vs the ``_rejects`` dead-letter sink."""
+    parsed = P.validate_envelopes(P.parse_envelopes(_raw(spark, sf_dir)))
+    return parsed.select(
+        F.col("offset"),
+        F.col("status"),
+        F.when(F.col("status") == P.STATUS_ERROR, F.lit("unparseable_json"))
+        .when(F.col("status") == P.STATUS_INVALID, F.lit("missing_data_array"))
+        .alias("reason"),
+        (F.col("status") == P.STATUS_SUCCESS).alias("routable"),
+    )
+
+
+@register(
     "q_parse_envelope",
     oracle=GEN_CTE
     + """

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import multimodal, similarity, text as TX
-from ..functions.dedup import exact_dedup, neardup_pairs
+from ..functions.dedup import (
+    exact_dedup,
+    neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    with_simhash,
+)
 from ..registry import register
 from ..sources import load_table
 
@@ -119,6 +125,136 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(corpus)
 
 
+# --- E2b: SimHash + n-gram Jaccard families --------------------------------
+
+# Shared planted corpus for the near-dup families: exact copies
+# (every 10th doc, +1M ids) must be caught at distance 0 / jaccard 1;
+# suffix mutants (every 7th doc, +2M ids) are probabilistic catches —
+# the oracle applies the identical algorithm so results always agree.
+_NEARDUP_CORPUS_CTE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zzz zzz zzz'
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+_SIMHASH_EXPR = """
+array_to_string(list_transform(range(1, 65), d ->
+  CASE WHEN list_sum(list_transform(h,
+         x -> CASE WHEN substring(x, d, 1) >= '8' THEN 1 ELSE -1 END)) >= 0
+  THEN '1' ELSE '0' END), '')
+"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz zzz zzz")).alias("text"),
+        )
+    )
+
+
+@register(
+    "q_simhash",
+    oracle=f"""
+WITH th AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> sha256(t)) AS h
+  FROM documents
+)
+SELECT doc_id, {_SIMHASH_EXPR} AS simhash
+FROM th
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — 64-bit SimHash signature per document (hex-digit voting
+    over per-token sha256; see functions/dedup.py). Map-only stage."""
+    return with_simhash(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", "simhash"
+    )
+
+
+@register(
+    "q_simhash_neardup",
+    oracle=_NEARDUP_CORPUS_CTE
+    + f""",
+th AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> sha256(t)) AS h
+  FROM corpus
+),
+sim AS (SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM th),
+bands AS (
+  SELECT doc_id, bd, substring(simhash, 1 + 16 * bd, 16) AS key, simhash
+  FROM sim, (SELECT unnest(range(4)) AS bd)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.bd = b.bd AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(range(1, 65),
+              i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1)))
+            AS INTEGER) AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 65),
+        i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1))) <= 3
+""",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — SimHash near-dup: 4×16-bit band blocking (pigeonhole-exact
+    for hamming<=3) then exact hamming verify. Planted exact copies are
+    guaranteed distance-0 catches."""
+    return simhash_neardup_pairs(_neardup_corpus(spark, sf_dir))
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=_NEARDUP_CORPUS_CTE
+    + """,
+toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(0, len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [text] END AS s,
+         CASE WHEN len(t) >= 3 THEN
+           list_aggregate(list_transform(range(0, len(t) - 2),
+             i -> sha256(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])), 'min')
+         ELSE sha256(text) END AS fp
+  FROM toks
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+  FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa, sb)) * 1000000
+            // (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+            AS BIGINT) AS jaccard_ppm
+FROM cand
+WHERE len(list_intersect(sa, sb)) * 1000000
+      // (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 500000
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — n-gram Jaccard near-dup with one-permutation-fingerprint
+    blocking (single equi-join on the min-shingle-hash; cheapest
+    blocking scheme) and exact integer-ppm Jaccard verify."""
+    return ngram_jaccard_pairs(_neardup_corpus(spark, sf_dir))
+
+
 # --- E3: similarity search -------------------------------------------------
 
 
@@ -181,6 +317,57 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_buckets(emb).select("vec_id", "bucket")
+
+
+def _ivf_oracle_sql() -> str:
+    def lsum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"({lsum(a, b)}) / sqrt(({lsum(a, a)}) * ({lsum(b, b)}))"
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {cos('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+  FROM embeddings e, cents c
+),
+cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {cos('q.qv', 'c.cv')} DESC, c.cid
+  LIMIT 2
+),
+scored AS (
+  SELECT s.vec_id, {cos('s.embedding', 'q.qv')} AS cos_raw
+  FROM cells s, probe p, q
+  WHERE s.cid = p.cid AND s.vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id, cos_raw,
+         row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT vec_id, round(cos_raw, 4) AS cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("q_ivf_topk", oracle=_ivf_oracle_sql())
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path — IVF approximate top-k: deterministic centroids
+    (every 50th vector), nearest-cell assignment via broadcast, search
+    restricted to the query's 2 nearest cells. See
+    functions/similarity.py::ivf_topk for the 100 TB posture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_vec_id=0, k=10, centroid_mod=50, nprobe=2)
 
 
 @register("q_embedding_neardup")  # rows-only: float compare too sharp to hash
