@@ -1,0 +1,60 @@
+"""Physical-plan introspection: assert the plan SHAPE we designed for,
+not just the result. A correct answer computed through a cartesian
+product or a full-column scan is a 100 TB regression that row-hash
+correctness checks can't see; tests/test_plan_shape.py pins these.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_string(df)
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    return "CartesianProduct" in plan_string(df)
+
+
+def is_adaptive(df: DataFrame) -> bool:
+    return "AdaptiveSparkPlan" in plan_string(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All non-empty PushedFilters entries across the plan's scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan_string(df)):
+        if m.group(1).strip():
+            out.append(m.group(1).strip())
+    return out
+
+
+def scan_columns(df: DataFrame, path_fragment: str) -> set[str]:
+    """Columns actually read (ReadSchema) by the parquet scan whose
+    Location contains ``path_fragment`` — the column-pruning witness."""
+    plan = plan_string(df)
+    cols: set[str] = set()
+    # formatted mode prints one "(N) Scan parquet" block per source with
+    # Location and ReadSchema lines
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if "Scan parquet" not in block or path_fragment not in block:
+            continue
+        m = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        if m:
+            for field in m.group(1).split(","):
+                name = field.split(":")[0].strip()
+                if name:
+                    cols.add(name)
+    return cols

@@ -1,0 +1,71 @@
+"""Physical-plan shape regressions: the 100 TB design properties
+(broadcast joins, predicate pushdown, column pruning, AQE, no
+accidental cartesian products) asserted on the actual Catalyst output.
+These catch scale regressions that row-hash correctness cannot.
+"""
+
+from __future__ import annotations
+
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.plans import checks
+
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def _df(name, spark):
+    return registry.QUERIES[name](spark, SF_SMOKE)
+
+
+def test_fk_join_broadcasts(spark):
+    assert checks.uses_broadcast_join(_df("q_join_fk", spark))
+
+
+def test_star_join_broadcasts_dims_no_cartesian(spark):
+    df = _df("q_join_star", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+
+
+def test_filter_pushes_to_parquet_scan(spark):
+    pushed = checks.pushed_filters(_df("q_filter_cmp", spark))
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert any("l_linestatus" in p for p in pushed), pushed
+
+
+def test_anti_join_pushes_dim_filter(spark):
+    pushed = checks.pushed_filters(_df("q_anti_orphans", spark))
+    assert any("o_orderstatus" in p for p in pushed), pushed
+
+
+def test_token_count_prunes_document_columns(spark):
+    cols = checks.scan_columns(_df("q_token_count", spark), "documents")
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_lsh_prunes_embedding_columns(spark):
+    cols = checks.scan_columns(_df("q_lsh_buckets", spark), "embeddings")
+    assert cols == {"vec_id", "embedding"}, cols
+
+
+def test_star_join_prunes_fact_columns(spark):
+    cols = checks.scan_columns(_df("q_join_star", spark), "lineitem")
+    # fact scan must read only join key + measures, never all 16 columns
+    assert cols == {"l_orderkey", "l_extendedprice", "l_discount"}, cols
+
+
+def test_aggregations_run_under_aqe(spark):
+    assert checks.is_adaptive(_df("q_ops_by_table_op", spark))
+
+
+def test_scale_conf_formulas():
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.plans import scale
+
+    conf = scale.recommended_conf(100 * scale.TIB, executors=1000, cores_per_executor=4)
+    # 50 TB shuffled / 200 MiB target -> capped at the 100k ceiling
+    assert conf["spark.sql.shuffle.partitions"] == str(scale.MAX_SHUFFLE_PARTITIONS)
+    # small job: floor at 2x cores keeps every core busy
+    small = scale.recommended_conf(1 * scale.GIB, executors=1, cores_per_executor=8)
+    assert small["spark.sql.shuffle.partitions"] == "16"
+    assert scale.max_offsets_per_trigger(4, 1024, 64) == 64 * 200 * scale.MIB // 1024
