@@ -1,27 +1,49 @@
-"""Deduplication operators (north-star E1/E2): exact hash-dedup and
-MinHash-LSH near-dup detection.
+"""Deduplication operators (north-star E1/E2): exact hash-dedup,
+MinHash-LSH, SimHash, and n-gram-Jaccard near-dup detection.
 
 Scale posture:
 - Exact dedup is one shuffle on the 256-bit content hash; survivors
   picked with min-id row_number (deterministic, no arbitrary-first).
-- MinHash-LSH: signatures are a map-only stage; the candidate join
-  shuffles on (band, hash-value) buckets — cardinality ~n_docs*bands,
-  never the n² pair space. Exact Jaccard verification runs only on
-  bucket-colliding pairs. At 100 TB tune bands/rows for the target
-  similarity threshold; skewed buckets (boilerplate docs) fall out of
-  AQE skew-join handling.
+- All near-dup detectors follow the same three-stage shape:
+  (1) SIGNATURE: one map-only pass computes every band/salt of the
+      signature in a single projection (posexplode over a transform
+      array — never a union-of-salts, which would recompute the whole
+      signature expression once per salt);
+  (2) CANDIDATES: a NARROW self-join on (band, signature) carrying only
+      doc ids — cardinality ~n_docs*bands, never the n² pair space, and
+      never shuffling shingle arrays;
+  (3) VERIFY: exact Jaccard / hamming on candidate pairs only, with the
+      heavy shingle sets attached late by joining the (small) pair list
+      back to the corpus — at scale the pair side broadcasts, so the
+      arrays are never shuffled at all.
+  Skewed buckets (boilerplate docs) fall out of AQE skew-join handling.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .text import doc_fingerprint, minhash, shingles
+from .text import fingerprint_from_tokens, shingles_from_tokens
 
 N_HASHES = 4  # bands of 1 row each; candidate iff any minhash matches
 
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits/band; hamming<=3 pairs always share a band
+
+
+def _balanced(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across all cores before a heavy map stage.
+
+    A small parquet table arrives as ONE input split, so without this
+    the signature computation runs on a single thread no matter how
+    many cores exist (measured: 10 s single-core vs <1 s spread for
+    5 k-doc SimHash). On a 100 TB input with thousands of splits the
+    condition is false and no shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -34,18 +56,60 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _with_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        _balanced(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .withColumn("_toks", F.split(F.col(text_col), " "))
+        .select("doc_id", shingles_from_tokens("_toks").alias("sh"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """(id, shingle-set, k, minhash_k) — one row per salt k."""
-    with_sh = df.select(F.col(id_col).alias("doc_id"), shingles(text_col).alias("sh"))
-    sigs = None
-    for k in range(n_hashes):
-        part = with_sh.select(
-            "doc_id", "sh", F.lit(k).alias("k"), minhash("sh", k).alias("h")
+    """(doc_id, k, minhash_k) — one row per salt k, all salts computed
+    in one pass over the shingle set (stage 1 of the pipeline above)."""
+    sig_arr = (
+        f"transform(sequence(0, {n_hashes - 1}), "
+        f"k -> array_min(transform(sh, x -> sha2(concat(cast(k as string), x), 256))))"
+    )
+    return _with_shingles(df, text_col, id_col).select(
+        "doc_id", F.posexplode(F.expr(sig_arr)).alias("k", "h")
+    )
+
+
+def _attach_shingles(
+    pairs: DataFrame, corpus: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """VERIFY-stage helper: join the narrow (doc_a, doc_b) pair list
+    back to the corpus for both sides' shingle sets. The pair side is
+    orders of magnitude smaller than the corpus, so these resolve as
+    broadcast joins — shingle arrays never shuffle."""
+    sh = _with_shingles(corpus, text_col, id_col)
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
         )
-        sigs = part if sigs is None else sigs.unionByName(part)
-    return sigs
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+    )
+
+
+def _jaccard_verified(with_sh_pairs: DataFrame, jaccard_ppm_threshold: int) -> DataFrame:
+    return (
+        with_sh_pairs.withColumn(
+            "jaccard_ppm",
+            F.expr(
+                "(size(array_intersect(sh_a, sh_b)) * 1000000) div "
+                "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_ppm") >= jaccard_ppm_threshold)
+        .select("doc_a", "doc_b", "jaccard_ppm")
+    )
 
 
 def neardup_pairs(
@@ -54,31 +118,23 @@ def neardup_pairs(
     id_col: str = "doc_id",
     jaccard_ppm_threshold: int = 500_000,
 ) -> DataFrame:
-    """Candidate pairs via MinHash band collision, verified with exact
-    Jaccard over distinct shingles (integer ppm). Returns
-    (doc_a, doc_b, jaccard_ppm) with doc_a < doc_b."""
+    """MinHash-LSH near-dup: salted-minhash band collision candidates,
+    verified with exact Jaccard over distinct shingles (integer ppm).
+    Returns (doc_a, doc_b, jaccard_ppm) with doc_a < doc_b."""
     sigs = minhash_signatures(df, text_col, id_col)
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "k", "h"
-    )
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "k", "h"
-    )
     cand = (
-        a.join(b, ["k", "h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return (
-        cand.withColumn("jaccard_ppm", F.expr(
-            f"(size(array_intersect(sh_a, sh_b)) * 1000000) div "
-            f"(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
-        ).cast("long"))
-        .filter(F.col("jaccard_ppm") >= jaccard_ppm_threshold)
-        .select("doc_a", "doc_b", "jaccard_ppm")
+    return _jaccard_verified(
+        _attach_shingles(cand, df, text_col, id_col), jaccard_ppm_threshold
     )
 
 
@@ -89,8 +145,9 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     bit d iff that digit's high bit is set (char >= '8'), else -1; the
     sign of the vote sum is the bit. Token hashes are materialized once
     (``_th``) so sha256 runs once per token, not once per (token, bit).
-    Map-only, no shuffle, portable to any engine with sha256."""
-    df = df.withColumn(
+    Map-only, portable to any engine with sha256 (the only shuffle is
+    ``_balanced``'s spread when the input arrives under-partitioned)."""
+    df = _balanced(df).withColumn(
         "_th", F.expr(f"transform(split({text_col}, ' '), t -> sha2(t, 256))")
     )
     sim = F.expr(
@@ -108,32 +165,39 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup: band the 64-bit signature into 4×16-bit keys;
+    """SimHash near-dup: band the 64-bit signature into 4×16-bit keys
+    (single posexplode pass — the signature is computed once per doc);
     candidates are pairs sharing any band (pigeonhole: hamming<=3 can
     dirty at most 3 of 4 bands, so no true pair is missed); verify
-    exact hamming distance. The join shuffles on (band, key) buckets —
-    ~n_docs*4 rows, never the n² pair space."""
-    sh = with_simhash(df.select(F.col(id_col).alias("doc_id"), text_col), text_col)
+    exact hamming distance on the candidate pairs only."""
     band_w = SIMHASH_BITS // SIMHASH_BANDS
-    bands = None
-    for b in range(SIMHASH_BANDS):
-        part = sh.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.expr(f"substring(simhash, {1 + band_w * b}, {band_w})").alias("key"),
-            "simhash",
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "key", F.col("simhash").alias("sim_a")
-    )
-    b_ = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", "key", F.col("simhash").alias("sim_b")
+    sh = with_simhash(
+        df.select(F.col(id_col).alias("doc_id"), text_col), text_col
+    ).select("doc_id", "simhash")
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+                f"b -> substring(simhash, 1 + {band_w} * b, {band_w}))"
+            )
+        ).alias("band", "key"),
     )
     cand = (
-        a.join(b_, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
     ham = F.expr(
@@ -155,26 +219,23 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """N-gram Jaccard near-dup via fingerprint blocking: candidates are
     pairs sharing the one-permutation-MinHash fingerprint (a single
-    equi-join key — the cheapest blocking scheme, one shuffle on the
-    fingerprint), verified with exact Jaccard over distinct 3-gram
-    shingles in integer ppm."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(text_col).alias("sh"),
-        doc_fingerprint(text_col).alias("fp"),
+    narrow equi-join on the min-shingle-hash — the cheapest blocking
+    scheme), verified with exact Jaccard over distinct 3-gram shingles
+    in integer ppm."""
+    fp = (
+        _balanced(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .withColumn("_toks", F.split(F.col(text_col), " "))
+        .select("doc_id", fingerprint_from_tokens("_toks").alias("fp"))
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "fp")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
-            "jaccard_ppm",
-            F.expr(
-                "(size(array_intersect(sh_a, sh_b)) * 1000000) div "
-                "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
-            ).cast("long"),
+    cand = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(F.col("jaccard_ppm") >= jaccard_ppm_threshold)
-        .select("doc_a", "doc_b", "jaccard_ppm")
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return _jaccard_verified(
+        _attach_shingles(cand, df, text_col, id_col), jaccard_ppm_threshold
     )

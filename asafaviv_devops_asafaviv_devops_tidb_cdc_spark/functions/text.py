@@ -35,17 +35,29 @@ def regex_tokens(col: str = "text") -> Column:
     return F.expr(f"regexp_extract_all({col}, '[a-z]+|[0-9]+', 0)")
 
 
-def shingles(col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles; short docs fall back to the
-    whole text as a single shingle."""
-    toks = f"split({col}, ' ')"
-    parts = ", ".join(f"element_at({toks}, i + {k + 1})" for k in range(n))
+def shingles_from_tokens(toks_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over a MATERIALIZED token-array
+    column; short docs fall back to the whole text as a single shingle.
+
+    Callers must tokenize into a real column first (``withColumn``) —
+    referencing ``split(text)`` directly here would re-run the split
+    inside the lambda for every element_at access (higher-order-function
+    lambdas are interpreted, no common-subexpression elimination), an
+    O(shingles x n) blowup measured at ~4 s for 5 k docs."""
+    parts = ", ".join(f"element_at({toks_col}, i + {k + 1})" for k in range(n))
     return F.expr(
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
+        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({toks_col}) - {n}), "
         f"i -> concat_ws(' ', {parts}))) "
-        f"ELSE array({col}) END"
+        f"ELSE array(concat_ws(' ', {toks_col})) END"
     )
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience for small
+    inputs; hot paths should tokenize first and use
+    ``shingles_from_tokens`` (see its docstring)."""
+    return shingles_from_tokens(f"split({col}, ' ')", n)
 
 
 def minhash(shingle_col: str, salt: int) -> Column:
@@ -57,18 +69,25 @@ def minhash(shingle_col: str, salt: int) -> Column:
     )
 
 
-def doc_fingerprint(col: str = "text", n: int = 3) -> Column:
-    """Document fingerprint: min sha256 over word n-gram shingles
-    (a one-permutation MinHash — stable under small reorderings,
-    unlike sha256(text))."""
-    toks = f"split({col}, ' ')"
-    parts = ", ".join(f"element_at({toks}, i + {k + 1})" for k in range(n))
+def fingerprint_from_tokens(toks_col: str, n: int = 3) -> Column:
+    """Document fingerprint over a MATERIALIZED token-array column:
+    min sha256 over word n-gram shingles (a one-permutation MinHash —
+    stable under small reorderings, unlike sha256(text)). Same
+    tokenize-first rule as ``shingles_from_tokens``."""
+    parts = ", ".join(f"element_at({toks_col}, i + {k + 1})" for k in range(n))
     return F.expr(
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_min(transform(sequence(0, size({toks}) - {n}), "
+        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"array_min(transform(sequence(0, size({toks_col}) - {n}), "
         f"i -> sha2(concat_ws(' ', {parts}), 256))) "
-        f"ELSE sha2({col}, 256) END"
+        f"ELSE sha2(concat_ws(' ', {toks_col}), 256) END"
     )
+
+
+def doc_fingerprint(col: str = "text", n: int = 3) -> Column:
+    """Fingerprint straight from a text column — convenience for small
+    inputs; hot paths should tokenize first and use
+    ``fingerprint_from_tokens``."""
+    return fingerprint_from_tokens(f"split({col}, ' ')", n)
 
 
 def marker_score(toks_col: str, markers: list[str]) -> Column:

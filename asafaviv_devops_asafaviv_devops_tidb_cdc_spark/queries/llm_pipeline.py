@@ -526,8 +526,13 @@ FROM toks
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 — document fingerprint: min-sha256 over word 3-gram shingles
     (one-permutation MinHash; stable under small edits, unlike a
-    whole-text hash)."""
-    return _docs(spark, sf_dir).select("doc_id", TX.doc_fingerprint().alias("fingerprint"))
+    whole-text hash). Tokens materialized first (see
+    text.py::shingles_from_tokens on the lambda-CSE trap)."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("_toks", TX.tokens())
+        .select("doc_id", TX.fingerprint_from_tokens("_toks").alias("fingerprint"))
+    )
 
 
 # --- E5: multimodal columns ------------------------------------------------

@@ -1,0 +1,98 @@
+"""Operator S7 (snapshot/restore) and S5 (observable metrics): the
+source/sink surface that has no query-shaped oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.operators import parse as P
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import (
+    envelopes_from_events,
+    load_table,
+    snapshot as snap,
+)
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import metrics
+
+from tests.conftest import SF_SMOKE
+
+
+def _normalized(spark):
+    return P.normalized_events(
+        envelopes_from_events(load_table(spark, SF_SMOKE, "events"))
+    )
+
+
+def test_snapshot_restore_roundtrip(spark):
+    cust = load_table(spark, SF_SMOKE, "customer")
+    with tempfile.TemporaryDirectory() as d:
+        path = str(Path(d) / "cust_snap")
+        manifest = snap.snapshot(cust, path)
+        assert manifest["rows"] == cust.count()
+        restored = snap.restore(spark, path)
+        assert restored.count() == cust.count()
+        assert set(restored.columns) == set(cust.columns)
+
+
+def test_snapshot_restore_detects_corruption(spark):
+    cust = load_table(spark, SF_SMOKE, "customer").limit(10)
+    with tempfile.TemporaryDirectory() as d:
+        path = str(Path(d) / "snap")
+        snap.snapshot(cust, path)
+        # clobber the manifest to simulate a torn backup
+        import json
+
+        mf = Path(path) / snap.MANIFEST
+        bad = json.loads(mf.read_text())
+        bad["rows"] += 1
+        mf.write_text(json.dumps(bad))
+        with pytest.raises(ValueError, match="manifest"):
+            snap.restore(spark, path)
+
+
+def test_observe_batch_counters_match_groupby(spark):
+    norm = _normalized(spark)
+    observed, obs = metrics.observe_normalized(norm)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    by_op = {r["operation"]: r["n"] for r in norm.groupBy("operation").count().withColumnRenamed("count", "n").collect()}
+    assert got[metrics.PROCESSED_TOTAL] == sum(by_op.values())
+    assert got[metrics.INSERTS_TOTAL] == by_op.get("insert", 0)
+    assert got[metrics.UPDATES_TOTAL] == by_op.get("update", 0)
+    assert got[metrics.DELETES_TOTAL] == by_op.get("delete", 0)
+    assert got[metrics.LAST_EVENT_MS] > 0
+
+
+def test_observe_streaming_attaches_named_metrics(spark):
+    import shutil
+
+    base = Path(tempfile.gettempdir()) / "tidb_cdc_spark_stream" / "observe_test"
+    if base.exists():
+        shutil.rmtree(base)
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import ingest
+
+    src = ingest.write_envelope_files(spark, SF_SMOKE, str(base / "src"), None)
+    stream = ingest.read_envelope_stream(spark, src)
+    norm = P.normalized_events(stream)
+    observed, name = metrics.observe_normalized(norm)
+    assert name == "cdc_metrics"
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    seen = {}
+    for p in progress:
+        om = p["observedMetrics"].get(name) if p.get("observedMetrics") else None
+        if om:
+            seen[metrics.PROCESSED_TOTAL] = seen.get(metrics.PROCESSED_TOTAL, 0) + om[
+                metrics.PROCESSED_TOTAL
+            ]
+    batch_total = _normalized(spark).count()
+    assert seen.get(metrics.PROCESSED_TOTAL) == batch_total
