@@ -31,19 +31,9 @@ SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits/band; hamming<=3 pairs always share a band
 
 
-def _balanced(df: DataFrame) -> DataFrame:
-    """Spread a narrow input across all cores before a heavy map stage.
-
-    A small parquet table arrives as ONE input split, so without this
-    the signature computation runs on a single thread no matter how
-    many cores exist (measured: 10 s single-core vs <1 s spread for
-    5 k-doc SimHash). On a 100 TB input with thousands of splits the
-    condition is false and no shuffle is added."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# signature stages must not run on one core when the input is a single
+# split (measured: 10 s single-core vs <1 s spread for 5 k-doc SimHash)
+from ..sources.tables import rebalance as _balanced  # noqa: E402
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -97,4 +97,10 @@ def fake_decode_features(media: DataFrame, chunk: int = 256) -> DataFrame:
                 columns=["media_id", "n_bytes", "n_chunks", "mean_byte", "feature"],
             )
 
-    return media.select("media_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+    from ..sources.tables import rebalance
+
+    # spread before the Python stage: one input split would serialize
+    # the whole corpus through a single Arrow worker
+    return rebalance(media.select("media_id", "payload")).mapInPandas(
+        _extract, FEATURE_SCHEMA
+    )

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..sources.tables import rebalance
+
 
 def _fold_sum(expr: str) -> str:
     # aggregate() folds left-to-right — a fixed summation order, which
@@ -50,7 +52,7 @@ def brute_force_topk(
         F.col(vec_col).alias("qv")
     )
     scored = (
-        corpus.filter(F.col(id_col) != query_vec_id)
+        rebalance(corpus.filter(F.col(id_col) != query_vec_id))
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
@@ -90,7 +92,7 @@ def lsh_buckets(
         )
         bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
     bucket = F.expr("concat(" + ", ".join(bits) + ")")
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    return rebalance(df).select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
 def ivf_topk(
@@ -116,7 +118,7 @@ def ivf_topk(
     cents = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
-    scored_cells = corpus.crossJoin(F.broadcast(cents)).select(
+    scored_cells = rebalance(corpus).crossJoin(F.broadcast(cents)).select(
         id_col,
         vec_col,
         "cid",

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .tables import rebalance
+
 OP_MOD = 10
 CORRUPT_MOD = 101
 NULL_TABLE_MOD = 53
@@ -99,7 +101,10 @@ def envelopes_from_events(events: DataFrame) -> DataFrame:
         F.col("event_id") % CORRUPT_MOD == 0, F.lit('{"corrupt')
     ).otherwise(F.to_json(envelope))
 
-    return events.select(
+    # rebalance BEFORE the to_json map stage: the events table arrives
+    # as one split, and everything downstream (json round-trip, explode,
+    # normalize) inherits this partitioning until the first shuffle
+    return rebalance(events).select(
         value.alias("value"),
         (F.col("event_id") % 4).cast("int").alias("partition"),
         F.col("event_id").alias("offset"),

@@ -23,6 +23,23 @@ TABLE_NAMES = [
 ]
 
 
+def rebalance(df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned DataFrame across all cores before a
+    heavy map stage.
+
+    Small parquet tables arrive as ONE input split (single row group),
+    so every downstream map stage runs on a single thread no matter how
+    many cores exist — measured 4-10x slowdowns on the CDC parse chain
+    and signature computations. The shuffle this adds is tiny (the
+    input is small by definition); on a 100 TB input with thousands of
+    splits the condition is false and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):

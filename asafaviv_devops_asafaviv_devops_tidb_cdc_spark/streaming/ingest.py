@@ -46,7 +46,13 @@ def write_envelope_files(
     raw = envelopes_from_events(load_table(spark, sf_dir, "events"))
     if duplicate_fraction_mod:
         raw = raw.unionByName(raw.filter(F.col("offset") % duplicate_fraction_mod == 0))
-    raw.write.mode("overwrite").json(str(out))
+    # ONE output file: faithful to the reference's single Kafka
+    # partition (docker-compose.yml:102 partition-num=1 => global
+    # order). Many unsorted files would replay in arbitrary time order
+    # across micro-batches and the dedupe watermark would (correctly!)
+    # drop whole batches as late data. repartition(1), not coalesce(1):
+    # coalesce would collapse the upstream to_json stage to one core.
+    raw.repartition(1).write.mode("overwrite").json(str(out))
     return str(out)
 
 
@@ -72,6 +78,10 @@ def run_ingest(
         if p.exists():
             shutil.rmtree(p)
     stream = read_envelope_stream(spark, source_dir)
+    # spread the parse chain across cores — the file (or a single Kafka
+    # partition) arrives as one task otherwise; raw strings are cheap to
+    # shuffle, the json round-trip downstream is not cheap to serialize
+    stream = stream.repartition(spark.sparkContext.defaultParallelism)
     normalized = P.normalized_events(stream)
     if dedupe:
         normalized = normalized.withWatermark("ts", "1 hour").dropDuplicates(
