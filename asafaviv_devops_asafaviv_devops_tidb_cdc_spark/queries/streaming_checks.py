@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..sources import load_table
-from ..streaming import alerts, ingest
+from ..streaming import alerts, ingest, merge
 
 _W = alerts.WINDOW_MS
 
@@ -75,6 +75,25 @@ def q_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink — pytest asserts equality with the batch chain."""
     sink = _run_stream(spark, sf_dir, "plain", dup_mod=None)
     return sink.groupBy("table_name", "operation").agg(F.count("*").alias("n"))
+
+
+@register("q_stream_cdc_replay")  # rows-only: real streaming execution
+def q_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 stream form — incremental current-state materialization:
+    the envelope backlog split into out-of-order micro-batches, each
+    foreachBatch-MERGEd into a keyed state table (streaming/merge.py).
+    Returns per-table state counts; pytest asserts the final state
+    equals the batch replay exactly."""
+    base = _stream_workdir(sf_dir, "merge")
+    src = ingest.write_envelope_files(spark, sf_dir, str(base / "src"), None, n_files=8)
+    merge.run_replay_stream(
+        spark, src, str(base / "state"), str(base / "ckpt"), max_files_per_trigger=2
+    )
+    state = merge.live_state(spark.read.parquet(str(base / "state")))
+    return state.groupBy("table_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("value").cast("decimal(18,2)").alias("sum_value"),
+    )
 
 
 @register("q_stream_dedupe")  # rows-only: real streaming execution

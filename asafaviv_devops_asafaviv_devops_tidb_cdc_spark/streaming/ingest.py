@@ -34,25 +34,33 @@ SOURCE_SCHEMA = "value string, partition int, offset long"
 
 
 def write_envelope_files(
-    spark: SparkSession, sf_dir: str, out_dir: str, duplicate_fraction_mod: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    duplicate_fraction_mod: int | None = None,
+    n_files: int = 1,
 ) -> str:
     """Materialize the deterministic canal-json stream as JSON-lines
     files (the test stand-in for the Kafka topic). With
     ``duplicate_fraction_mod``=m, every m-th envelope is emitted twice
-    — simulating an at-least-once replay."""
+    — simulating an at-least-once replay.
+
+    ``n_files=1`` (default) is faithful to the reference's single Kafka
+    partition (docker-compose.yml:102 partition-num=1 => global order);
+    watermark-based consumers (the dedupe path) NEED that order — many
+    unsorted files replay in arbitrary time order across micro-batches
+    and the watermark would (correctly!) drop whole batches as late
+    data. Order-robust consumers (the merge path, which carries full
+    order keys) can take n_files>1 to exercise multi-batch behavior.
+    repartition, not coalesce: coalesce would collapse the upstream
+    to_json stage to one core."""
     out = Path(out_dir)
     if out.exists():
         shutil.rmtree(out)
     raw = envelopes_from_events(load_table(spark, sf_dir, "events"))
     if duplicate_fraction_mod:
         raw = raw.unionByName(raw.filter(F.col("offset") % duplicate_fraction_mod == 0))
-    # ONE output file: faithful to the reference's single Kafka
-    # partition (docker-compose.yml:102 partition-num=1 => global
-    # order). Many unsorted files would replay in arbitrary time order
-    # across micro-batches and the dedupe watermark would (correctly!)
-    # drop whole batches as late data. repartition(1), not coalesce(1):
-    # coalesce would collapse the upstream to_json stage to one core.
-    raw.repartition(1).write.mode("overwrite").json(str(out))
+    raw.repartition(n_files).write.mode("overwrite").json(str(out))
     return str(out)
 
 

@@ -1,0 +1,108 @@
+"""Incremental CDC current-state materialization (operator J6, stream
+form): a ``foreachBatch`` MERGE that upserts each micro-batch of typed
+row events into a keyed state table — the streaming twin of
+``operators/replay.py::current_state`` (reference transports DML but
+never materializes it; ES just accumulates one doc per event,
+reference node-consumer/index.js:278-281).
+
+Unlike watermarked dedupe, the merge is order-robust: every row carries
+its full event-time order key (ts, offset, rownum) and the merge
+recomputes last-writer-wins over (existing state ∪ batch), so late or
+out-of-order batches converge to the same state.
+
+Scale posture: the local parquet overwrite below is the test stand-in
+for ``MERGE INTO`` on a transactional table format (Delta/Iceberg),
+where it becomes a key-partitioned upsert touching only changed
+partitions. The semantics — last writer wins, DELETE tombstones remove
+the key — are identical and are what the batch oracle checks.
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import parse as P
+
+STATE_KEYS = ["table_name", "user_id"]
+STATE_ORDER = ["ts", "offset", "rownum"]
+
+
+def latest_events(
+    events: DataFrame, keys: Sequence[str], order_by: Sequence[str]
+) -> DataFrame:
+    """Latest event per key — DELETEs retained (they are tombstones the
+    merge still needs; ``current_state`` drops them, this keeps them)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_state(
+    existing: DataFrame | None,
+    batch: DataFrame,
+    keys: Sequence[str] = STATE_KEYS,
+    order_by: Sequence[str] = STATE_ORDER,
+) -> DataFrame:
+    """(state ∪ batch) -> new state. State rows keep their op + order
+    columns so the comparison against late events stays total, and
+    DELETE rows are persisted as TOMBSTONES — discarding them would let
+    an out-of-order older event in a later batch resurrect a deleted
+    key. Readers drop tombstones via ``live_state``."""
+    combined = batch if existing is None else existing.unionByName(batch)
+    return latest_events(combined, keys, order_by)
+
+
+def live_state(
+    state: DataFrame, op_col: str = "operation", delete_op: str = "delete"
+) -> DataFrame:
+    """The queryable view of the state table: tombstones removed."""
+    return state.filter(F.col(op_col) != delete_op)
+
+
+def run_replay_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
+) -> None:
+    """Drain a canal-json envelope backlog through P1->P6 and MERGE each
+    micro-batch into the state table at ``state_dir``."""
+    for d in (state_dir, checkpoint_dir):
+        p = Path(d)
+        if p.exists():
+            shutil.rmtree(p)
+
+    from .ingest import SOURCE_SCHEMA
+
+    stream = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    stream = stream.repartition(spark.sparkContext.defaultParallelism)
+    typed = P.typed_rows(P.normalized_events(stream))
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        existing = (
+            spark.read.parquet(state_dir) if Path(state_dir).exists() else None
+        )
+        new_state = merge_state(existing, batch_df)
+        # materialize BEFORE overwriting the path the plan reads from
+        new_state = new_state.localCheckpoint(eager=True)
+        new_state.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        typed.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

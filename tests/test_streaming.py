@@ -33,6 +33,44 @@ def test_stream_dedupe_is_exactly_once(spark):
     assert _counts(deduped) == _counts(batch)
 
 
+def test_stream_merge_equals_batch_replay(spark):
+    """Final MERGEd state after out-of-order multi-batch replay must
+    equal the batch last-writer-wins replay row-for-row."""
+    import tempfile
+    from pathlib import Path
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.operators import parse as P
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.operators.replay import (
+        current_state,
+    )
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import (
+        envelopes_from_events,
+    )
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import ingest, merge
+
+    base = Path(tempfile.gettempdir()) / "tidb_cdc_spark_stream" / "merge_check"
+    src = ingest.write_envelope_files(spark, SF_SMOKE, str(base / "src"), None, n_files=8)
+    merge.run_replay_stream(
+        spark, src, str(base / "state"), str(base / "ckpt"), max_files_per_trigger=2
+    )
+    streamed = merge.live_state(spark.read.parquet(str(base / "state")))
+
+    typed = P.typed_rows(
+        P.normalized_events(envelopes_from_events(load_table(spark, SF_SMOKE, "events")))
+    )
+    batch = current_state(
+        typed, keys=merge.STATE_KEYS, order_by=merge.STATE_ORDER
+    )
+
+    def rows(df):
+        return sorted(
+            (r["table_name"], r["user_id"], str(r["value"]), str(r["ts"]))
+            for r in df.select("table_name", "user_id", "value", "ts").collect()
+        )
+
+    assert rows(streamed) == rows(batch)
+
+
 def test_sustained_alert_stream_matches_batch(spark):
     events = load_table(spark, SF_SMOKE, "events")
     batch = {
