@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis): semantic invariants under
+randomized inputs that example-based oracles can't sweep —
+replay folding, incremental-merge equivalence, positional old-image
+pairing with duplicate rows (the reference's indexOf bug, reference
+node-consumer/index.js:255), and SimHash band completeness.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.dedup import (
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+)
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.operators import parse as P
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.operators.replay import current_state
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import merge
+
+# one op = (key, operation, value); seq index supplies the total order
+_op = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(min_value=0, max_value=999),
+)
+_oplog = st.lists(_op, min_size=1, max_size=25)
+
+
+def _events_df(spark, ops):
+    rows = [
+        (f"2024-01-01 00:00:{i:02d}", "t", op, key, float(val), i, 0)
+        for i, (key, op, val) in enumerate(ops)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "ts_s string, table_name string, operation string, user_id long, "
+        "value double, offset long, rownum int",
+    ).selectExpr(
+        "cast(ts_s as timestamp) as ts",
+        "table_name",
+        "operation",
+        "user_id",
+        "cast(value as decimal(18,2)) as value",
+        "offset",
+        "rownum",
+    )
+
+
+def _fold(ops):
+    """Reference fold: last writer wins, delete removes the key."""
+    state = {}
+    for i, (key, op, val) in enumerate(ops):
+        if op == "delete":
+            state.pop(key, None)
+        else:
+            state[key] = (val, i)
+    return {k: v for k, (v, _) in state.items()}
+
+
+@settings(max_examples=12, deadline=None)
+@given(ops=_oplog)
+def test_replay_equals_sequential_fold(spark, ops):
+    got = {
+        r["user_id"]: int(r["value"])
+        for r in current_state(
+            _events_df(spark, ops),
+            keys=["table_name", "user_id"],
+            order_by=["ts", "offset", "rownum"],
+        ).collect()
+    }
+    assert got == _fold(ops)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=_oplog, cut=st.integers(min_value=0, max_value=25))
+def test_incremental_merge_equals_batch_replay(spark, ops, cut):
+    """Merging the log in two chunks — LATER chunk first (out-of-order
+    delivery) — converges to the batch replay: order keys carry global
+    positions and deletes persist as tombstones."""
+    cut = min(cut, len(ops))
+    df_all = _events_df(spark, ops)
+    state = None
+    for pred in (f"offset >= {cut}", f"offset < {cut}"):
+        chunk = df_all.filter(pred)
+        if chunk.count() == 0:
+            continue
+        state = merge.merge_state(
+            state, chunk, keys=["table_name", "user_id"],
+            order_by=["ts", "offset", "rownum"],
+        )
+    got = {
+        r["user_id"]: int(r["value"]) for r in merge.live_state(state).collect()
+    }
+    assert got == _fold(ops)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=5), min_size=1, max_size=4
+    )
+)
+def test_old_image_pairs_by_position_even_with_duplicates(spark, vals):
+    """UPDATE envelopes pair data[i] with old[i] strictly by position.
+    With duplicate rows in data, the reference's indexOf picks the
+    first match (reference node-consumer/index.js:255) — posexplode
+    must not."""
+    data = [{"id": str(v), "value": "1.0"} for v in vals]  # dups likely
+    old = [{"value": str(float(i))} for i in range(len(vals))]
+    env = {
+        "id": 1, "database": "testdb", "table": "t", "type": "UPDATE",
+        "es": 1700000000000, "ts": 1700000000100, "sql": None,
+        "data": data, "old": old,
+    }
+    raw = spark.createDataFrame(
+        [(json.dumps(env), 0, 0)], "value string, partition int, offset long"
+    )
+    out = P.normalized_events(raw).select("rownum", "old_data").collect()
+    assert len(out) == len(vals)
+    for r in out:
+        assert r["old_data"]["value"] == str(float(r["rownum"]))
+
+
+@settings(max_examples=300)
+@given(
+    base=st.integers(min_value=0, max_value=2**SIMHASH_BITS - 1),
+    flips=st.sets(
+        st.integers(min_value=0, max_value=SIMHASH_BITS - 1), max_size=3
+    ),
+)
+def test_simhash_banding_catches_all_hamming3_pairs(base, flips):
+    """Pigeonhole property the candidate join relies on: any pair
+    within hamming distance 3 shares at least one of the 4 bands."""
+    other = base
+    for b in flips:
+        other ^= 1 << b
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    shared = any(
+        (base >> (i * width)) & mask == (other >> (i * width)) & mask
+        for i in range(SIMHASH_BANDS)
+    )
+    assert shared
