@@ -318,6 +318,108 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prom_quantile_oracle() -> str:
+    idx_branches = " ".join(
+        f"WHEN value / 1000 <= {b} THEN {i}"
+        for i, b in enumerate(LATENCY_BUCKETS)
+    )
+    le_list = ", ".join(str(float(b)) for b in LATENCY_BUCKETS)
+    n = len(LATENCY_BUCKETS)
+    return f"""
+WITH bucketed AS (
+  SELECT event_type,
+         CASE {idx_branches} ELSE {n} END AS bucket_idx
+  FROM events
+),
+series AS (
+  SELECT event_type, bucket_idx, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bucketed GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket_idx,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM series
+),
+target AS (
+  SELECT event_type, bucket_idx, c, total,
+         COALESCE(LAG(c) OVER (PARTITION BY event_type ORDER BY bucket_idx), 0)
+           AS c_prev,
+         0.95 * total AS rank,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY CASE WHEN c >= 0.95 * total THEN 0 ELSE 1 END, bucket_idx)
+           AS rn
+  FROM cum
+)
+SELECT event_type,
+       CASE WHEN bucket_idx >= {n} THEN {LATENCY_BUCKETS[-1]}
+            ELSE (CASE WHEN bucket_idx = 0 THEN 0.0
+                       ELSE ([{le_list}])[bucket_idx] END)
+                 + (([{le_list}])[bucket_idx + 1]
+                    - (CASE WHEN bucket_idx = 0 THEN 0.0
+                            ELSE ([{le_list}])[bucket_idx] END))
+                   * (rank - c_prev) / (c - c_prev)
+       END AS p95
+FROM target WHERE rn = 1
+"""
+
+
+@register("q_prom_quantile", oracle=_prom_quantile_oracle())
+def q_prom_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 exact-parity path — the Prometheus ``histogram_quantile``
+    estimator itself (reference monitoring/recording-rules.yml:20-27):
+    from cumulative bucket counts, pick the lowest bucket whose count
+    reaches rank = 0.95*total and interpolate linearly inside it
+    (bucket start is 0 for the first bucket; rank beyond the last
+    finite bucket returns its bound — Prometheus's +Inf rule). The
+    same formula is spelled in the DuckDB oracle, so the declared
+    semantics are checked bit-for-bit, unlike percentile_approx."""
+    n = len(LATENCY_BUCKETS)
+    ev = _events(spark, sf_dir)
+    idx = F.lit(n)
+    for i, b in reversed(list(enumerate(LATENCY_BUCKETS))):
+        idx = F.when(F.col("value") / 1000 <= b, F.lit(i)).otherwise(idx)
+    series = (
+        ev.select("event_type", idx.alias("bucket_idx"))
+        .groupBy("event_type", "bucket_idx")
+        .agg(F.count("*").alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    w_lag = Window.partitionBy("event_type").orderBy("bucket_idx")
+    cum = series.select(
+        "event_type",
+        "bucket_idx",
+        F.sum("n").over(w_cum).alias("c"),
+        F.sum("n").over(w_all).alias("total"),
+    ).withColumn("c_prev", F.coalesce(F.lag("c").over(w_lag), F.lit(0)))
+    ranked = cum.withColumn("rank", F.lit(0.95) * F.col("total")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.when(F.col("c") >= F.lit(0.95) * F.col("total"), 0).otherwise(1),
+                "bucket_idx",
+            )
+        ),
+    )
+    le_arr = F.array(*[F.lit(float(b)) for b in LATENCY_BUCKETS])
+    lo = F.when(F.col("bucket_idx") == 0, F.lit(0.0)).otherwise(
+        F.element_at(le_arr, F.col("bucket_idx"))
+    )
+    hi = F.element_at(le_arr, F.col("bucket_idx") + 1)
+    p95 = F.when(
+        F.col("bucket_idx") >= n, F.lit(float(LATENCY_BUCKETS[-1]))
+    ).otherwise(
+        lo + (hi - lo) * (F.col("rank") - F.col("c_prev")) / (F.col("c") - F.col("c_prev"))
+    )
+    return ranked.filter(F.col("rn") == 1).select("event_type", p95.alias("p95"))
+
+
 @register(
     "q_rate_per_op",
     oracle=f"""
