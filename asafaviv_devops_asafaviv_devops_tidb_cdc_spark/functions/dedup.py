@@ -201,6 +201,58 @@ def simhash_neardup_pairs(
     )
 
 
+def neardup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id)
+    with cluster_id = min doc_id in the component. This is the step
+    that turns pair detection into corpus dedup: keep one canonical doc
+    (doc_id == cluster_id) per cluster, drop the rest.
+
+    Distributed iterative min-label propagation: each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    within the component diameter (near-dup clusters are shallow — a
+    template and its variants form a star). Each round is one join +
+    one aggregation; lineage is truncated per round (localCheckpoint)
+    so plans stay flat. Convergence test: sum(label) is strictly
+    decreasing until fixpoint, so an unchanged sum terminates — one
+    scalar action per round, no full-table comparison."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

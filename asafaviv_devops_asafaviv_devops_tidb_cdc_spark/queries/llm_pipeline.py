@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions import multimodal, similarity, text as TX
 from ..functions.dedup import (
     exact_dedup,
+    neardup_clusters,
     neardup_pairs,
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
@@ -131,16 +132,16 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (every 10th doc, +1M ids) must be caught at distance 0 / jaccard 1;
 # suffix mutants (every 7th doc, +2M ids) are probabilistic catches —
 # the oracle applies the identical algorithm so results always agree.
-_NEARDUP_CORPUS_CTE = """
-WITH corpus AS (
+_CORPUS_BODY = """
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
   UNION ALL
   SELECT doc_id + 2000000, text || ' zzz zzz zzz'
   FROM documents WHERE doc_id % 7 = 0
-)
 """
+
+_NEARDUP_CORPUS_CTE = f"\nWITH corpus AS ({_CORPUS_BODY})\n"
 
 _SIMHASH_EXPR = """
 array_to_string(list_transform(range(1, 65), d ->
@@ -253,6 +254,58 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking (single equi-join on the min-shingle-hash; cheapest
     blocking scheme) and exact integer-ppm Jaccard verify."""
     return ngram_jaccard_pairs(_neardup_corpus(spark, sf_dir))
+
+
+_NGRAM_PAIRS_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(0, len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [text] END AS s,
+         CASE WHEN len(t) >= 3 THEN
+           list_aggregate(list_transform(range(0, len(t) - 2),
+             i -> sha256(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])), 'min')
+         ELSE sha256(text) END AS fp
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1000000
+        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 500000
+)
+"""
+
+
+@register(
+    "q_neardup_clusters",
+    oracle=f"WITH RECURSIVE corpus AS ({_CORPUS_BODY}),\n"
+    + _NGRAM_PAIRS_CTES.strip()
+    + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+""",
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 — near-dup CLUSTERING: connected components over the
+    n-gram-Jaccard pair graph via distributed min-label propagation
+    (functions/dedup.py::neardup_clusters); cluster_id = min doc id.
+    The DuckDB oracle computes the same components with a recursive
+    CTE — an iterative Spark algorithm checked against a closed-form
+    SQL fixpoint."""
+    pairs = ngram_jaccard_pairs(_neardup_corpus(spark, sf_dir))
+    return neardup_clusters(pairs)
 
 
 # --- E3: similarity search -------------------------------------------------
