@@ -32,6 +32,14 @@ def is_adaptive(df: DataFrame) -> bool:
     return "AdaptiveSparkPlan" in plan_string(df)
 
 
+def count_nodes(df: DataFrame, op: str) -> int:
+    """Distinct physical nodes whose name starts with ``op`` (formatted
+    mode prints each node in the tree AND in a detail block — counting
+    raw substrings double-counts)."""
+    plan = plan_string(df)
+    return len(set(re.findall(rf"\((\d+)\) {re.escape(op)}", plan)))
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All non-empty PushedFilters entries across the plan's scans."""
     out: list[str] = []

@@ -588,6 +588,37 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_props_json",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(*) FILTER (WHERE props ->> '$.missing' IS NULL) AS BIGINT)
+         AS n_null_path
+FROM events
+GROUP BY 1
+""",
+)
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — semi-structured metadata analytics: JSON-path extraction
+    over the ``props`` string column (training pipelines carry
+    per-record metadata as JSON). ``get_json_object`` runs JVM-side;
+    missing paths null-propagate identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    missing = F.get_json_object("props", "$.missing")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).cast("long").alias("n_null_path"),
+    )
+
+
 # --- E5: multimodal columns ------------------------------------------------
 
 

@@ -59,6 +59,17 @@ def test_aggregations_run_under_aqe(spark):
     assert checks.is_adaptive(_df("q_ops_by_table_op", spark))
 
 
+def test_cdc_chain_fuses_into_one_map_stage(spark):
+    """The whole P1-P5 chain (generate -> from_json -> explode ->
+    normalize) plus the partial aggregation must be ONE map stage: the
+    only exchanges allowed are the input rebalance and the aggregation
+    shuffle, over a single scan of events."""
+    df = _df("q_ops_by_table_op", spark)
+    assert checks.count_nodes(df, "Scan parquet") == 1
+    n_exchanges = checks.count_nodes(df, "Exchange")
+    assert n_exchanges <= 2, f"unexpected shuffles: {n_exchanges}"
+
+
 def test_scale_conf_formulas():
     from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.plans import scale
 
