@@ -115,6 +115,24 @@ def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_batch_insert_gen")  # rows-only: rand() is partitioning-dependent
+def q_batch_insert_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+F6 — randomized batch-insert generation (reference
+    run_test.sh:80-84: 20 inserts named 'BatchProduct{i}' with
+    $((RANDOM % 200 + 20)) prices): seeded rand() + template concat.
+    Rows-only — rand(seed) streams per-partition, so values are stable
+    only for a fixed partitioning; the contract checked is shape +
+    bounds, not exact values."""
+    return (
+        spark.range(1, 21, 1, 1)
+        .select(
+            F.concat(F.lit("BatchProduct"), F.col("id")).alias("name"),
+            (F.floor(F.rand(42) * 200) + 20).cast("decimal(10,2)").alias("price"),
+            (F.floor(F.rand(43) * 100) + 10).cast("int").alias("stock"),
+        )
+    )
+
+
 # --- §2.4 joins ------------------------------------------------------------
 
 

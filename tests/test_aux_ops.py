@@ -100,6 +100,66 @@ def test_observe_batch_counters_match_groupby(spark):
     assert got[metrics.LAST_EVENT_MS] > 0
 
 
+def test_streaming_query_listener_lifecycle(spark):
+    """§2.9 health/lifecycle parity: the reference exposes /health,
+    /ready and a SIGTERM drain (index.js:401-497); the engine-native
+    equivalent is StreamingQueryListener events + query.status."""
+    import shutil
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"started": 0, "progress": 0, "terminated": 0}
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress"] += 1
+
+        def onQueryTerminated(self, e):
+            events["terminated"] += 1
+
+        def onQueryIdle(self, e):
+            pass
+
+    listener = L()
+    spark.streams.addListener(listener)
+    try:
+        base = Path(tempfile.gettempdir()) / "tidb_cdc_spark_stream" / "listener"
+        if base.exists():
+            shutil.rmtree(base)
+        from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import ingest
+
+        src = ingest.write_envelope_files(spark, SF_SMOKE, str(base / "src"), None)
+        ingest.run_ingest(spark, src, str(base / "sink"), str(base / "ckpt"))
+        import time
+
+        deadline = time.time() + 20
+        while events["terminated"] == 0 and time.time() < deadline:
+            time.sleep(0.5)  # listener bus is async
+        assert events["started"] >= 1
+        assert events["progress"] >= 1
+        assert events["terminated"] >= 1
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_batch_insert_gen_shape(spark):
+    df = registry_queries()["q_batch_insert_gen"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(r["name"] == f"BatchProduct{i+1}" for i, r in enumerate(rows))
+    assert all(20 <= float(r["price"]) < 220 for r in rows)
+    assert all(10 <= r["stock"] < 110 for r in rows)
+
+
+def registry_queries():
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+
+    registry.load_all()
+    return registry.QUERIES
+
+
 def test_observe_streaming_attaches_named_metrics(spark):
     import shutil
 
