@@ -85,7 +85,9 @@ def q_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns per-table state counts; pytest asserts the final state
     equals the batch replay exactly."""
     base = _stream_workdir(sf_dir, "merge")
-    src = ingest.write_envelope_files(spark, sf_dir, str(base / "src"), None, n_files=8)
+    # 2 out-of-order micro-batches exercise the merge/tombstone path;
+    # tests/test_streaming.py runs the 4-batch variant
+    src = ingest.write_envelope_files(spark, sf_dir, str(base / "src"), None, n_files=4)
     merge.run_replay_stream(
         spark, src, str(base / "state"), str(base / "ckpt"), max_files_per_trigger=2
     )
