@@ -60,15 +60,6 @@ def shingles(col: str = "text", n: int = 3) -> Column:
     return shingles_from_tokens(f"split({col}, ' ')", n)
 
 
-def minhash(shingle_col: str, salt: int) -> Column:
-    """One salted MinHash value: lexicographic min of sha256(salt||s).
-    sha256 is engine-portable (DuckDB oracle uses the identical
-    construction), uniform, and deterministic."""
-    return F.expr(
-        f"array_min(transform({shingle_col}, x -> sha2(concat('{salt}', x), 256)))"
-    )
-
-
 def fingerprint_from_tokens(toks_col: str, n: int = 3) -> Column:
     """Document fingerprint over a MATERIALIZED token-array column:
     min sha256 over word n-gram shingles (a one-permutation MinHash —

@@ -588,6 +588,114 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_LANG_BODY = """
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zzz zzz zzz', lang
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@register(
+    "q_pipeline_e2e",
+    oracle=f"WITH RECURSIVE corpus AS ({_CORPUS_LANG_BODY}),"
+    + f"""
+qual AS (
+  SELECT doc_id, text, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM corpus
+  WHERE len(string_split(text, ' ')) >= 10
+    AND len(string_split(text, ' ')) <= 100000
+    AND len(list_filter(string_split(text, ' '),
+          x -> list_contains({_STOP_LIST}, x))) * 1000000
+        // len(string_split(text, ' ')) < 500000
+),
+ded AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM qual
+  ) WHERE rn = 1
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM ded),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(0, len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [text] END AS s,
+         CASE WHEN len(t) >= 3 THEN
+           list_aggregate(list_transform(range(0, len(t) - 2),
+             i -> sha256(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])), 'min')
+         ELSE sha256(text) END AS fp
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1000000
+        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 500000
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+final AS (
+  SELECT d.* FROM ded d
+  LEFT JOIN clusters c ON d.doc_id = c.node
+  WHERE c.node IS NULL OR c.node = c.cluster_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM final GROUP BY 1
+""",
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition — the full training-data pipeline over a
+    corpus with planted exact copies and mutants: quality gate
+    (token-count + stopword-ppm filters) -> exact dedup (hash, min-id
+    survivor) -> near-dup clustering (fingerprint-blocked n-gram
+    Jaccard -> connected components) keeping each cluster's canonical
+    doc -> per-language corpus statistics. Every stage is an operator
+    tested on its own; this checks their composition end-to-end against
+    one closed-form SQL oracle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz zzz zzz")).alias("text"),
+            "lang",
+        )
+    )
+    qual = TX.with_quality_metrics(corpus).filter("keep").select(
+        "doc_id", "text", "lang", "n_tokens"
+    )
+    ded = exact_dedup(qual)
+    pairs = ngram_jaccard_pairs(ded)
+    clusters = neardup_clusters(pairs)
+    non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    final = ded.join(non_canonical, "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 @register(
     "q_props_json",
     oracle="""

@@ -95,11 +95,15 @@ def run_ingest(
         normalized = normalized.withWatermark("ts", "1 hour").dropDuplicates(
             ["partition", "offset", "rownum"]
         )
+    # (table, date) partitioning: per-table readers prune at the scan
+    # and retention/compaction work in day units — the sink design the
+    # reference approximates with per-table ES indices + 5 s refresh
+    normalized = normalized.withColumn("event_date", F.to_date("ts"))
     q = (
         normalized.writeStream.format("parquet")
         .option("path", sink_dir)
         .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("table_name")
+        .partitionBy("table_name", "event_date")
         .trigger(availableNow=True)
         .start()
     )
