@@ -70,6 +70,52 @@ def test_cdc_chain_fuses_into_one_map_stage(spark):
     assert n_exchanges <= 2, f"unexpected shuffles: {n_exchanges}"
 
 
+def test_partitioned_sink_prunes_at_scan(spark, tmp_path):
+    """S3 sink design: a (key)-partitioned parquet table must serve
+    key-filtered readers via partition pruning, not a full scan."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_part")
+    li.write.partitionBy("l_returnflag").parquet(path)
+    reader = spark.read.parquet(path).filter("l_returnflag = 'R'")
+    plan = checks.plan_string(reader)
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1), plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located join: two tables bucketed on the join key must join
+    with ZERO exchanges — the pre-partitioning replaces the shuffle
+    (the 100 TB pattern for repeated fact-fact joins)."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("orders_b")
+        li.select("l_orderkey", "l_quantity").write.bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).mode("overwrite").saveAsTable("li_b")
+        joined = spark.table("li_b").join(
+            spark.table("orders_b"),
+            spark.table("li_b").l_orderkey == spark.table("orders_b").o_orderkey,
+        )
+        assert checks.count_nodes(joined, "Exchange") == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+
+
 def test_scale_conf_formulas():
     from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.plans import scale
 
