@@ -318,6 +318,134 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_session_windows",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        + INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — gap-based session windows (30-min inactivity
+    closes a session) via Spark's native ``session_window``; the
+    DuckDB oracle derives identical sessions with gaps-and-islands.
+    Spark merges events strictly inside [start, last+gap), so a new
+    session begins at diff >= gap — the oracle uses the same bound."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
+_W5M_MS = 300_000
+_LIVENESS_FOR = 2  # "for: 10m" at 5-minute resolution
+
+
+@register(
+    "q_alert_liveness",
+    oracle=f"""
+WITH bounds AS (
+  SELECT CAST(epoch_ms(MIN(ts)) // {_W5M_MS} AS BIGINT) AS wmin,
+         CAST(epoch_ms(MAX(ts)) // {_W5M_MS} AS BIGINT) AS wmax
+  FROM events
+),
+grid AS (
+  SELECT unnest(range(wmin, wmax + 1)) * {_W5M_MS} AS window_ms FROM bounds
+),
+sparse AS (
+  SELECT CAST(epoch_ms(ts) // {_W5M_MS} * {_W5M_MS} AS BIGINT) AS window_ms,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE event_type = 'purchase' AND value > 990
+  GROUP BY 1
+),
+gaps AS (
+  SELECT g.window_ms
+  FROM grid g LEFT JOIN sparse s ON g.window_ms = s.window_ms
+  WHERE s.window_ms IS NULL
+),
+islanded AS (
+  SELECT window_ms,
+         window_ms - row_number() OVER (ORDER BY window_ms) * {_W5M_MS} AS island
+  FROM gaps
+)
+SELECT epoch_ms(window_ms) AS window_start,
+       CAST(COUNT(*) OVER (PARTITION BY island ORDER BY window_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS streak
+FROM islanded
+QUALIFY streak >= {_LIVENESS_FOR}
+""",
+)
+def q_alert_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 absence form — the reference's "pipeline stalled" alert
+    (monitoring/alerts.yml:16-24: rate == 0 sustained 10 m). Absence
+    can't be aggregated from events that don't exist: generate the
+    full 5-min window grid over the observed range, anti-join the
+    sparse series (high-value purchases), and flag >= 2 consecutive
+    empty windows via gaps-and-islands."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.floor(F.unix_millis(F.min("ts")) / _W5M_MS).cast("long").alias("wmin"),
+        F.floor(F.unix_millis(F.max("ts")) / _W5M_MS).cast("long").alias("wmax"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(wmin, wmax)")).alias("wi")
+    ).select((F.col("wi") * _W5M_MS).alias("window_ms"))
+    sparse = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 990))
+        .select(
+            (F.floor(F.unix_millis("ts") / _W5M_MS) * _W5M_MS)
+            .cast("long")
+            .alias("window_ms")
+        )
+        .groupBy("window_ms")
+        .agg(F.count("*").alias("n"))
+    )
+    gaps = grid.join(sparse, "window_ms", "left_anti")
+    w_rank = Window.orderBy("window_ms")
+    islanded = gaps.withColumn(
+        "island",
+        F.col("window_ms")
+        - F.row_number().over(w_rank).cast("long") * _W5M_MS,
+    )
+    w_streak = (
+        Window.partitionBy("island")
+        .orderBy("window_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        islanded.withColumn("streak", F.count("*").over(w_streak).cast("long"))
+        .filter(F.col("streak") >= _LIVENESS_FOR)
+        .select(F.timestamp_millis(F.col("window_ms")).alias("window_start"), "streak")
+    )
+
+
 def _prom_quantile_oracle() -> str:
     idx_branches = " ".join(
         f"WHEN value / 1000 <= {b} THEN {i}"
