@@ -229,6 +229,7 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -248,8 +249,16 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # returning part-propagated labels would silently split real
+        # clusters (duplicates leak through the canonical filter)
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -37,9 +37,18 @@ def salted_join(
     """Equi-join with the fact side salted and the dim side replicated
     n_salts times. The salt is random per fact row — results are
     invariant because every dim key exists under every salt."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "left_anti"}
+    if how.lower() not in allowed:
+        # right/full would emit each unmatched REPLICATED dim row once
+        # per salt — silently wrong; refuse rather than multiply rows
+        raise ValueError(f"salted_join supports fact-preserving joins only, not {how!r}")
     on = list(on)
+    # deterministic salt from the full row, NOT rand(): an unseeded salt
+    # in a shuffle key means task retries re-salt rows after shuffle
+    # files were already fetched — rows duplicate or vanish. Identical
+    # rows share a salt, which still spreads any non-degenerate hot key.
     fact_s = fact.withColumn(
-        "_salt", (F.rand() * n_salts).cast("int")
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     )
     dim_s = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -46,18 +46,12 @@ def shingles_from_tokens(toks_col: str, n: int = 3) -> Column:
     O(shingles x n) blowup measured at ~4 s for 5 k docs."""
     parts = ", ".join(f"element_at({toks_col}, i + {k + 1})" for k in range(n))
     return F.expr(
-        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"CASE WHEN {toks_col} IS NULL THEN CAST(NULL AS ARRAY<STRING>) "
+        f"WHEN size({toks_col}) >= {n} THEN "
         f"array_distinct(transform(sequence(0, size({toks_col}) - {n}), "
         f"i -> concat_ws(' ', {parts}))) "
         f"ELSE array(concat_ws(' ', {toks_col})) END"
     )
-
-
-def shingles(col: str = "text", n: int = 3) -> Column:
-    """Shingles straight from a text column — convenience for small
-    inputs; hot paths should tokenize first and use
-    ``shingles_from_tokens`` (see its docstring)."""
-    return shingles_from_tokens(f"split({col}, ' ')", n)
 
 
 def fingerprint_from_tokens(toks_col: str, n: int = 3) -> Column:
@@ -67,18 +61,12 @@ def fingerprint_from_tokens(toks_col: str, n: int = 3) -> Column:
     tokenize-first rule as ``shingles_from_tokens``."""
     parts = ", ".join(f"element_at({toks_col}, i + {k + 1})" for k in range(n))
     return F.expr(
-        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"CASE WHEN {toks_col} IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN size({toks_col}) >= {n} THEN "
         f"array_min(transform(sequence(0, size({toks_col}) - {n}), "
         f"i -> sha2(concat_ws(' ', {parts}), 256))) "
         f"ELSE sha2(concat_ws(' ', {toks_col}), 256) END"
     )
-
-
-def doc_fingerprint(col: str = "text", n: int = 3) -> Column:
-    """Fingerprint straight from a text column — convenience for small
-    inputs; hot paths should tokenize first and use
-    ``fingerprint_from_tokens``."""
-    return fingerprint_from_tokens(f"split({col}, ' ')", n)
 
 
 def marker_score(toks_col: str, markers: list[str]) -> Column:

@@ -49,6 +49,37 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def _struct_body(text: str) -> str:
+    """The bracket-balanced body of the leading ``struct<...>``."""
+    assert text.startswith("struct<")
+    depth = 0
+    for i, ch in enumerate(text[6:], start=6):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+            if depth == 0:
+                return text[7:i]
+    return text[7:]
+
+
+def _top_level_fields(body: str) -> list[str]:
+    """Split ``a:string,b:struct<c:int,d:int>`` on TOP-LEVEL commas only
+    — naive split would invent fields from inside nested types."""
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(body[start:i])
+            start = i + 1
+    if body[start:].strip():
+        fields.append(body[start:])
+    return fields
+
+
 def scan_columns(df: DataFrame, path_fragment: str) -> set[str]:
     """Columns actually read (ReadSchema) by the parquet scan whose
     Location contains ``path_fragment`` — the column-pruning witness."""
@@ -59,9 +90,9 @@ def scan_columns(df: DataFrame, path_fragment: str) -> set[str]:
     for block in re.split(r"\n\(\d+\) ", plan):
         if "Scan parquet" not in block or path_fragment not in block:
             continue
-        m = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        m = re.search(r"ReadSchema: (struct<.*)", block)
         if m:
-            for field in m.group(1).split(","):
+            for field in _top_level_fields(_struct_body(m.group(1))):
                 name = field.split(":")[0].strip()
                 if name:
                     cols.add(name)

@@ -683,7 +683,10 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = TX.with_quality_metrics(corpus).filter("keep").select(
         "doc_id", "text", "lang", "n_tokens"
     )
-    ded = exact_dedup(qual)
+    # ded feeds three consumers (fingerprint stage, shingle attach, the
+    # final anti-join) — materialize once instead of recomputing the
+    # union + quality gate + dedup window per consumer
+    ded = exact_dedup(qual).localCheckpoint(eager=True)
     pairs = ngram_jaccard_pairs(ded)
     clusters = neardup_clusters(pairs)
     non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(

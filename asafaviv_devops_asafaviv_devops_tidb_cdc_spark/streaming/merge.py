@@ -55,6 +55,10 @@ def merge_state(
     DELETE rows are persisted as TOMBSTONES — discarding them would let
     an out-of-order older event in a later batch resurrect a deleted
     key. Readers drop tombstones via ``live_state``."""
+    # Tombstone retention: kept indefinitely here (test scale). In
+    # production, expire tombstones older than the source's maximum
+    # replay horizon (checkpoint retention / Kafka topic retention) —
+    # an event older than that can never arrive to be wrongly revived.
     combined = batch if existing is None else existing.unionByName(batch)
     return latest_events(combined, keys, order_by)
 
