@@ -318,6 +318,21 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_hll_distinct")  # rows-only: HLL estimates are engine-specific
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 scale path — HyperLogLog++ approximate distinct users per
+    event type next to the exact count. At 100 TB the exact
+    countDistinct shuffles every distinct value; the sketch is
+    fixed-size per group and mergeable across partitions. Rows-only:
+    sketch estimates differ across engines by construction; the pytest
+    tolerance check (<2% rsd) is the contract."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 @register(
     "q_session_windows",
     oracle="""

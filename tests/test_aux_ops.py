@@ -160,6 +160,14 @@ def registry_queries():
     return registry.QUERIES
 
 
+def test_hll_distinct_within_tolerance(spark):
+    rows = registry_queries()["q_hll_distinct"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_users"]
+        assert abs(r["approx_users"] - exact) <= max(0.05 * exact, 2), r
+
+
 def test_observe_streaming_attaches_named_metrics(spark):
     import shutil
 
