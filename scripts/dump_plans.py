@@ -1,0 +1,47 @@
+"""Regenerate PLANS.md: formatted physical plans of the headline
+queries, as evidence the declared plan shapes (fusion, broadcast,
+pushdown, pruning) are what Catalyst actually produces.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry  # noqa: E402
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.plans import checks  # noqa: E402
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.session import get_spark  # noqa: E402
+
+HEADLINE = {
+    "q_ops_by_table_op": (
+        "CDC parse chain P1-P5 + aggregation — the reference's "
+        "load-bearing path as ONE fused map stage"
+    ),
+    "q_join_star": "multi-way star join — fact scan pruned to 3 columns, all dims broadcast",
+    "q_filter_cmp": "filter pushdown — predicates reach the parquet scan",
+    "q_cosine_topk": "brute-force cosine top-k — broadcast query vector, no shuffle until top-k",
+    "q_minhash_neardup": "MinHash-LSH near-dup — narrow band self-join, late shingle attach",
+}
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("plans_doc")
+    out = [
+        "# Physical plans — headline queries (sf0.001, local[32], AQE on)\n",
+        "Regenerate: `python scripts/dump_plans.py` (source of this file).",
+        "Plan-shape invariants are pinned in `tests/test_plan_shape.py`.\n",
+    ]
+    for name, why in HEADLINE.items():
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = checks.plan_string(df, mode="formatted")
+        tree = plan.split("\n\n")[0]  # tree only, not per-node detail blocks
+        out.append(f"## {name}\n\n{why}\n\n```\n{tree}\n```\n")
+    (REPO / "PLANS.md").write_text("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()
