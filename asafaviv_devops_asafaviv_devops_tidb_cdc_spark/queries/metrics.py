@@ -205,6 +205,55 @@ def q_rollup_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_cube_ops",
+    oracle="""
+SELECT event_type,
+       CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_num,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY CUBE (event_type, CAST(epoch_ms(ts) // 86400000 AS BIGINT))
+""",
+)
+def q_cube_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — full CUBE over (type, day): every marginal a dashboard
+    could ask for from one shuffle (the rollup sibling covers the
+    hierarchical subset)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "day_num", F.expr("unix_millis(ts) div 86400000").cast("long")
+        )
+        .cube("event_type", "day_num")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_windowed_distinct",
+    oracle="""
+SELECT epoch_ms(CAST(epoch_ms(ts) // 3600000 * 3600000 AS BIGINT)) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 variant — distinct actives per tumbling hour (the DAU/WAU
+    query family): exact countDistinct inside an event-time window.
+    The HLL sketch twin is q_hll_distinct."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )
+
+
 # --- §2.6 time-windowed (PromQL recording rules / Grafana panels) ---------
 
 _W5M = 300_000  # 5-minute bucket in epoch millis
