@@ -21,6 +21,7 @@ _QUERY_MODULES = [
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.cdc",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.relational",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.metrics",
+    "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.analytics",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.llm_pipeline",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.streaming_checks",
 ]
