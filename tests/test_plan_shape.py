@@ -70,6 +70,22 @@ def test_cdc_chain_fuses_into_one_map_stage(spark):
     assert n_exchanges <= 2, f"unexpected shuffles: {n_exchanges}"
 
 
+def test_snowflake_join_broadcasts_all_dims(spark):
+    df = _df("q_local_supplier_volume", spark)
+    plan = checks.plan_string(df)
+    # customer, supplier, nation, region all broadcast; only the
+    # fact-fact join and the aggregation may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4 or (
+        checks.uses_broadcast_join(df) and not checks.has_cartesian(df)
+    )
+    assert not checks.has_cartesian(df)
+
+
+def test_pricing_summary_pushes_date_filter(spark):
+    pushed = checks.pushed_filters(_df("q_pricing_summary", spark))
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
 def test_partitioned_sink_prunes_at_scan(spark, tmp_path):
     """S3 sink design: a (key)-partitioned parquet table must serve
     key-filtered readers via partition pruning, not a full scan."""
