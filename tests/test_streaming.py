@@ -71,6 +71,44 @@ def test_stream_merge_equals_batch_replay(spark):
     assert rows(streamed) == rows(batch)
 
 
+def test_windowed_agg_stream_matches_batch(spark):
+    """W-operators as real streaming: tumbling-window counts computed
+    by Structured Streaming over a replayed event log must equal the
+    batch windowed aggregation (complete output mode — every window)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    events = load_table(spark, SF_SMOKE, "events")
+    work = Path(tempfile.gettempdir()) / "tidb_cdc_spark_stream" / "winagg_check"
+    if work.exists():
+        shutil.rmtree(work)
+    events.write.mode("overwrite").parquet(str(work / "src"))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(work / "src"))
+    q = (
+        stream.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("winagg_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["w"]["start"], r["event_type"]): r["count"]
+        for r in spark.sql("SELECT * FROM winagg_stream").collect()
+    }
+    batch = {
+        (r["w"]["start"], r["event_type"]): r["count"]
+        for r in events.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .count()
+        .collect()
+    }
+    assert streamed == batch
+
+
 def test_sustained_alert_stream_matches_batch(spark):
     events = load_table(spark, SF_SMOKE, "events")
     batch = {
