@@ -150,3 +150,179 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(rev).cast("decimal(28,4)").alias("revenue"))
     )
+
+
+@register(
+    "q_order_priority",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1993-07-01'
+  AND o.o_orderdate < DATE '1993-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+""",
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order priority checking: EXISTS becomes a
+    LEFT SEMI join with a mixed equi + range condition (shipped after
+    ordering). The date window pushes into the orders scan; lineitem
+    carries only (orderkey, shipdate) into the shuffle. Our lineitem
+    has no commit/receipt dates, so the late-line predicate is
+    l_shipdate > o_orderdate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1993-10-01").cast("date"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4))
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1993-10-01'
+  AND o.o_orderdate < DATE '1994-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: who returned the
+    most revenue last quarter. Returnflag pushes into the lineitem
+    scan, the quarter window into orders; customer and nation
+    broadcast; one fact-fact shuffle, then top-20 with a deterministic
+    custkey tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1994-01-01").cast("date"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("decimal(28,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@register(
+    "q_promo_share",
+    oracle="""
+SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+       CAST(FLOOR(1000000.0
+            * CAST(SUM(CASE WHEN p.p_type LIKE 'ECONOMY%'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE))
+         AS BIGINT) AS promo_ppm
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1995-01-01' AND l.l_shipdate < DATE '1996-01-01'
+GROUP BY 1
+""",
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion revenue share per ship month
+    (our part types have no PROMO class; ECONOMY stands in).
+    Conditional aggregation over a broadcast part join. The ratio is
+    exact-decimal sums converted to IEEE doubles and floored to ppm —
+    bit-identical in both engines (decimal->double rounding and
+    division are IEEE-deterministic), unlike round()ed doubles."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type").like("ECONOMY%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.floor(
+                F.lit(1000000.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("long")
+            .alias("promo_ppm")
+        )
+    )
+
+
+@register(
+    "q_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier by quarterly revenue: aggregate,
+    then keep the argmax row(s). The scalar subquery becomes a
+    broadcast of a 1-row global max joined back into the aggregate —
+    no single-partition global window, which would serialize at
+    scale."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    totals = l.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("decimal(28,4)").alias("total_revenue")
+    )
+    mx = totals.agg(F.max("total_revenue").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        totals.join(F.broadcast(mx), totals.total_revenue == F.col("_mx"))
+        .join(F.broadcast(s), totals.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -398,3 +398,67 @@ def q_unique_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("first_doc_id"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+WITH ord AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1
+)
+SELECT e.event_type,
+       COALESCE(o.o_orderstatus, 'none') AS order_status,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM events e ASOF LEFT JOIN ord o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+GROUP BY 1, 2
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6b — as-of join: each event annotated with the customer's most
+    recent order at-or-before the event timestamp (the "what was
+    current state when this happened" question every CDC consumer
+    eventually asks; the reference can only answer it by hand-scrolling
+    Elasticsearch). Oracle uses DuckDB's native ASOF JOIN; our side is
+    operators/asof.py's union + single-shuffle window scan. Right side
+    pre-deduped to one order per (custkey, orderdate) with a
+    deterministic max-orderkey survivor so the tie winner is
+    engine-independent."""
+    from ..operators.asof import asof_join
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    ord_dedup = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_orderstatus",
+        )
+    )
+    joined = asof_join(
+        events,
+        ord_dedup,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderstatus"],
+    )
+    return joined.groupBy(
+        "event_type",
+        F.coalesce(F.col("asof.o_orderstatus"), F.lit("none")).alias("order_status"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(F.col("asof.o_orderkey")).alias("n_orders"),
+    )

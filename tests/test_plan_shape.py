@@ -142,3 +142,36 @@ def test_scale_conf_formulas():
     small = scale.recommended_conf(1 * scale.GIB, executors=1, cores_per_executor=8)
     assert small["spark.sql.shuffle.partitions"] == "16"
     assert scale.max_offsets_per_trigger(4, 1024, 64) == 64 * 200 * scale.MIB // 1024
+
+
+def test_returned_items_broadcasts_dims_pushes_flag(spark):
+    df = _df("q_returned_items", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+    pushed = checks.pushed_filters(df)
+    assert any("l_returnflag" in p for p in pushed), pushed
+
+
+def test_promo_share_prunes_part_and_pushes_dates(spark):
+    df = _df("q_promo_share", spark)
+    assert checks.uses_broadcast_join(df)
+    assert checks.scan_columns(df, "part.parquet") == {"p_partkey", "p_type"}
+    pushed = checks.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_top_supplier_broadcasts_scalar_max(spark):
+    df = _df("q_top_supplier", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """The as-of join must be the union + window-scan formulation: no
+    cartesian, no range-explosion join — the only exchanges are the
+    key hash partitionings feeding the window sort and the final
+    aggregation."""
+    df = _df("q_asof_join", spark)
+    assert not checks.has_cartesian(df)
+    plan = checks.plan_string(df)
+    assert "Window" in plan, plan
