@@ -158,8 +158,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders o
-WHERE o.o_orderdate >= DATE '1993-07-01'
-  AND o.o_orderdate < DATE '1993-10-01'
+WHERE o.o_orderdate >= DATE '1996-07-01'
+  AND o.o_orderdate < DATE '1996-10-01'
   AND EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate > o.o_orderdate)
@@ -174,8 +174,8 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no commit/receipt dates, so the late-line predicate is
     l_shipdate > o_orderdate."""
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1993-10-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
     )
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
@@ -200,8 +200,8 @@ FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE o.o_orderdate >= DATE '1993-10-01'
-  AND o.o_orderdate < DATE '1994-01-01'
+WHERE o.o_orderdate >= DATE '1996-10-01'
+  AND o.o_orderdate < DATE '1997-01-01'
   AND l.l_returnflag = 'R'
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, c_custkey
@@ -217,8 +217,8 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1993-10-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1994-01-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (

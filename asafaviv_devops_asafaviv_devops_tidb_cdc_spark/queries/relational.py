@@ -462,3 +462,53 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.count_distinct(F.col("asof.o_orderkey")).alias("n_orders"),
     )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS p_event_id, ts AS start_ts,
+         ts + INTERVAL 10 MINUTE AS end_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_follows,
+       CAST(COUNT(DISTINCT e.event_id) AS BIGINT) AS n_events
+FROM events e JOIN p
+  ON e.ts >= p.start_ts AND e.ts < p.end_ts AND e.event_id <> p.p_event_id
+GROUP BY 1
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — pure range-predicate join (no equality key): which events
+    fall inside the 10 minutes after each purchase. Implemented with
+    operators/range_join.py's bucketized formulation — bucket-equality
+    hash join + exact refine — instead of the broadcast nested-loop
+    Spark would otherwise plan (O(|L|*|R|) at 100 TB). The oracle is
+    the plain theta join (DuckDB plans an IEJoin)."""
+    from ..operators.range_join import point_in_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    intervals = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+        )
+    )
+    points = events.select("event_id", "event_type", "ts")
+    joined = point_in_interval_join(
+        points,
+        intervals,
+        point_ts="ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        bucket_seconds=600,
+        extra_cond=F.col("event_id") != F.col("p_event_id"),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_follows"),
+        F.count_distinct("event_id").alias("n_events"),
+    )

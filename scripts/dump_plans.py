@@ -24,6 +24,14 @@ HEADLINE = {
     "q_filter_cmp": "filter pushdown — predicates reach the parquet scan",
     "q_cosine_topk": "brute-force cosine top-k — broadcast query vector, no shuffle until top-k",
     "q_minhash_neardup": "MinHash-LSH near-dup — narrow band self-join, late shingle attach",
+    "q_asof_join": (
+        "as-of join — union + single key-shuffle window scan, "
+        "no range explosion"
+    ),
+    "q_range_join": (
+        "bucketized range join — bucket-equality hash join + exact "
+        "refine, no BroadcastNestedLoopJoin"
+    ),
 }
 
 

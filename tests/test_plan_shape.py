@@ -175,3 +175,12 @@ def test_asof_join_single_key_shuffle(spark):
     assert not checks.has_cartesian(df)
     plan = checks.plan_string(df)
     assert "Window" in plan, plan
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """J7 must plan as a bucket-equality hash/sort-merge join, never
+    the BroadcastNestedLoopJoin Spark picks for pure theta joins."""
+    df = _df("q_range_join", spark)
+    plan = checks.plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert not checks.has_cartesian(df)
