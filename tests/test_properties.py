@@ -143,3 +143,82 @@ def test_simhash_banding_catches_all_hamming3_pairs(base, flips):
         for i in range(SIMHASH_BANDS)
     )
     assert shared
+
+
+# --- as-of join and range join vs pure-Python references ----------------
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=15
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),  # unique per (key, ts): operator contract
+)
+
+
+@given(_asof_left, _asof_right)
+@settings(max_examples=10, deadline=None)
+def test_asof_join_matches_reference(spark, left_rows, right_rows):
+    """asof_join == argmax over {right | same key, right.ts <= left.ts}
+    (inclusive), NULL when the set is empty."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "lid long, k long, t long"
+    ).selectExpr("lid", "k", "timestamp_micros(t) as t")
+    right = spark.createDataFrame(
+        right_rows or [], "k long, rt long, payload long"
+    ).selectExpr("k", "timestamp_micros(rt) as rt", "payload")
+
+    out = {
+        r["lid"]: (r["asof"]["payload"] if r["asof"] else None)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt",
+            payload_cols=["payload"],
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, p) for (rk, rt, p) in right_rows if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert out[i] == expect, (i, k, t, cands)
+
+
+_points = st.lists(st.integers(0, 5000), min_size=1, max_size=15)
+_ivals = st.lists(
+    st.tuples(st.integers(0, 5000), st.integers(0, 3000)), min_size=0, max_size=10
+)
+
+
+@given(_points, _ivals, st.sampled_from([1, 7, 600]))
+@settings(max_examples=10, deadline=None)
+def test_range_join_matches_reference(spark, pts, ivals, bucket_s):
+    """Bucketized point-in-interval join returns exactly the pairs with
+    start <= p < end, for any bucket size (correctness never depends
+    on the bucket)."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.operators.range_join import (
+        point_in_interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, p * 1_000_000) for i, p in enumerate(pts)], "pid long, pt long"
+    ).selectExpr("pid", "timestamp_micros(pt) as pt")
+    intervals = spark.createDataFrame(
+        [(j, s * 1_000_000, (s + d) * 1_000_000) for j, (s, d) in enumerate(ivals)],
+        "iid long, st long, en long",
+    ).selectExpr("iid", "timestamp_micros(st) as st", "timestamp_micros(en) as en")
+
+    got = {
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            points, intervals, "pt", "st", "en", bucket_seconds=bucket_s
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, (s, d) in enumerate(ivals)
+        if s <= p < s + d
+    }
+    assert got == expect
