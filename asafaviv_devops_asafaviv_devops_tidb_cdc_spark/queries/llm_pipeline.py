@@ -769,3 +769,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "n_bytes", "n_chunks", F.round("mean_byte", 4).alias("mean_byte")
     )
+
+
+@register(
+    "q_split_assign",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN substr(sha256('split1_' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < 'e666'
+              THEN 'train' ELSE 'holdout' END AS split,
+         length(text) AS n_chars
+  FROM documents)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM d GROUP BY 1
+""",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6b — deterministic train/holdout split assignment: the
+    sampling primitive every training-data pipeline needs. Salted
+    sha256 prefix compared lexicographically against a hex threshold
+    ('e666'/'10000' ~ 90%) — engine-portable (no Murmur3 dependence),
+    stable under reshuffling/retries (pure function of doc_id, unlike
+    rand()), and map-only: at 100 TB this is a scan + tiny agg, and
+    the same expression assigns splits at write time with zero
+    shuffles. Changing the salt re-draws the split."""
+    docs = _docs(spark, sf_dir)
+    split = F.when(
+        F.substring(
+            F.sha2(F.concat(F.lit("split1_"), F.col("doc_id").cast("string")), 256),
+            1,
+            4,
+        )
+        < "e666",
+        F.lit("train"),
+    ).otherwise(F.lit("holdout"))
+    return (
+        docs.select(split.alias("split"), F.length("text").alias("n_chars"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
