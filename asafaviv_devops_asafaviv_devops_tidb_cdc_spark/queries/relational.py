@@ -512,3 +512,35 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_follows"),
         F.count_distinct("event_id").alias("n_events"),
     )
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (SURVEY §4.2, functions/skew.py): the fact
+    side is salted by a deterministic row hash and the dim side
+    replicated once per salt, so a hot customer key spreads over n
+    reducer partitions instead of stalling one task. Semantics are
+    identical to the naive equi-join — the oracle IS the naive join.
+    The shape to reach for when the dim is too big to broadcast but
+    small enough to replicate n x, and AQE's skew split can't help
+    (it only splits sort-merge partitions, not hash-agg state)."""
+    from ..functions import skew
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = skew.salted_join(orders, dim, ["o_custkey"], n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
