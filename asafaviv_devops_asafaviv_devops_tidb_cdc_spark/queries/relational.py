@@ -432,7 +432,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
+    # prune BEFORE the operator: asof_join unions the left row through
+    # the key shuffle and window sort, so every carried column (here
+    # the wide props payload) would widen the shuffle
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
     w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
         F.col("o_orderkey").desc()
     )

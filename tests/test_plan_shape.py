@@ -184,3 +184,12 @@ def test_range_join_avoids_nested_loop(spark):
     plan = checks.plan_string(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert not checks.has_cartesian(df)
+
+
+def test_asof_join_prunes_event_columns(spark):
+    """The union+window as-of formulation carries left columns through
+    the shuffle — the events scan must not read the wide props
+    payload."""
+    cols = checks.scan_columns(_df("q_asof_join", spark), "events")
+    # Catalyst prunes past our select: event_id is unused downstream
+    assert cols == {"user_id", "event_type", "ts"}, cols
