@@ -814,3 +814,40 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+WITH s AS (
+  SELECT lang, doc_id, n_chars,
+         substr(sha256('strat1_' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM s
+WHERE h < CASE WHEN lang = 'en' THEN '4000' ELSE 'c000' END
+GROUP BY 1
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6c — stratified deterministic sampling: down-sample the
+    over-represented stratum (en at ~25%) while keeping the tail at
+    ~75% — the corpus-balancing move behind every multilingual
+    training mix. Same salted-sha-prefix idiom as q_split_assign
+    (pure function of doc_id: retry-stable, engine-portable), with a
+    per-stratum threshold — still map-only + tiny agg at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.sha2(F.concat(F.lit("strat1_"), F.col("doc_id").cast("string")), 256), 1, 4
+    )
+    thresh = F.when(F.col("lang") == "en", F.lit("4000")).otherwise(F.lit("c000"))
+    return (
+        docs.filter(h < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
