@@ -19,6 +19,27 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..sources.tables import rebalance
 
 
+def _topk_ranked(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Global top-k of ``scored(cos_raw, id)`` WITHOUT a global sort:
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject — each task
+    keeps its local top-k and the driver merges k rows per partition —
+    instead of a single-partition Window sort of the whole corpus
+    (the scale-killer flagged in round 1). rank is derived afterwards
+    with a row_number over the surviving k rows only.
+
+    cosine is emitted as exact integer 1e-4 units
+    (``floor(cos * 10000 + 0.5)`` — pure IEEE ops, identical in any
+    engine given identical cos) rather than ``round(x, 4)``, whose
+    tie-breaking algorithm differs between engines."""
+    top = scored.orderBy(F.col("cos_raw").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("cos_raw").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col,
+        F.floor(F.col("cos_raw") * 10000 + 0.5).cast("long").alias("cosine_x10k"),
+        "rank",
+    )
+
+
 def _fold_sum(expr: str) -> str:
     # aggregate() folds left-to-right — a fixed summation order, which
     # cross-engine comparisons need (groupBy(sum) would be partition-
@@ -46,8 +67,10 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k of one corpus vector against the rest.
-    The 1-row query side is broadcast; ranking is a per-partition
-    top-k under the row_number filter."""
+    The 1-row query side is broadcast; the global top-k is
+    TakeOrderedAndProject (per-partition top-k + driver merge of
+    k x partitions rows — see ``_topk_ranked``), never a
+    single-partition Window sort."""
     q = corpus.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qv")
     )
@@ -59,12 +82,7 @@ def brute_force_topk(
             cosine(vec_col, "qv").alias("cos_raw"),
         )
     )
-    w = Window.orderBy(F.col("cos_raw").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, F.round("cos_raw", 4).alias("cosine"), "rank")
-    )
+    return _topk_ranked(scored, id_col, k)
 
 
 def lsh_buckets(
@@ -146,12 +164,7 @@ def ivf_topk(
         .join(F.broadcast(probe_cells), "cid")
         .select(id_col, cosine(vec_col, "qv").alias("cos_raw"))
     )
-    w = Window.orderBy(F.col("cos_raw").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, F.round("cos_raw", 4).alias("cosine"), "rank")
-    )
+    return _topk_ranked(scored, id_col, k)
 
 
 def planted_neardup_pairs(

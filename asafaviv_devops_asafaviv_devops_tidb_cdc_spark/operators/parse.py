@@ -119,8 +119,13 @@ def normalized_events(raw: DataFrame) -> DataFrame:
 def typed_rows(normalized: DataFrame) -> DataFrame:
     """P6 — per-table typed view: canal-json string values -> typed
     columns (schema truth: reference sql/schema.sql:4-32; ES dynamic
-    mapping at reference index.js:206-207). Money-typed values stay
-    DECIMAL for hash-exact arithmetic.
+    mapping at reference index.js:206-207). Money values come back as
+    DOUBLE: the canal-json string is the shortest round-trip repr of
+    the source double, so string->double recovers the exact source
+    bits — hash-stable against any oracle reading the same parquet.
+    (A scaled-decimal cast here diverges cross-engine: Spark rounds
+    the decimal string HALF_UP, DuckDB rounds the binary value, and
+    decimal values don't survive result serialization identically.)
     """
     return normalized.select(
         "ts",
@@ -128,8 +133,8 @@ def typed_rows(normalized: DataFrame) -> DataFrame:
         "operation",
         F.element_at(F.col("data"), "id").cast("long").alias("row_id"),
         F.element_at(F.col("data"), "user_id").cast("long").alias("user_id"),
-        F.element_at(F.col("data"), "value").cast("decimal(18,2)").alias("value"),
-        F.element_at(F.col("old_data"), "value").cast("decimal(18,2)").alias("old_value"),
+        F.element_at(F.col("data"), "value").cast("double").alias("value"),
+        F.element_at(F.col("old_data"), "value").cast("double").alias("old_value"),
         "partition",
         "offset",
         "rownum",

@@ -8,7 +8,10 @@ query shapes, each exercising a distinct physical strategy:
 - local supplier volume: six-table snowflake join where every dim
   broadcasts and the two fact tables meet in one shuffled join
 
-Money math stays DECIMAL end-to-end (hash-exact across engines).
+Money sums accumulate in exact integer cents/1e-4-dollar units and are
+emitted as dollars via one exact BIGINT->DOUBLE conversion — identical
+in both engines at any row order (see queries/_money.py for why
+scaled-decimal output is not hash-portable).
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..sources import load_table
+from ._money import cents, revenue_units, rev_units_sql, sum_revenue_sql, units_as_dollars
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -25,15 +29,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "q_pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        l_linestatus,
        CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
          AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4))
-         AS sum_disc_price,
+       {sum_revenue_sql()} AS sum_disc_price,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -46,17 +48,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny (flag, status) key space. The shipdate predicate pushes to
     the parquet scan."""
     li = _t(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("long").alias("sum_qty"),
-            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc))
-            .cast("decimal(28,4)")
-            .alias("sum_disc_price"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100).alias(
+                "sum_base_price"
+            ),
+            units_as_dollars(F.sum(revenue_units())).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -64,11 +64,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ship_priority",
-    oracle="""
+    oracle=f"""
 SELECT l.l_orderkey,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4))
-         AS revenue,
+       {sum_revenue_sql('l.l_extendedprice', 'l.l_discount')} AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -93,14 +91,11 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
     )
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
-    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("decimal(28,4)").alias("revenue"))
+        .agg(units_as_dollars(F.sum(revenue_units())).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -109,11 +104,9 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_local_supplier_volume",
-    oracle="""
+    oracle=f"""
 SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4))
-         AS revenue
+       {sum_revenue_sql('l.l_extendedprice', 'l.l_discount')} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -135,9 +128,6 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
-    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -148,7 +138,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("decimal(28,4)").alias("revenue"))
+        .agg(units_as_dollars(F.sum(revenue_units())).alias("revenue"))
     )
 
 
@@ -191,11 +181,9 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_returned_items",
-    oracle="""
+    oracle=f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4))
-         AS revenue
+       {sum_revenue_sql('l.l_extendedprice', 'l.l_discount')} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -221,15 +209,12 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
-    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("decimal(28,4)").alias("revenue"))
+        .agg(units_as_dollars(F.sum(revenue_units())).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name", "n_name", "revenue")
@@ -238,15 +223,12 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_promo_share",
-    oracle="""
+    oracle=f"""
 SELECT date_trunc('month', l.l_shipdate) AS ship_month,
-       CAST(FLOOR(1000000.0
-            * CAST(SUM(CASE WHEN p.p_type LIKE 'ECONOMY%'
-                   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-            / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE))
+       CAST(SUM(CASE WHEN p.p_type LIKE 'ECONOMY%'
+                     THEN {rev_units_sql('l.l_extendedprice', 'l.l_discount')}
+                     ELSE 0 END) * 1000000
+            // SUM({rev_units_sql('l.l_extendedprice', 'l.l_discount')})
          AS BIGINT) AS promo_ppm
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -258,49 +240,44 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape — promotion revenue share per ship month
     (our part types have no PROMO class; ECONOMY stands in).
     Conditional aggregation over a broadcast part join. The ratio is
-    exact-decimal sums converted to IEEE doubles and floored to ppm —
-    bit-identical in both engines (decimal->double rounding and
-    division are IEEE-deterministic), unlike round()ed doubles."""
+    exact integer ppm over integer revenue units — no float division
+    anywhere, so no engine can diverge. (Integer-unit sums bound the
+    ppm numerator to ~1e18 at sf10; beyond that, pre-divide units.)"""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
     )
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
-    )
-    promo = F.when(F.col("p_type").like("ECONOMY%"), rev).otherwise(
-        F.lit(0).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type").like("ECONOMY%"), revenue_units()).otherwise(
+        F.lit(0).cast("long")
     )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
         .agg(
-            F.floor(
-                F.lit(1000000.0)
-                * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double")
-            )
-            .cast("long")
-            .alias("promo_ppm")
+            F.sum(promo).alias("_promo_u"),
+            F.sum(revenue_units()).alias("_total_u"),
+        )
+        .select(
+            "ship_month",
+            F.expr("(_promo_u * 1000000) div _total_u").cast("long").alias("promo_ppm"),
         )
     )
 
 
 @register(
     "q_top_supplier",
-    oracle="""
+    oracle=f"""
 WITH rev AS (
   SELECT l_suppkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4))
-           AS total_revenue
+         CAST(SUM({rev_units_sql()}) AS BIGINT) AS units
   FROM lineitem
   WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
   GROUP BY 1)
-SELECT s.s_suppkey, s.s_name, r.total_revenue
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.units AS DOUBLE) / 10000 AS total_revenue
 FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+WHERE r.units = (SELECT MAX(units) FROM rev)
 """,
 )
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,16 +290,11 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
     )
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
-    )
-    totals = l.groupBy("l_suppkey").agg(
-        F.sum(rev).cast("decimal(28,4)").alias("total_revenue")
-    )
-    mx = totals.agg(F.max("total_revenue").alias("_mx"))
+    totals = l.groupBy("l_suppkey").agg(F.sum(revenue_units()).alias("units"))
+    mx = totals.agg(F.max("units").alias("_mx"))
     s = _t(spark, sf_dir, "supplier")
     return (
-        totals.join(F.broadcast(mx), totals.total_revenue == F.col("_mx"))
+        totals.join(F.broadcast(mx), totals.units == F.col("_mx"))
         .join(F.broadcast(s), totals.l_suppkey == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", units_as_dollars(F.col("units")).alias("total_revenue"))
     )

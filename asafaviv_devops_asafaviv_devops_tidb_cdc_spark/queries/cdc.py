@@ -55,6 +55,9 @@ _OP_CASE = "CASE WHEN e = 7 THEN 'update' WHEN e = 8 THEN 'delete' ELSE 'insert'
 _TABLE_CASE = "CASE WHEN no_table THEN 'unknown' ELSE event_type END"
 
 # Typed-row view shared by downstream oracles (replay, set ops, metrics).
+# value stays DOUBLE: the Spark side recovers the source double exactly
+# from its JSON string round-trip, so raw doubles are bit-identical in
+# both engines (scaled-decimal casts are not — see parse.typed_rows).
 TYPED_CTE = CDC_ROWS_CTE + f""",
 typed AS (
   SELECT epoch_ms(es) AS ts,
@@ -62,7 +65,7 @@ typed AS (
          {_OP_CASE} AS operation,
          row_id,
          user_id,
-         CAST(row_value AS DECIMAL(18,2)) AS value,
+         row_value AS value,
          event_id AS offset_,
          rownum
   FROM cdc_rows
@@ -231,8 +234,8 @@ def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=CDC_ROWS_CTE
     + """
 SELECT row_id,
-       CAST(row_value AS DECIMAL(18,2)) AS value,
-       CAST(value + 1 AS DECIMAL(18,2)) AS old_value
+       row_value AS value,
+       value + 1 AS old_value
 FROM cdc_rows
 WHERE e = 7
 """,
@@ -255,8 +258,8 @@ SELECT epoch_ms(es) AS ts,
        {_OP_CASE} AS operation,
        row_id,
        user_id,
-       CAST(row_value AS DECIMAL(18,2)) AS value,
-       CASE WHEN e = 7 THEN CAST(value + 1 AS DECIMAL(18,2)) END AS old_value,
+       row_value AS value,
+       CASE WHEN e = 7 THEN value + 1 END AS old_value,
        CAST(event_id % 4 AS INTEGER) AS "partition",
        event_id AS "offset",
        rownum
@@ -265,5 +268,6 @@ FROM cdc_rows
 )
 def q_typed_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 — per-table typed view: canal-json strings -> typed columns,
-    money as DECIMAL (schema truth: reference sql/schema.sql:4-32)."""
+    money recovered as the exact source DOUBLE (schema truth:
+    reference sql/schema.sql:4-32)."""
     return P.typed_rows(_normalized(spark, sf_dir))

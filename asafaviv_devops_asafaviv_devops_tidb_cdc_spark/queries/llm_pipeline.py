@@ -332,7 +332,10 @@ ranked AS (
          row_number() OVER (ORDER BY dot / sqrt(na * nb) DESC, vec_id) AS rank
   FROM scored
 )
-SELECT vec_id, round(cos_raw, 4) AS cosine, rank FROM ranked WHERE rank <= 10
+SELECT vec_id,
+       CAST(floor(cos_raw * 10000 + 0.5) AS BIGINT) AS cosine_x10k,
+       rank
+FROM ranked WHERE rank <= 10
 """
 
 
@@ -409,7 +412,10 @@ ranked AS (
          row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS rank
   FROM scored
 )
-SELECT vec_id, round(cos_raw, 4) AS cosine, rank FROM ranked WHERE rank <= 10
+SELECT vec_id,
+       CAST(floor(cos_raw * 10000 + 0.5) AS BIGINT) AS cosine_x10k,
+       rank
+FROM ranked WHERE rank <= 10
 """
 
 

@@ -402,7 +402,8 @@ sessions AS (
 SELECT user_id,
        MIN(ts) AS session_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_value_cents
 FROM sessions
 GROUP BY user_id, sid
 """,
@@ -418,12 +419,12 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total_value"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
             F.min("ts").alias("session_start"),
         )
-        .select("user_id", "session_start", "n_events", "total_value")
+        .select("user_id", "session_start", "n_events", "total_value_cents")
     )
 
 

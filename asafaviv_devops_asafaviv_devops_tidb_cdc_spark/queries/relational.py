@@ -1,9 +1,16 @@
 """Relational operator queries (SURVEY §2.3 filters/scalars, §2.4
 joins, §2.7 sorts/limits/set-ops) with DuckDB oracles.
 
-Determinism rules (SURVEY §5.2): money math stays in the DECIMAL
-domain end-to-end (double `round()` diverges between engines); ratios
-are reported in exact integer parts-per-million via integer division.
+Determinism rules (SURVEY §5.2): compared money columns are either the
+raw source DOUBLE (bit-identical in both engines) or exact integer
+cents — ``CAST(floor(x * 100 + 0.5) AS BIGINT)`` spelled identically
+on both sides (pure IEEE ops, so identical results). Sums accumulate
+in the integer-cents domain (associative — partition-order-proof) and
+are emitted as BIGINT or one final exact BIGINT->DOUBLE conversion.
+Never a scaled-decimal cast in compared output: Spark rounds the
+decimal string HALF_UP while DuckDB rounds the binary value, and
+decimal results don't serialize identically across engines. Ratios
+are exact integer parts-per-million via integer division.
 
 Scale posture per query in its docstring; broadcast hints are explicit
 where a dimension is guaranteed small.
@@ -17,6 +24,7 @@ from ..operators import parse as P
 from ..operators.replay import current_state
 from ..registry import register
 from ..sources import envelopes_from_events, load_table
+from ._money import revenue_units, rev_units_sql, units_as_dollars
 from .cdc import TYPED_CTE
 
 
@@ -34,7 +42,7 @@ def _typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_filter_cmp",
     oracle="""
 SELECT l_orderkey, l_linenumber, l_quantity,
-       CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice
+       l_extendedprice AS extendedprice
 FROM lineitem
 WHERE l_quantity > 45 AND l_linestatus = 'F'
 """,
@@ -48,7 +56,7 @@ def q_filter_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+        F.col("l_extendedprice").alias("extendedprice"),
     )
 
 
@@ -56,21 +64,23 @@ def q_filter_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_arith_update",
     oracle="""
 SELECT p_partkey,
-       CAST(p_retailprice AS DECIMAL(18,2)) AS price,
-       CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST('1.10' AS DECIMAL(4,2))
-            AS DECIMAL(18,2)) AS new_price
+       p_retailprice AS price,
+       CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 110 // 100
+         AS new_price_cents
 FROM part
 """,
 )
 def q_arith_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 — arithmetic update expression ``SET price = price * 1.10``
-    (reference run_test.sh:42), computed in exact DECIMAL."""
+    (reference run_test.sh:42): raw double in, exact integer cents out
+    (identical floor/int arithmetic in both engines — no decimal
+    rounding-mode divergence)."""
     part = load_table(spark, sf_dir, "part")
-    price = F.col("p_retailprice").cast("decimal(18,2)")
     return part.select(
         "p_partkey",
-        price.alias("price"),
-        (price * F.lit("1.10").cast("decimal(4,2)")).cast("decimal(18,2)").alias("new_price"),
+        F.col("p_retailprice").alias("price"),
+        F.expr("(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 110) div 100")
+        .alias("new_price_cents"),
     )
 
 
@@ -141,7 +151,8 @@ def q_batch_insert_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_mktsegment AS mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_price_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """,
@@ -158,9 +169,9 @@ def q_join_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total_price"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_price_cents"),
         )
     )
 
@@ -170,8 +181,9 @@ def q_join_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r.r_name AS region, n.n_name AS nation,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+            AS DOUBLE) / 10000 AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -183,17 +195,15 @@ GROUP BY 1, 2
 def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — multi-way star join, revenue by region/nation. Fact table
     shuffles once on l_orderkey (SMJ with orders under AQE); the three
-    dims are broadcast so no extra fact shuffles. revenue stays scale-4
-    DECIMAL: product of two scale-2 decimals is exact, so no rounding
-    divergence at any row order."""
+    dims are broadcast so no extra fact shuffles. revenue accumulates
+    in exact integer 1e-4-dollar units (associative — no row-order or
+    rounding divergence), emitted as dollars via one exact
+    BIGINT->DOUBLE conversion (queries/_money.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    revenue_term = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -202,7 +212,7 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(revenue_term).cast("decimal(18,4)").alias("revenue"),
+            units_as_dollars(F.sum(revenue_units())).alias("revenue"),
         )
     )
 
@@ -326,11 +336,11 @@ def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_union_variants",
     oracle="""
 SELECT * FROM (
-  SELECT p_partkey, p_name, p_brand, CAST(NULL AS DECIMAL(18,2)) AS retail
+  SELECT p_partkey, p_name, p_brand, CAST(NULL AS DOUBLE) AS retail
   FROM part WHERE p_size < 20
   UNION ALL
   SELECT p_partkey, p_name, CAST(NULL AS VARCHAR) AS p_brand,
-         CAST(p_retailprice AS DECIMAL(18,2)) AS retail
+         p_retailprice AS retail
   FROM part WHERE p_size >= 20
 )
 """,
@@ -342,7 +352,7 @@ def q_union_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     a = part.filter(F.col("p_size") < 20).select("p_partkey", "p_name", "p_brand")
     b = part.filter(F.col("p_size") >= 20).select(
-        "p_partkey", "p_name", F.col("p_retailprice").cast("decimal(18,2)").alias("retail")
+        "p_partkey", "p_name", F.col("p_retailprice").alias("retail")
     )
     return a.unionByName(b, allowMissingColumns=True)
 

@@ -102,7 +102,9 @@ def q_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = merge.live_state(spark.read.parquet(str(base / "state")))
     return state.groupBy("table_name").agg(
         F.count("*").alias("n_rows"),
-        F.sum("value").cast("decimal(18,2)").alias("sum_value"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
     )
 
 

@@ -26,6 +26,71 @@ _QUERY_MODULES = [
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.streaming_checks",
 ]
 
+# Registration (= iteration) order for the exported query dict. The
+# driver's correctness gate checks a prefix of the registered queries
+# (round 1 stopped at 50 of 74), so ordering IS coverage policy: put
+# the queries whose verdicts matter most this round first —
+# (a) queries whose output changed (the decimal->double/cents sweep),
+# (b) the whole LLM-pipeline + streaming block, which registered after
+#     the cutoff in round 1 and therefore has no oracle verdict yet.
+# Queries not listed here keep registration order after the listed ones;
+# all of them still run in bench and pytest regardless.
+_CHECK_FIRST = [
+    # (a) outputs changed this round — re-verify first (all cheap)
+    "q_old_image",
+    "q_typed_cast",
+    "q_filter_cmp",
+    "q_arith_update",
+    "q_join_star",
+    "q_cdc_replay",
+    "q_union_variants",
+    "q_session_windows",
+    "q_returned_items",
+    "q_join_fk",
+    "q_pricing_summary",
+    "q_ship_priority",
+    "q_local_supplier_volume",
+    "q_top_supplier",
+    "q_promo_share",
+    "q_except_deleted",
+    # (b) north-star block: no CORRECTNESS row in round 1
+    "q_dedup_exact",
+    "q_minhash_neardup",
+    "q_simhash",
+    "q_simhash_neardup",
+    "q_ngram_jaccard",
+    "q_neardup_clusters",
+    "q_cosine_topk",
+    "q_lsh_buckets",
+    "q_ivf_topk",
+    "q_embedding_neardup",
+    "q_text_stats",
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_fingerprint",
+    "q_pipeline_e2e",
+    "q_props_json",
+    "q_multimodal_meta",
+    "q_multimodal_features",
+    "q_split_assign",
+    "q_stratified_sample",
+    "q_alert_sustained",
+    "q_stream_ingest_counts",
+    "q_stream_cdc_replay",
+    "q_stream_dedupe",
+    # high-value always-on coverage fills the rest of the window
+    "q_ops_by_table_op",
+    "q_parse_envelope",
+    "q_normalize",
+    "q_asof_join",
+    "q_range_join",
+    "q_skew_salted_join",
+    "q_alert_liveness",
+    "q_prom_quantile",
+    "q_ratio_join",
+]
+
 _loaded = False
 
 
@@ -50,4 +115,17 @@ def load_all() -> None:
             # allow partially-built query subpackages during development
             if mod.rsplit(".", 1)[-1] not in str(exc):
                 raise
+    _reorder()
     _loaded = True
+
+
+def _reorder() -> None:
+    """Rebuild the registries in _CHECK_FIRST-priority order (dicts
+    iterate in insertion order, which is what the driver consumes)."""
+    rank = {name: i for i, name in enumerate(_CHECK_FIRST)}
+    reg_order = {name: i for i, name in enumerate(QUERIES)}
+    ordered = sorted(QUERIES, key=lambda n: (rank.get(n, len(rank)), reg_order[n]))
+    for registry in (QUERIES, ORACLES):
+        items = {n: registry[n] for n in ordered if n in registry}
+        registry.clear()
+        registry.update(items)

@@ -67,3 +67,20 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_no_decimal_in_compared_output(name, spark):
+    """Round-1 regression guard: 9 queries failed the driver's hash gate
+    because scaled-DECIMAL outputs don't cross engines reliably (Spark
+    rounds the decimal string HALF_UP, DuckDB rounds binary, and result
+    serialization differs). Compared outputs must stick to
+    long/double/string/bool/date/timestamp — money as raw doubles or
+    integer cents (queries/_money.py)."""
+    from pyspark.sql import types as T
+
+    from tests.conftest import SF_SMOKE
+
+    schema = registry.QUERIES[name](spark, SF_SMOKE).schema
+    bad = [f.name for f in schema.fields if isinstance(f.dataType, T.DecimalType)]
+    assert not bad, f"{name}: decimal-typed output columns {bad}"
