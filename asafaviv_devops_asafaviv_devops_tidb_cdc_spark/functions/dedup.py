@@ -21,6 +21,9 @@ Scale posture:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import fingerprint_from_tokens, shingles_from_tokens
@@ -201,7 +204,36 @@ def simhash_neardup_pairs(
     )
 
 
-def neardup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+def default_checkpoint_dir() -> str:
+    """Default reliable-checkpoint location: tmpfs when present (fast
+    local iteration), else the system temp dir. A cluster deployment
+    points this at HDFS/S3 via ``ensure_checkpoint_dir``."""
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    return os.path.join(base, "tidb_cdc_spark_ckpt")
+
+
+def ensure_checkpoint_dir(df: DataFrame, checkpoint_dir: str | None = None) -> None:
+    """Make reliable ``df.checkpoint()`` usable: set the SparkContext
+    checkpoint dir if the caller (or a previous call) hasn't already.
+    An explicit ``checkpoint_dir`` always wins."""
+    sc = df.sparkSession.sparkContext
+    if checkpoint_dir is not None or sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(checkpoint_dir or default_checkpoint_dir())
+
+
+def reliable_checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Eagerly materialize ``df`` to the checkpoint dir and truncate
+    lineage. Unlike ``localCheckpoint`` (blocks live only on executors
+    — one executor loss kills an iterative job with no recompute path),
+    a reliable checkpoint survives executor loss: on a cluster, point
+    the dir at HDFS/S3; locally it is a tmpfs/tmp write."""
+    ensure_checkpoint_dir(df, checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
+def neardup_clusters(
+    pairs: DataFrame, max_iter: int = 15, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id)
     with cluster_id = min doc_id in the component. This is the step
     that turns pair detection into corpus dedup: keep one canonical doc
@@ -211,22 +243,25 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     takes the min of its own label and its neighbors' labels; converges
     within the component diameter (near-dup clusters are shallow — a
     template and its variants form a star). Each round is one join +
-    one aggregation; lineage is truncated per round (localCheckpoint)
-    so plans stay flat. Convergence test: sum(label) is strictly
-    decreasing until fixpoint, so an unchanged sum terminates — one
-    scalar action per round, no full-table comparison."""
+    one aggregation; lineage is truncated per round with a RELIABLE
+    checkpoint (``reliable_checkpoint``): localCheckpoint blocks live
+    only on executors, so one executor loss mid-iteration would kill a
+    cluster-scale run with no recompute path. Convergence test:
+    sum(label) is strictly decreasing until fixpoint, so an unchanged
+    sum terminates — one scalar action per round, no full-table
+    comparison."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = (
+    edges = reliable_checkpoint(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+        ),
+        checkpoint_dir,
     )
-    labels = (
+    labels = reliable_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        checkpoint_dir,
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
@@ -237,15 +272,15 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("src", "node")
         )
-        labels = (
+        labels = reliable_checkpoint(
             labels.join(nbr, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
                     "label"
                 ),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -2,10 +2,13 @@
 opaque ``binary`` payloads with typed metadata, processed through
 Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libs in this container):
-``decode_payload`` raises NotImplementedError, and
-``fake_decode_features`` is the deterministic stand-in used by tests —
-the Spark-side plumbing (schema, batch shape, partitioning) is real.
+``decode_payload`` is a REAL container-header decoder: it sniffs the
+magic bytes and parses format + dimensions for PNG/JPEG/GIF/BMP/WAV
+from the raw payload — pure stdlib ``struct``, no codec libraries.
+Full pixel/sample decode (``decode_pixels``) remains the declared
+library boundary (PIL/ffmpeg are not in this container) and raises
+NotImplementedError; ``fake_decode_features`` is the deterministic
+feature stand-in tests use downstream of the header sniff.
 
 Scale posture: payloads stay in the executor as Arrow buffers;
 ``mapInPandas`` streams record batches so one task never materializes
@@ -15,6 +18,7 @@ co-occurring giant files spread evenly.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -38,16 +42,61 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, n_bytes long, n_chunks int, mean_byte double, feature array<float>"
+    "media_id long, n_bytes long, n_chunks int, mean_byte double, "
+    "feature array<float>, format string, width int, height int"
 )
 
 
-def decode_payload(payload: bytes, mime: str):
-    """Real decoder hook — requires image/audio libraries not present
-    in this environment."""
+def decode_payload(payload: bytes, mime: str | None = None) -> dict:
+    """Sniff the container header: magic bytes -> (format, width,
+    height) or (format, channels, sample_rate) — the metadata a
+    training pipeline filters/buckets on before any expensive pixel
+    decode. Returns ``{"format": None}`` for unrecognized payloads
+    (opaque bytes stay opaque; never raises on hostile input)."""
+    b = payload or b""
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            # IHDR is always first: width/height big-endian at 16..24
+            w, h = struct.unpack(">II", b[16:24])
+            return {"format": "png", "width": w, "height": h}
+        if b[:3] == b"GIF" and b[3:6] in (b"87a", b"89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return {"format": "gif", "width": w, "height": h}
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return {"format": "bmp", "width": w, "height": abs(h)}
+        if b[:2] == b"\xff\xd8":
+            # JPEG: walk segments to the first SOF frame header
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return {"format": "jpeg", "width": w, "height": h}
+                seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+            return {"format": "jpeg"}
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 28:
+            channels, sample_rate = struct.unpack("<HI", b[22:28])
+            return {
+                "format": "wav",
+                "channels": channels,
+                "sample_rate": sample_rate,
+            }
+    except (struct.error, IndexError):
+        pass
+    return {"format": None}
+
+
+def decode_pixels(payload: bytes, mime: str):
+    """Full pixel/sample decode — the declared library boundary:
+    requires codecs (PIL/ffmpeg) not present in this container."""
     raise NotImplementedError(
-        "media decoding requires optional codecs (PIL/ffmpeg); "
-        "use fake_decode_features for deterministic tests"
+        "pixel decoding requires optional codecs (PIL/ffmpeg); "
+        "decode_payload provides header metadata, fake_decode_features "
+        "the deterministic feature stand-in"
     )
 
 
@@ -91,10 +140,31 @@ def fake_decode_features(media: DataFrame, chunk: int = 256) -> DataFrame:
                     for i in range(min(n_chunks, 8))
                 ]
                 feat += [0.0] * (8 - len(feat))
-                rows.append((int(media_id), n, n_chunks, mean_byte, feat))
+                meta = decode_payload(buf)
+                rows.append(
+                    (
+                        int(media_id),
+                        n,
+                        n_chunks,
+                        mean_byte,
+                        feat,
+                        meta.get("format"),
+                        meta.get("width"),
+                        meta.get("height"),
+                    )
+                )
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "n_bytes", "n_chunks", "mean_byte", "feature"],
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "n_chunks",
+                    "mean_byte",
+                    "feature",
+                    "format",
+                    "width",
+                    "height",
+                ],
             )
 
     from ..sources.tables import rebalance

@@ -691,8 +691,11 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ded feeds three consumers (fingerprint stage, shingle attach, the
     # final anti-join) — materialize once instead of recomputing the
-    # union + quality gate + dedup window per consumer
-    ded = exact_dedup(qual).localCheckpoint(eager=True)
+    # union + quality gate + dedup window per consumer; reliable
+    # checkpoint so an executor loss can't strand the truncated lineage
+    from ..functions.dedup import reliable_checkpoint
+
+    ded = reliable_checkpoint(exact_dedup(qual))
     pairs = ngram_jaccard_pairs(ded)
     clusters = neardup_clusters(pairs)
     non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
@@ -767,13 +770,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_multimodal_features")  # rows-only: Python mapInPandas path
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5 — Arrow-batched mapInPandas feature extraction over binary
-    payloads (deterministic fake decoder standing in for codec libs;
-    see functions/multimodal.py). Rows-only check."""
+    """E5 — Arrow-batched mapInPandas over binary payloads: real
+    magic-byte header sniffing (``decode_payload``) + deterministic
+    feature stand-in for the codec-gated pixel decode (see
+    functions/multimodal.py). Rows-only check."""
     media = multimodal.as_media_table(_docs(spark, sf_dir))
     feats = multimodal.fake_decode_features(media)
     return feats.select(
-        "media_id", "n_bytes", "n_chunks", F.round("mean_byte", 4).alias("mean_byte")
+        "media_id",
+        "n_bytes",
+        "n_chunks",
+        F.round("mean_byte", 4).alias("mean_byte"),
+        "format",
     )
 
 

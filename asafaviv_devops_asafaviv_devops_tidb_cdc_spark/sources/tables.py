@@ -7,6 +7,8 @@ the same call reads a partitioned table and prunes partitions too.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 TABLE_NAMES = [
@@ -23,21 +25,43 @@ TABLE_NAMES = [
 ]
 
 
-def rebalance(df: DataFrame) -> DataFrame:
-    """Spread an under-partitioned DataFrame across all cores before a
-    heavy map stage.
+# rebalance() only fires below this total input size: a bigger input
+# has (or will get, via spark.sql.files.maxPartitionBytes) enough
+# natural splits, and AQE owns partition sizing from there.
+_SMALL_INPUT_BYTES = 256 * 1024 * 1024
 
-    Small parquet tables arrive as ONE input split (single row group),
-    so every downstream map stage runs on a single thread no matter how
-    many cores exist — measured 4-10x slowdowns on the CDC parse chain
-    and signature computations. The shuffle this adds is tiny (the
-    input is small by definition); on a 100 TB input with thousands of
-    splits the condition is false and this is a no-op."""
+
+def rebalance(df: DataFrame) -> DataFrame:
+    """Spread a SMALL, under-split input across all cores before a
+    heavy map stage — a test-fixture shim, deliberately inert on
+    production-sized inputs.
+
+    The sandbox parquet tables arrive as ONE input split (single row
+    group), so every downstream map stage runs on one thread no matter
+    how many cores exist — measured 4-10x slowdowns on the CDC parse
+    chain and signature computations. Gate on the scan's file list
+    (plan metadata only — probing ``df.rdd.getNumPartitions()`` forces
+    an RDD conversion and reports pre-AQE counts, silently defeating
+    AQE coalescing): few local files AND small total size -> spread;
+    anything else (many files, big files, non-local storage) -> no-op,
+    ``spark.sql.files.maxPartitionBytes`` + AQE own the parallelism."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    total = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            return df  # remote storage: trust split planning + AQE
+        path = "/" + uri.split(":", 1)[1].lstrip("/")  # file:///x and file:/x
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df
+    if total > _SMALL_INPUT_BYTES:
+        return df
+    return df.repartition(target)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

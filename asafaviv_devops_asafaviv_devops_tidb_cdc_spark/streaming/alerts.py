@@ -76,30 +76,43 @@ def sustained_alerts(
     )
 
 
-def sustained_alerts_stream(
-    events: DataFrame,
+def make_sustained_update(
     threshold_ppm: int = DEFAULT_THRESHOLD_PPM,
     for_windows: int = DEFAULT_FOR_WINDOWS,
-) -> DataFrame:
-    """Streaming W7 via applyInPandasWithState: per alert-rule key the
-    operator buckets its events into 5-min windows itself (Spark
-    forbids stateful ops after a streaming aggregation), carrying
-    (last_window_ms, streak) across micro-batches. Assumes per-key
-    event-time order across batches (true for a replayed log / a
-    single Kafka partition per rule — the reference's exact setup,
-    docker-compose.yml:102 partition-num=1).
-
-    Scale note: the key is the alert RULE (tiny cardinality — 5 rules
-    in reference monitoring/alerts.yml), not the event key; the
-    production shape is a windowed pre-aggregation stream feeding this
-    operator one row per window."""
+):
+    """The applyInPandasWithState update function, factored out so the
+    batch-boundary (window-straddle) semantics are unit-testable
+    without driving a real stream."""
 
     def update(key, pdfs, state):
         import pandas as pd
 
-        (last_ms, streak) = state.get if state.exists else (-1, 0)
-        batches = list(pdfs)
+        # State carries the OPEN (= newest-seen) window's accumulated
+        # counts, the streak BEFORE it, and whether it already fired.
+        # A window whose events straddle two micro-batches (file/offset
+        # boundaries don't align to windows under maxFilesPerTrigger)
+        # arrives again with window_ms == open_ms: merge its counts and
+        # re-evaluate instead of resetting the streak / double-firing
+        # (the round-1 `else 1` bug).
+        if state.exists:
+            (open_ms, streak_prev, open_total, open_errors, open_fired) = state.get
+        else:
+            open_ms, streak_prev, open_total, open_errors, open_fired = -1, 0, 0, 0, False
         out = []
+
+        def evaluate():
+            """(Re-)evaluate the open window; fire at most once."""
+            nonlocal open_fired
+            if open_total <= 0:
+                return
+            ppm = open_errors * 1_000_000 // open_total
+            if ppm >= threshold_ppm:
+                streak = streak_prev + 1
+                if streak >= for_windows and not open_fired:
+                    out.append((int(open_ms), int(ppm), int(streak)))
+                    open_fired = True
+
+        batches = list(pdfs)
         if batches:
             pdf = pd.concat(batches)
             ms = (pdf["ts"] - pd.Timestamp(0)) // pd.Timedelta(milliseconds=1)
@@ -113,27 +126,69 @@ def sustained_alerts_stream(
                 .sort_index()
             )
             for window_ms, row in grouped.iterrows():
-                ppm = int(row["n_errors"]) * 1_000_000 // int(row["n_total"])
-                if ppm >= threshold_ppm:
-                    streak = streak + 1 if window_ms == last_ms + WINDOW_MS else 1
-                    last_ms = int(window_ms)
-                    if streak >= for_windows:
-                        out.append((int(window_ms), int(ppm), int(streak)))
+                window_ms = int(window_ms)
+                if window_ms == open_ms:
+                    open_total += int(row["n_total"])
+                    open_errors += int(row["n_errors"])
                 else:
-                    streak = 0
-                    last_ms = int(window_ms)
-        state.update((int(last_ms), int(streak)))
-        import pandas as pd
-
+                    # close the open window: fold its final breach
+                    # status into the streak for the next window
+                    if open_ms >= 0:
+                        breached = (
+                            open_total > 0
+                            and open_errors * 1_000_000 // open_total >= threshold_ppm
+                        )
+                        consecutive = window_ms == open_ms + WINDOW_MS
+                        streak_prev = (
+                            streak_prev + 1 if (breached and consecutive) else 0
+                        )
+                    open_ms = window_ms
+                    open_total = int(row["n_total"])
+                    open_errors = int(row["n_errors"])
+                    open_fired = False
+                evaluate()
+        state.update(
+            (int(open_ms), int(streak_prev), int(open_total), int(open_errors), bool(open_fired))
+        )
         yield pd.DataFrame(out, columns=["window_ms", "error_ppm", "streak"])
 
+    return update
+
+
+def sustained_alerts_stream(
+    events: DataFrame,
+    threshold_ppm: int = DEFAULT_THRESHOLD_PPM,
+    for_windows: int = DEFAULT_FOR_WINDOWS,
+) -> DataFrame:
+    """Streaming W7 via applyInPandasWithState: per alert-rule key the
+    operator buckets its events into 5-min windows itself (Spark
+    forbids stateful ops after a streaming aggregation), carrying the
+    open window's counts + the streak before it across micro-batches.
+    A window that STRADDLES a batch boundary is merged into the open
+    state and re-evaluated (at-most-once fire per window) rather than
+    resetting the streak. Windows are assumed non-decreasing across
+    batches (true for a replayed log / a single Kafka partition per
+    rule — the reference's exact setup, docker-compose.yml:102
+    partition-num=1); a late out-of-order window degrades to a streak
+    reset, never a crash. One irreducible append-mode caveat: a fired
+    window cannot be retracted if a late straddle drops its ratio back
+    under the threshold.
+
+    Scale note: the key is the alert RULE (tiny cardinality — 5 rules
+    in reference monitoring/alerts.yml), not the event key; the
+    production shape is a windowed pre-aggregation stream feeding this
+    operator one row per window."""
+    update = make_sustained_update(threshold_ppm, for_windows)
     keyed = events.select(
         F.lit("error_rate").alias("rule"), F.col("ts"), F.col("event_type")
     )
     return keyed.groupBy("rule").applyInPandasWithState(
         update,
         outputStructType="window_ms long, error_ppm long, streak long",
-        stateStructType="last_ms long, streak long",
+        stateStructType=(
+            "open_ms long, streak_prev long, open_total long, "
+            "open_errors long, open_fired boolean"
+        ),
         outputMode="append",
         timeoutConf="NoTimeout",
     )

@@ -32,6 +32,83 @@ from ..sources import envelopes_from_events, load_table
 
 SOURCE_SCHEMA = "value string, partition int, offset long"
 
+# Kafka topic + consumer defaults mirroring the reference deployment:
+# changefeed sink topic (reference docker-compose.yml:99-102,
+# partition-num=1, canal-json) and consumer loop (reference
+# node-consumer/index.js:339-367: fromBeginning, eachMessage).
+KAFKA_TOPIC = "tidb-cdc-events"
+KAFKA_STARTING_OFFSETS = "earliest"
+KAFKA_MAX_OFFSETS_PER_TRIGGER = 10_000
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str = KAFKA_TOPIC,
+    starting_offsets: str = KAFKA_STARTING_OFFSETS,
+    max_offsets_per_trigger: int = KAFKA_MAX_OFFSETS_PER_TRIGGER,
+) -> dict[str, str]:
+    """The ``readStream.format("kafka")`` option set (S1/S2), unit-
+    testable without a broker:
+
+    - ``startingOffsets=earliest`` == the consumer's ``fromBeginning``
+      (reference index.js:346) — replay the full changefeed on first
+      start; after that the CHECKPOINT owns progress (Spark ignores
+      startingOffsets when a checkpoint exists — the upgrade over the
+      reference's 5 s autocommit, index.js:350-352).
+    - ``maxOffsetsPerTrigger`` bounds micro-batch size: backpressure
+      the reference lacks.
+    - ``failOnDataLoss=false``: a truncated/expired topic segment logs
+      and continues, matching the consumer's never-crash posture
+      (reference index.js:331, 373-380).
+    """
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+        "failOnDataLoss": "false",
+    }
+
+
+def kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str = KAFKA_TOPIC, **kw
+) -> DataFrame:
+    """S1/S2 — the production source: Kafka envelope stream in the same
+    (value, partition, offset) shape the file-source stand-in and the
+    whole P1->P6 chain consume. Requires the spark-sql-kafka package on
+    the classpath (not present in this sandbox — the option dict is
+    unit-tested instead; the file source replays identical bytes)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(bootstrap_servers, topic, **kw).items():
+        reader = reader.option(k, v)
+    return reader.load().selectExpr(
+        "CAST(value AS STRING) AS value",
+        "CAST(partition AS INT) AS partition",
+        "offset",
+    )
+
+
+# ES sink parity (S3): the reference's index template — 1 shard,
+# 5 s refresh, dynamic mapping with ts as date + keyword subfields
+# (reference node-consumer/index.js:185-229). The parquet sink below is
+# the engine-native replacement; this option set documents/configures
+# the optional org.elasticsearch.spark.sql path for deployments that
+# keep ES (connector jar not in this sandbox).
+def es_sink_options(
+    index: str, nodes: str = "localhost:9200", refresh_interval: str = "5s"
+) -> dict[str, str]:
+    return {
+        "es.nodes": nodes,
+        "es.resource": index,
+        "es.mapping.id": "",  # no natural doc id in the reference (index.js:278) ->
+        # ES auto-ids, at-least-once; set to "event_key" for idempotent writes
+        "es.index.auto.create": "true",
+        "es.batch.size.entries": "1000",
+        "es.batch.write.refresh": "false",  # rely on refresh_interval
+        "es.settings.index.number_of_shards": "1",
+        "es.settings.index.refresh_interval": refresh_interval,
+    }
+
 
 def write_envelope_files(
     spark: SparkSession,

@@ -160,6 +160,28 @@ def registry_queries():
     return registry.QUERIES
 
 
+def test_neardup_clusters_uses_reliable_checkpoint(spark, tmp_path):
+    """Cluster-durability regression (round-1 finding): the iterative
+    CC loop must truncate lineage with a RELIABLE checkpoint written to
+    the configured dir — localCheckpoint blocks die with an executor."""
+    import os
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.dedup import (
+        neardup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert os.path.isdir(ckpt) and any(os.scandir(ckpt)), "checkpoint dir unused"
+
+
 def test_hll_distinct_within_tolerance(spark):
     rows = registry_queries()["q_hll_distinct"](spark, SF_SMOKE).collect()
     assert rows

@@ -1,0 +1,212 @@
+"""S1/S2 Kafka source constructor, S3 ES sink options, health/lifecycle
+parity, the E5 header-sniffing decoder, and the sustained-alert
+straddle semantics — the surfaces with no query-shaped oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+import tempfile
+from pathlib import Path
+
+import pandas as pd
+
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import multimodal
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import (
+    alerts,
+    ingest,
+    lifecycle,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+# --- S1/S2: Kafka reader options (no broker in the sandbox) --------------
+
+
+def test_kafka_source_options_match_reference_consumer():
+    opts = ingest.kafka_source_options("kafka:9092")
+    # changefeed topic + fromBeginning (reference docker-compose.yml:99-102,
+    # node-consumer/index.js:346)
+    assert opts["subscribe"] == "tidb-cdc-events"
+    assert opts["kafka.bootstrap.servers"] == "kafka:9092"
+    assert opts["startingOffsets"] == "earliest"
+    # backpressure + never-crash posture
+    assert int(opts["maxOffsetsPerTrigger"]) > 0
+    assert opts["failOnDataLoss"] == "false"
+
+
+def test_kafka_source_options_overridable():
+    opts = ingest.kafka_source_options(
+        "b:9092", topic="t2", starting_offsets="latest", max_offsets_per_trigger=5
+    )
+    assert opts["subscribe"] == "t2"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "5"
+
+
+def test_es_sink_options_match_reference_template():
+    opts = ingest.es_sink_options("tidb-cdc-events-idx", nodes="es:9200")
+    # 1 shard + 5 s refresh (reference index.js:185-229)
+    assert opts["es.settings.index.number_of_shards"] == "1"
+    assert opts["es.settings.index.refresh_interval"] == "5s"
+    assert opts["es.resource"] == "tidb-cdc-events-idx"
+
+
+# --- health / graceful stop ----------------------------------------------
+
+
+def test_health_ready_stop_on_real_stream(spark):
+    import shutil
+
+    base = Path(tempfile.gettempdir()) / "tidb_cdc_spark_stream" / "lifecycle"
+    if base.exists():
+        shutil.rmtree(base)
+    src = ingest.write_envelope_files(spark, SF_SMOKE, str(base / "src"), None)
+    stream = ingest.read_envelope_stream(spark, src)
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .start()
+    )
+    try:
+        h = lifecycle.health(q)
+        assert h["status"] == "ok" and h["is_active"]
+        assert lifecycle.ready(q)
+        inf = lifecycle.info(spark)
+        assert inf["spark_version"] == spark.version
+        assert str(q.id) in inf["active_streams"]
+    finally:
+        assert lifecycle.stop_gracefully(q, timeout_sec=30)
+    assert not q.isActive
+    assert lifecycle.health(q)["status"] == "stopped"
+    assert not lifecycle.ready(q)
+
+
+# --- E5: header-sniffing decoder -----------------------------------------
+
+
+def _png(w, h):
+    return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", w, h)
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h)
+
+
+def _bmp(w, h):
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
+
+
+def _jpeg(w, h):
+    # SOI, APP0 (minimal), SOF0 with dims, EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 8) + b"\x08" + struct.pack(">HH", h, w) + b"\x01"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav(channels, rate):
+    return (
+        b"RIFF" + b"\x00" * 4 + b"WAVE" + b"fmt " + b"\x00" * 4
+        + b"\x01\x00" + struct.pack("<HI", channels, rate)
+    )
+
+
+def test_decode_payload_sniffs_known_headers():
+    assert multimodal.decode_payload(_png(640, 480)) == {
+        "format": "png", "width": 640, "height": 480,
+    }
+    assert multimodal.decode_payload(_gif(32, 16)) == {
+        "format": "gif", "width": 32, "height": 16,
+    }
+    assert multimodal.decode_payload(_bmp(100, 200)) == {
+        "format": "bmp", "width": 100, "height": 200,
+    }
+    assert multimodal.decode_payload(_jpeg(1920, 1080)) == {
+        "format": "jpeg", "width": 1920, "height": 1080,
+    }
+    assert multimodal.decode_payload(_wav(2, 44100)) == {
+        "format": "wav", "channels": 2, "sample_rate": 44100,
+    }
+
+
+def test_decode_payload_never_raises_on_garbage():
+    for junk in (b"", b"x", b"\x89PNG", b"\xff\xd8\xff", b"RIFFxxxx", b"A" * 100):
+        assert multimodal.decode_payload(junk)["format"] in (None, "jpeg")
+
+
+def test_decode_runs_inside_map_in_pandas(spark):
+    rows = [(1, _png(8, 4)), (2, b"plain text")]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (r["format"], r["width"], r["height"])
+        for r in multimodal.fake_decode_features(media).collect()
+    }
+    assert got[1] == ("png", 8, 4)
+    assert got[2] == (None, None, None)
+
+
+# --- W7 stream: window-straddle semantics --------------------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self.get = None
+
+    def update(self, v):
+        self.exists = True
+        self.get = v
+
+
+def _batch(rows):
+    """rows = [(epoch_ms, is_error), ...] -> the update fn's input."""
+    return pd.DataFrame(
+        {
+            "ts": [pd.Timestamp(ms, unit="ms") for ms, _ in rows],
+            "event_type": ["error" if e else "ok" for _, e in rows],
+        }
+    )
+
+
+def _run(update, state, rows):
+    out = list(update(("error_rate",), iter([_batch(rows)]), state))
+    return [tuple(r) for r in pd.concat(out).itertuples(index=False, name=None)]
+
+
+def test_straddled_window_merges_instead_of_resetting_streak():
+    """Round-1 ADVICE finding: a breached window split across two
+    micro-batches must keep the streak and fire AT MOST once."""
+    W = alerts.WINDOW_MS
+    update = alerts.make_sustained_update(threshold_ppm=1, for_windows=2)
+    state = _FakeState()
+    # batch 1: window 0 breached, window W breached first half -> fires at W
+    fired = _run(update, state, [(0, True), (W, True)])
+    assert [(w, s) for w, _, s in fired] == [(W, 2)]
+    # batch 2: the SECOND half of window W (straddle) + window 2W breached
+    fired = _run(update, state, [(W + 1000, True), (2 * W, True)])
+    # no duplicate fire for W; 2W continues the streak at 3
+    assert [(w, s) for w, _, s in fired] == [(2 * W, 3)]
+
+
+def test_straddle_completes_streak_without_double_fire():
+    """Straddle arriving BEFORE the window fired: the merged counts
+    fire the window exactly once."""
+    W = alerts.WINDOW_MS
+    update = alerts.make_sustained_update(threshold_ppm=500_000, for_windows=2)
+    state = _FakeState()
+    # window 0 breached; window W first half all-ok (under threshold)
+    fired = _run(update, state, [(0, True), (W, False)])
+    assert fired == []
+    # second half of window W: enough errors to flip it over threshold
+    fired = _run(update, state, [(W + 1, True), (W + 2, True), (W + 3, True)])
+    assert [(w, s) for w, _, s in fired] == [(W, 2)]
+
+
+def test_gap_resets_streak():
+    W = alerts.WINDOW_MS
+    update = alerts.make_sustained_update(threshold_ppm=1, for_windows=2)
+    state = _FakeState()
+    fired = _run(update, state, [(0, True), (3 * W, True), (4 * W, True)])
+    # 0 and 3W are not consecutive -> streak restarts; fires at 4W
+    assert [(w, s) for w, _, s in fired] == [(4 * W, 2)]

@@ -186,6 +186,23 @@ def test_range_join_avoids_nested_loop(spark):
     assert not checks.has_cartesian(df)
 
 
+def test_similarity_topk_is_take_ordered_not_global_window(spark):
+    """E3 scale regression (round-1 finding): the global top-k must plan
+    as TakeOrderedAndProject — per-partition top-k + driver merge of
+    k x partitions rows — never a row_number over an unpartitioned
+    Window, which collapses every scored row into ONE task. The only
+    Window allowed is the post-limit rank over k rows."""
+    for name in ("q_cosine_topk", "q_ivf_topk"):
+        df = _df(name, spark)
+        plan = checks.plan_string(df)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+    # brute force is the sharpest check: the ONLY Sort left is the
+    # post-limit rank window over k rows (ivf additionally sorts inside
+    # its per-vector cell-assignment window, which is fine — it is
+    # partitioned by vec_id)
+    assert checks.count_nodes(_df("q_cosine_topk", spark), "Sort") <= 1
+
+
 def test_asof_join_prunes_event_columns(spark):
     """The union+window as-of formulation carries left columns through
     the shuffle — the events scan must not read the wide props
