@@ -690,12 +690,13 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "n_tokens"
     )
     # ded feeds three consumers (fingerprint stage, shingle attach, the
-    # final anti-join) — materialize once instead of recomputing the
-    # union + quality gate + dedup window per consumer; reliable
-    # checkpoint so an executor loss can't strand the truncated lineage
-    from ..functions.dedup import reliable_checkpoint
+    # final anti-join) — persist() shares one computation across them
+    # while KEEPING lineage (an executor loss just recomputes the lost
+    # blocks; checkpoint-grade durability is only needed where lineage
+    # is truncated, i.e. the iterative CC inside neardup_clusters)
+    from pyspark import StorageLevel
 
-    ded = reliable_checkpoint(exact_dedup(qual))
+    ded = exact_dedup(qual).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = ngram_jaccard_pairs(ded)
     clusters = neardup_clusters(pairs)
     non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
