@@ -88,6 +88,38 @@ def predicted_lang(scores: dict[str, Column]) -> Column:
     )
 
 
+# Scrub patterns kept to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB/most engines): literal classes, no
+# backrefs/lookaround.
+URL_PATTERN = r"https?://[^ ]+"
+EMAIL_PATTERN = r"[a-z0-9.]+@[a-z0-9.]+"
+
+
+def scrub_text(col: str = "text") -> Column:
+    """PII/noise scrubbing for training corpora: URLs and emails
+    replaced with placeholder tokens (map-only regexp_replace, global
+    in both Spark and DuckDB-with-'g')."""
+    return F.regexp_replace(
+        F.regexp_replace(F.col(col), URL_PATTERN, "<URL>"),
+        EMAIL_PATTERN,
+        "<EMAIL>",
+    )
+
+
+def count_pattern(col: str, pattern: str) -> Column:
+    return F.expr(f"size(regexp_extract_all({col}, '{pattern}', 0))").cast("long")
+
+
+def repetition_ppm(toks_col: str) -> Column:
+    """Boilerplate signal: fraction of tokens that are repeats of an
+    earlier token, in exact integer ppm — 0 for all-unique docs, ->1e6
+    for pathological repetition. Pure integer math, hash-stable."""
+    return F.expr(
+        f"((size({toks_col}) - size(array_distinct({toks_col}))) * 1000000)"
+        f" div size({toks_col})"
+    ).cast("long")
+
+
 def with_quality_metrics(df: DataFrame, col: str = "text") -> DataFrame:
     """Quality-scoring columns: token count, mean token length (x100,
     exact integer), stopword ppm, and a keep/drop flag. Integer math

@@ -594,6 +594,107 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_scrub_text",
+    oracle="""
+WITH noised AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+                text || ' see https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+                     || ' or mail u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+              WHEN doc_id % 7 = 0 THEN
+                text || ' ref http://site.org/' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+         regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+                        '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g') AS clean
+  FROM noised
+)
+SELECT doc_id,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(clean, '<URL>|<EMAIL>')) AS BIGINT)
+         AS n_scrubbed,
+       CAST(length(clean) AS BIGINT) AS clean_chars,
+       sha256(clean) AS clean_sha
+FROM scrubbed
+""",
+)
+def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 cleaning — URL/email scrubbing (regexp_replace, map-only):
+    deterministic planted noise on every 5th/7th doc, scrubbed to
+    placeholder tokens; output pins the exact cleaned bytes via sha256
+    so the scrub semantics (greedy [^ ]+ spans, global replace) are
+    checked bit-for-bit cross-engine."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    noise5 = F.concat(
+        F.col("text"),
+        F.lit(" see https://ex.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or mail u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com"),
+    )
+    noise7 = F.concat(
+        F.col("text"), F.lit(" ref http://site.org/"), F.col("doc_id").cast("string")
+    )
+    noised = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, noise5)
+        .when(F.col("doc_id") % 7 == 0, noise7)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return noised.withColumn("_clean", TX.scrub_text("text")).select(
+        "doc_id",
+        TX.count_pattern("text", TX.URL_PATTERN).alias("n_urls"),
+        F.expr("size(regexp_extract_all(_clean, '<URL>|<EMAIL>', 0))")
+        .cast("long")
+        .alias("n_scrubbed"),
+        F.length("_clean").cast("long").alias("clean_chars"),
+        F.sha2(F.col("_clean"), 256).alias("clean_sha"),
+    )
+
+
+@register(
+    "q_repetition_ratio",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN (len(toks) - len(list_distinct(toks))) * 1000000
+                          // len(toks) >= 600000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive,
+       CAST(SUM((len(toks) - len(list_distinct(toks))) * 1000000 // len(toks))
+            // COUNT(*) AS BIGINT) AS mean_rep_ppm
+FROM t GROUP BY 1
+""",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 quality — repetition/boilerplate signal: fraction of tokens
+    that repeat an earlier token (exact integer ppm), aggregated per
+    language with a >=60% repetitive-doc counter. Map-only + tiny agg;
+    the doc-level expression is functions/text.py::repetition_ppm."""
+    docs = _docs(spark, sf_dir).withColumn("_toks", TX.tokens())
+    rep = TX.repetition_ppm("_toks")
+    return (
+        docs.withColumn("_rep", rep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("_rep") >= 600_000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repetitive"),
+            F.expr("sum(_rep) div count(*)").cast("long").alias("mean_rep_ppm"),
+        )
+    )
+
+
 _CORPUS_LANG_BODY = """
   SELECT doc_id, text, lang FROM documents
   UNION ALL

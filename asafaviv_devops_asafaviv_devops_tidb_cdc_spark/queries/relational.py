@@ -369,8 +369,17 @@ SELECT table_name, user_id FROM typed WHERE operation = 'delete'
 def q_except_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 — delete replay as a set op: keys ever inserted minus keys
     ever deleted (reference run_test.sh:73-75 ``DELETE WHERE stock<10``
-    semantics; SURVEY §2.7)."""
-    typed = _typed(spark, sf_dir)
+    semantics; SURVEY §2.7). The typed chain is persisted before
+    branching — without it each subtract side re-runs the whole
+    envelope-synth + JSON-parse chain (measured 2x the query cost);
+    lineage is kept so the cache stays fault-tolerant."""
+    from pyspark import StorageLevel
+
+    typed = (
+        _typed(spark, sf_dir)
+        .select("table_name", "user_id", "operation")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     inserted = typed.filter(F.col("operation") == "insert").select("table_name", "user_id")
     deleted = typed.filter(F.col("operation") == "delete").select("table_name", "user_id")
     return inserted.subtract(deleted)

@@ -24,6 +24,7 @@ _QUERY_MODULES = [
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.analytics",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.llm_pipeline",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.streaming_checks",
+    "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.logs",
 ]
 
 # Registration (= iteration) order for the exported query dict. The
@@ -79,6 +80,11 @@ _CHECK_FIRST = [
     "q_stream_ingest_counts",
     "q_stream_cdc_replay",
     "q_stream_dedupe",
+    # new in round 2 — never checked
+    "q_log_ingest",
+    "q_log_error_rate",
+    "q_scrub_text",
+    "q_repetition_ratio",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",

@@ -83,6 +83,50 @@ def test_health_ready_stop_on_real_stream(spark):
     assert not lifecycle.ready(q)
 
 
+# --- S6: log shipper ------------------------------------------------------
+
+
+def test_log_stream_equals_batch_parse(spark):
+    """S6 as a REAL stream: the Filebeat-tail stand-in (text file
+    source) through the one-regex parser must produce the same
+    per-(status, level) counts as the batch path."""
+    import shutil
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table, logs
+
+    base = Path(tempfile.gettempdir()) / "tidb_cdc_spark_stream" / "logship"
+    if base.exists():
+        shutil.rmtree(base)
+    events = load_table(spark, SF_SMOKE, "events")
+    lines = logs.log_lines_from_events(events)
+    lines.write.mode("overwrite").text(str(base / "src"))
+
+    stream = logs.read_log_stream(spark, str(base / "src"))
+    import pyspark.sql.functions as F
+
+    q = (
+        logs.parse_log_lines(stream)
+        .groupBy("status", "level")
+        .count()
+        .writeStream.format("memory")
+        .queryName("logship_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["status"], r["level"]): r["count"]
+        for r in spark.sql("SELECT * FROM logship_stream").collect()
+    }
+    batch = {
+        (r["status"], r["level"]): r["count"]
+        for r in logs.parse_log_lines(lines).groupBy("status", "level").count().collect()
+    }
+    assert streamed == batch
+    assert ("parse_error", None) in batch  # dead-letter branch exercised
+
+
 # --- E5: header-sniffing decoder -----------------------------------------
 
 
