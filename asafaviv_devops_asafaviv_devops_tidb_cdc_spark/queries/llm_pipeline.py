@@ -870,6 +870,52 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_media_chunks",
+    oracle="""
+WITH chunks AS (
+  SELECT doc_id AS media_id,
+         unnest(range(0, (length(text) + 255) // 256)) AS chunk_idx,
+         text
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT media_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(length(substring(text, 1 + chunk_idx * 256, 256)) AS BIGINT)
+         AS chunk_bytes,
+       sha256(substring(text, 1 + chunk_idx * 256, 256)) AS chunk_sha
+FROM chunks
+""",
+)
+def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — engine-side payload chunking: each binary payload exploded
+    into 256-byte chunks with per-chunk hashes (the upload/dedup unit
+    for blob stores and the shard unit for chunked feature extraction).
+    posexplode over a sequence + byte-substring — pure codegen, no
+    Python; the payload is ASCII here so the VARCHAR oracle hashes the
+    same bytes."""
+    media = multimodal.as_media_table(_docs(spark, sf_dir)).filter(
+        # guard: Spark's sequence(0, -1) infers step -1 instead of an
+        # empty array, so zero-byte payloads must not reach the explode
+        F.col("meta.n_bytes") > 0
+    )
+    chunked = media.select(
+        "media_id",
+        "payload",
+        F.posexplode(F.expr("sequence(0, (meta.n_bytes + 255) div 256 - 1)")).alias(
+            "chunk_idx", "_"
+        ),
+    )
+    chunk = F.expr("substring(payload, 1 + chunk_idx * 256, 256)")
+    return chunked.select(
+        "media_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.length(chunk).cast("long").alias("chunk_bytes"),
+        F.sha2(chunk, 256).alias("chunk_sha"),
+    )
+
+
 @register("q_multimodal_features")  # rows-only: Python mapInPandas path
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 — Arrow-batched mapInPandas over binary payloads: real

@@ -230,6 +230,50 @@ def q_cube_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ops_pivot",
+    oracle="""
+WITH gen AS (
+  SELECT event_id, event_type, event_id % 10 AS e,
+         (event_id % 101 = 0) AS corrupt, (event_id % 53 = 0) AS no_table
+  FROM events
+),
+success AS (SELECT * FROM gen WHERE NOT corrupt AND e <> 9),
+cdc_rows AS (
+  SELECT g.* FROM success g
+  UNION ALL
+  SELECT g.* FROM success g WHERE g.e = 5
+)
+SELECT CASE WHEN no_table THEN 'unknown' ELSE event_type END AS table_name,
+       CAST(SUM(CASE WHEN e NOT IN (7, 8) THEN 1 ELSE 0 END) AS BIGINT) AS insert,
+       CAST(SUM(CASE WHEN e = 7 THEN 1 ELSE 0 END) AS BIGINT) AS update,
+       CAST(SUM(CASE WHEN e = 8 THEN 1 ELSE 0 END) AS BIGINT) AS delete
+FROM cdc_rows
+GROUP BY 1
+""",
+)
+def q_ops_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — native PIVOT: the per-(table, op) counter matrix as one
+    ``groupBy().pivot(values=[...]).count()``. With the value list
+    given explicitly the plan is a single partial-aggregated shuffle
+    (no extra pass to discover pivot keys) — the dashboard
+    table-vs-operation panel as one operator instead of three filtered
+    sums."""
+    return (
+        _normalized(spark, sf_dir)
+        .groupBy("table_name")
+        .pivot("operation", ["insert", "update", "delete"])
+        .count()
+        .na.fill(0)
+        .select(
+            "table_name",
+            F.col("insert").cast("long").alias("insert"),
+            F.col("update").cast("long").alias("update"),
+            F.col("delete").cast("long").alias("delete"),
+        )
+    )
+
+
+@register(
     "q_windowed_distinct",
     oracle="""
 SELECT epoch_ms(CAST(epoch_ms(ts) // 3600000 * 3600000 AS BIGINT)) AS window_start,

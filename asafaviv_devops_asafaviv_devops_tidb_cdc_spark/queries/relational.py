@@ -386,6 +386,75 @@ def q_except_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_snapshot_diff",
+    oracle=TYPED_CTE
+    + """,
+half AS (SELECT MAX(offset_) // 2 AS h FROM typed),
+s1 AS (
+  SELECT table_name, user_id, value FROM (
+    SELECT t.*, row_number() OVER (
+      PARTITION BY table_name, user_id
+      ORDER BY ts DESC, offset_ DESC, rownum DESC) AS rn
+    FROM typed t, half WHERE t.offset_ <= half.h
+  ) WHERE rn = 1 AND operation <> 'delete'
+),
+s2 AS (
+  SELECT table_name, user_id, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY table_name, user_id
+      ORDER BY ts DESC, offset_ DESC, rownum DESC) AS rn
+    FROM typed
+  ) WHERE rn = 1 AND operation <> 'delete'
+)
+SELECT COALESCE(s2.table_name, s1.table_name) AS table_name,
+       CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s2.user_id IS NULL THEN 'removed'
+            WHEN s1.value IS DISTINCT FROM s2.value THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s1 FULL OUTER JOIN s2
+  ON s1.table_name = s2.table_name AND s1.user_id = s2.user_id
+GROUP BY 1, 2
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/S7 — snapshot reconciliation via FULL OUTER join: the CDC
+    state at the half-way offset vs the final state, each key tagged
+    added / removed / changed / unchanged — the audit every CDC
+    consumer runs to prove a backfill or a migration converged
+    (reference has no tool for this; users eyeball ES counts). Both
+    snapshots derive from ONE pass over the typed chain (persisted),
+    then shuffle once on the state key; the diff join co-partitions on
+    the same key so AQE plans it shuffle-free on the second side."""
+    from pyspark import StorageLevel
+
+    typed = (
+        _typed(spark, sf_dir)
+        .select("table_name", "user_id", "value", "operation", "ts", "offset_", "rownum")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    half = typed.agg(F.expr("max(offset_) div 2").alias("h"))
+    s1 = current_state(
+        typed.join(F.broadcast(half), F.col("offset_") <= F.col("h")).drop("h"),
+        keys=["table_name", "user_id"],
+        order_by=["ts", "offset_", "rownum"],
+    ).select("table_name", "user_id", F.col("value").alias("v1"))
+    s2 = current_state(
+        typed, keys=["table_name", "user_id"], order_by=["ts", "offset_", "rownum"]
+    ).select("table_name", "user_id", F.col("value").alias("v2"))
+    diff = s1.join(s2, ["table_name", "user_id"], "full_outer")
+    status = (
+        F.when(F.col("v1").isNull() & F.col("v2").isNotNull(), F.lit("added"))
+        .when(F.col("v2").isNull() & F.col("v1").isNotNull(), F.lit("removed"))
+        .when(~F.col("v1").eqNullSafe(F.col("v2")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return diff.groupBy("table_name", status.alias("status")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
     "q_unique_check",
     oracle="""
 WITH doubled AS (

@@ -108,6 +108,36 @@ def q_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_stream_window_counts")  # rows-only: real streaming execution
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W6 as a REAL stream: tumbling 1-minute event counts computed
+    by Structured Streaming (complete mode — state holds every open
+    window; production uses watermark + append to bound it) over a
+    replayed event log. pytest asserts equality with the batch
+    windowed aggregation; the driver sees the window-count rows."""
+    import shutil
+
+    base = _stream_workdir(sf_dir, "winagg")
+    if base.exists():
+        shutil.rmtree(base)
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(str(base / "src"))
+    name = f"winagg_{abs(hash(sf_dir)) % 10_000_000}"
+    q = (
+        spark.readStream.schema(events.schema)
+        .parquet(str(base / "src"))
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT w.start AS window_start, event_type, n FROM {name}")
+
+
 @register("q_stream_dedupe")  # rows-only: real streaming execution
 def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 exactly-once upgrade: every 5th envelope is replayed

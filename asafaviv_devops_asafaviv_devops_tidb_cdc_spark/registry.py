@@ -85,6 +85,10 @@ _CHECK_FIRST = [
     "q_log_error_rate",
     "q_scrub_text",
     "q_repetition_ratio",
+    "q_snapshot_diff",
+    "q_ops_pivot",
+    "q_media_chunks",
+    "q_stream_window_counts",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",
