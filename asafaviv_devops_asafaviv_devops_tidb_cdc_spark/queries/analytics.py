@@ -298,3 +298,238 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), totals.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", units_as_dollars(F.col("units")).alias("total_revenue"))
     )
+
+
+@register(
+    "q_nation_volume",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       {sum_revenue_sql('l.l_extendedprice', 'l.l_discount')} AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+GROUP BY 1, 2, 3
+""",
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — volume shipping between two nations by year:
+    the bidirectional nation-pair predicate lands on two BROADCAST
+    nation copies (distinct aliases), so the pair filter prunes fact
+    rows before the single orders-lineitem shuffle; year() is computed
+    post-join on survivors only."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    pair = (
+        (F.col("n1.n_name") == "NATION_1") & (F.col("n2.n_name") == "NATION_2")
+    ) | ((F.col("n1.n_name") == "NATION_2") & (F.col("n2.n_name") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(pair)
+        .groupBy(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(units_as_dollars(F.sum(revenue_units())).alias("revenue"))
+    )
+
+
+@register(
+    "q_market_share",
+    oracle=f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN units ELSE 0 END)
+            * 1000000 // SUM(units) AS BIGINT) AS share_ppm
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         n2.n_name AS supp_nation,
+         {rev_units_sql('l.l_extendedprice', 'l.l_discount')} AS units
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+) t
+GROUP BY 1
+""",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — market share of one supplier nation within a
+    customer region for one part type, per order year. All seven
+    dimension hops broadcast; the fact tables meet in one shuffle; the
+    share is exact integer ppm (no float division), the same
+    cross-engine-deterministic ratio idiom as q_promo_share."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").alias("cn")
+    n2 = _t(spark, sf_dir, "nation").alias("sn")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    share_units = F.when(
+        F.col("sn.n_name") == "NATION_3", revenue_units()
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(share_units).alias("_share_u"),
+            F.sum(revenue_units()).alias("_total_u"),
+        )
+        .select(
+            "o_year",
+            F.expr("(_share_u * 1000000) div _total_u").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+@register(
+    "q_order_count_dist",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+) t
+GROUP BY 1
+""",
+)
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer distribution by order count, with the
+    filter INSIDE the left join so zero-order customers survive (the
+    shape an inner join silently gets wrong). Two aggregations: the
+    first shuffles on custkey, the second on the tiny count domain."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey,
+         0.2 * (CAST(SUM(l_quantity) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+           AS qty_cut
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100 / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13' AND l.l_quantity < pa.qty_cut
+""",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue lost to small-quantity orders: the
+    correlated per-part average becomes a self-aggregate joined back on
+    partkey (co-partitioned: both sides shuffle on l_partkey once).
+    Quantities are integral doubles, so SUM is exact at any partition
+    order, and the 0.2x cut is one IEEE multiply/divide — identical in
+    both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    pa = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            (F.sum("l_quantity").cast("double") / F.count("*").cast("double"))
+            * 0.2
+        ).alias("qty_cut")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pa, l.l_partkey == pa.pa_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(cents("l_extendedprice")).cast("double") / 100 / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q_big_orders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150
+)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY sum_qty DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: the HAVING subquery
+    becomes a pre-aggregated key set LEFT SEMI-joined into lineitem
+    (both sides partition on orderkey — AQE sees the reused exchange),
+    then customer broadcasts into the survivors. Top-100 with
+    deterministic orderkey tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        l.join(big, l.l_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            cents("o_totalprice").alias("total_cents"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(100)
+    )

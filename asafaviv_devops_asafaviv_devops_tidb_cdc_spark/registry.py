@@ -25,6 +25,7 @@ _QUERY_MODULES = [
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.llm_pipeline",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.streaming_checks",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.logs",
+    "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.window_funcs",
 ]
 
 # Registration (= iteration) order for the exported query dict. The
@@ -89,6 +90,17 @@ _CHECK_FIRST = [
     "q_ops_pivot",
     "q_media_chunks",
     "q_stream_window_counts",
+    "q_running_total",
+    "q_moving_avg",
+    "q_lag_delta",
+    "q_first_last",
+    "q_ntile",
+    "q_topn_per_group",
+    "q_nation_volume",
+    "q_market_share",
+    "q_order_count_dist",
+    "q_small_qty_revenue",
+    "q_big_orders",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",
