@@ -1013,3 +1013,146 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------- r2b
+# Vocabulary / embedding corpus statistics and exact pair similarity.
+
+
+@register(
+    "q_term_stats",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS cf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM t WHERE term <> ''
+GROUP BY 1
+ORDER BY cf DESC, term
+LIMIT 50
+""",
+)
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — vocabulary statistics (the df/cf table behind TF-IDF and
+    BPE-merge selection): explode tokens, aggregate collection + doc
+    frequency per term, global top-50 by cf.
+
+    Scale posture: explode is map-side; the (term) aggregation
+    partial-aggregates before its one shuffle (term cardinality,
+    Zipf-bounded, not corpus-bounded); top-50 is
+    TakeOrderedAndProject, never a global sort."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.explode(TX.tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("cf"),
+            F.count_distinct("doc_id").cast("long").alias("df"),
+        )
+        .orderBy(F.desc("cf"), "term")
+        .limit(50)
+    )
+
+
+@register(
+    "q_embedding_stats",
+    oracle="""
+SELECT CAST(i - 1 AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_units,
+       MIN(CAST(embedding[i] AS DOUBLE)) AS min_val,
+       MAX(CAST(embedding[i] AS DOUBLE)) AS max_val
+FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+GROUP BY 1
+""",
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E4 — per-dimension corpus statistics over the embedding
+    column (the normalization/whitening pre-pass of every vector
+    pipeline). posexplode is map-side; one shuffle on the 64-value
+    dim key; sums accumulate exact integer 1e-6 units so the result is
+    identical at any partition order (float SUMs are not associative —
+    the reason mean is not computed as AVG(embedding[i]))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.col("x").cast("double").alias("xd"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("xd") * 1000000 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_units"),
+            F.min("xd").alias("min_val"),
+            F.max("xd").alias("max_val"),
+        )
+    )
+
+
+def _pair_cos_sql(a: str, b: str) -> str:
+    d = (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+    )
+    na = (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({a}.embedding[i] AS DOUBLE)))"
+    )
+    nb = (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({b}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+    )
+    return f"floor({d} / sqrt({na} * {nb}) * 10000 + 0.5)"
+
+
+@register(
+    "q_cosine_pairs",
+    oracle=f"""
+SELECT id_a, id_b, cosine_x10k FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST({_pair_cos_sql('a', 'b')} AS BIGINT) AS cosine_x10k
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) p WHERE cosine_x10k >= 3000
+""",
+)
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2e/E3 — exact all-pairs cosine >= 0.30 over the embedding
+    dictionary: the exhaustive ground truth the LSH path
+    (q_embedding_neardup) approximates. The embeddings table is a
+    fixed-size dictionary (500 vectors at every SF), so all-pairs is a
+    broadcast nested-loop over ~125k candidates — the right plan AT
+    THIS CARDINALITY; corpus-scale near-dup goes through the bucketed
+    q_embedding_neardup path instead. Cosine emitted as exact integer
+    1e-4 units (same IEEE fold both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # norms materialize ONCE per side (map stage) so the O(n^2) pair
+    # stage folds a single dot product per candidate, not three; the
+    # probe side spreads across cores (single-split input otherwise
+    # serializes the whole O(n^2) stage on one thread)
+    a = similarity.rebalance(emb).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        similarity.sq_norm("embedding").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        similarity.sq_norm("embedding").alias("nb"),
+    )
+    cos = similarity.dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cos * 10000 + 0.5).cast("long").alias("cosine_x10k"),
+        )
+        .filter(F.col("cosine_x10k") >= 3000)
+    )

@@ -101,6 +101,9 @@ _CHECK_FIRST = [
     "q_order_count_dist",
     "q_small_qty_revenue",
     "q_big_orders",
+    "q_term_stats",
+    "q_embedding_stats",
+    "q_cosine_pairs",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",

@@ -210,3 +210,65 @@ def test_asof_join_prunes_event_columns(spark):
     cols = checks.scan_columns(_df("q_asof_join", spark), "events")
     # Catalyst prunes past our select: event_id is unused downstream
     assert cols == {"user_id", "event_type", "ts"}, cols
+
+
+def test_term_stats_topk_is_take_ordered(spark):
+    """Top-50 vocabulary terms must be per-partition top-k + driver
+    merge, not a global sort of the whole term table."""
+    plan = checks.plan_string(_df("q_term_stats", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_topn_per_group_single_partitioned_shuffle(spark):
+    """Grouped top-n: one hash shuffle on the group key, per-group
+    sort — the Window must be partitioned (no single-task sort)."""
+    df = _df("q_topn_per_group", spark)
+    plan = checks.plan_string(df)
+    assert "p_brand" in plan and "Window" in plan
+    assert checks.count_nodes(df, "Exchange") == 1, plan
+
+
+def test_running_total_single_shuffle(spark):
+    """Per-customer running totals: exactly one hash shuffle on
+    o_custkey feeds both row_number and the cumulative sum."""
+    df = _df("q_running_total", spark)
+    assert checks.count_nodes(df, "Exchange") == 1, checks.plan_string(df)
+
+
+def test_big_orders_no_cartesian_broadcasts_customer(spark):
+    df = _df("q_big_orders", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+
+
+def test_nation_volume_broadcasts_dims(spark):
+    df = _df("q_nation_volume", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+    pushed = checks.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    df = _df("q_market_share", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+    # the part-type filter prunes through the broadcast before the
+    # fact shuffle
+    assert checks.scan_columns(df, "part.parquet") == {"p_partkey", "p_type"}
+
+
+def test_embedding_stats_single_shuffle_after_explode(spark):
+    """posexplode is map-side; the only exchange is the 64-key dim
+    aggregation (partial agg runs map-side first)."""
+    df = _df("q_embedding_stats", spark)
+    assert checks.count_nodes(df, "Exchange") == 1, checks.plan_string(df)
+
+
+def test_cosine_pairs_is_broadcast_nested_loop(spark):
+    """All-pairs over the fixed-size embedding dictionary: the
+    inequality join SHOULD be a broadcast nested loop at this
+    cardinality (500 rows broadcast side); anything shuffling would be
+    wrong. Corpus-scale near-dup goes through q_embedding_neardup."""
+    plan = checks.plan_string(_df("q_cosine_pairs", spark))
+    assert "BroadcastNestedLoopJoin" in plan, plan
