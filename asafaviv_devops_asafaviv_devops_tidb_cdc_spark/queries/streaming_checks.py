@@ -146,3 +146,61 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sink identical to single-delivery — pytest asserts it."""
     sink = _run_stream(spark, sf_dir, "dup", dup_mod=5)
     return sink.groupBy("table_name", "operation").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+SELECT a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND a.ts BETWEEN b.ts - INTERVAL 6 HOUR AND b.ts
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — REAL stream-stream interval join: click->purchase
+    attribution within a 6-hour window, executed by Structured
+    Streaming (two watermarked streams over the replayed event log,
+    append mode). State is bounded by the watermark: each side holds
+    ~12 h of events per user partition, the exact mechanism that keeps
+    a 100 TB/day attribution join's state finite. Unlike the other
+    q_stream_* queries this one IS oracle-backed — the joined output
+    is deterministic, so the driver hash-compares it against the
+    equivalent batch interval join in DuckDB."""
+    import shutil
+
+    base = _stream_workdir(sf_dir, "ssjoin")
+    if base.exists():
+        shutil.rmtree(base)
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(str(base / "src"))
+    stream = spark.readStream.schema(events.schema).parquet(str(base / "src"))
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "12 hours")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "12 hours")
+        .select(F.col("user_id").alias("user_id"), F.col("ts").alias("purchase_ts"))
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    name = f"ssjoin_{abs(hash(sf_dir)) % 10_000_000}"
+    q = (
+        joined.select("user_id", "click_ts", "purchase_ts")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT user_id, click_ts, purchase_ts FROM {name}")

@@ -104,6 +104,7 @@ _CHECK_FIRST = [
     "q_term_stats",
     "q_embedding_stats",
     "q_cosine_pairs",
+    "q_stream_stream_join",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",
