@@ -533,3 +533,35 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sum_qty"), "o_orderkey")
         .limit(100)
     )
+
+
+_REGION_REVENUE_SQL = """
+SELECT r.r_name AS region_name,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+            AS DOUBLE) / 10000 AS revenue,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
+@register("q_sql_region_revenue", oracle=_REGION_REVENUE_SQL)
+def q_sql_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/SQL API — the same engine through the SQL entry point: tables
+    registered as views (sources.register_views), the query text passed
+    verbatim to spark.sql. The SQL is written once and runs unmodified
+    in BOTH engines (ANSI subset: EXTRACT, floor-cents money math), so
+    the oracle string IS the Spark query — API-surface parity the
+    reference's mysql-client path (docker-compose.yml:116-136) implies.
+    Catalyst plans it identically to the DataFrame form: dims
+    broadcast, one fact-fact shuffle, partial aggregation."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REGION_REVENUE_SQL)

@@ -766,3 +766,73 @@ def q_topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("event_id", "event_type", "ts", "rn")
     )
+
+
+@register(
+    "q_median_value",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.25) AS p25_cents,
+       quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.50) AS p50_cents,
+       quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.75) AS p75_cents
+FROM events
+GROUP BY 1
+""",
+)
+def q_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 exact form — per-type EXACT interpolated quartiles of the
+    event value (Spark ``percentile`` == DuckDB ``quantile_cont``:
+    both sort and linearly interpolate at (n-1)p). Inputs enter as
+    integer cents, so every interpolation is a half-sum of integers —
+    exact in IEEE, hash-stable cross-engine. Exact percentile
+    materializes each group's values on one task; the 100 TB path is
+    q_quantiles/q_prom_quantile (mergeable sketch / bucket algebra) —
+    this query pins the exact semantics the sketches approximate."""
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return (
+        ev.withColumn("_c", cents)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.percentile("_c", F.lit(0.25)).alias("p25_cents"),
+            F.percentile("_c", F.lit(0.50)).alias("p50_cents"),
+            F.percentile("_c", F.lit(0.75)).alias("p75_cents"),
+        )
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT event_type,
+       CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(EXTRACT(year FROM ts)) AS BIGINT) AS g_year
+FROM events
+GROUP BY GROUPING SETS ((event_type), (EXTRACT(year FROM ts)), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 completion — explicit GROUPING SETS (rollup and cube are the
+    degenerate cases; this is the irregular-set form three independent
+    dashboard panels compile into ONE shuffle). GROUPING() markers
+    disambiguate aggregation NULLs from data NULLs — the correctness
+    trap grouping queries hit. Expressed through the SQL API; Catalyst
+    expands to a single Expand + hash aggregate."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT event_type,
+       CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(EXTRACT(year FROM ts)) AS BIGINT) AS g_year
+FROM events
+GROUP BY GROUPING SETS ((event_type), (EXTRACT(year FROM ts)), ())
+"""
+    )

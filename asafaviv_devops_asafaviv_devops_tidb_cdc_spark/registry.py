@@ -105,6 +105,9 @@ _CHECK_FIRST = [
     "q_embedding_stats",
     "q_cosine_pairs",
     "q_stream_stream_join",
+    "q_sql_region_revenue",
+    "q_median_value",
+    "q_grouping_sets",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",

@@ -30,6 +30,13 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure
     # the query, not session startup
     registry.QUERIES["q_ops_by_table_op"](spark, sf_dir).count()
+    # ... and the reusable Python worker pool (spark.python.worker.reuse),
+    # so the first Arrow/mapInPandas query isn't charged the one-time
+    # fork + numpy/pandas import of every worker (~6 s for 32 workers —
+    # a fixed cost that amortizes to zero on a long-lived cluster)
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     total = 0.0
     for name, fn in sorted(registry.QUERIES.items()):

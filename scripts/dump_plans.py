@@ -32,6 +32,18 @@ HEADLINE = {
         "bucketized range join — bucket-equality hash join + exact "
         "refine, no BroadcastNestedLoopJoin"
     ),
+    "q_term_stats": (
+        "vocabulary df/cf top-50 — map-side explode + partial agg, "
+        "one term-key shuffle, TakeOrderedAndProject top-k"
+    ),
+    "q_big_orders": (
+        "TPC-H Q18 shape — HAVING subquery as pre-aggregated semi-join, "
+        "both sides partitioned on orderkey, customer broadcast"
+    ),
+    "q_running_total": (
+        "per-key running totals — single hash shuffle on custkey feeds "
+        "row_number and cumulative sum in one partitioned Window"
+    ),
 }
 
 
