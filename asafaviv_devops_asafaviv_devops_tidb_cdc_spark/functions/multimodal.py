@@ -174,3 +174,83 @@ def fake_decode_features(media: DataFrame, chunk: int = 256) -> DataFrame:
     return rebalance(media.select("media_id", "payload")).mapInPandas(
         _extract, FEATURE_SCHEMA
     )
+
+
+SYNTH_SCHEMA = "media_id long, payload binary"
+DECODE_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "channels int, sample_rate int"
+)
+
+
+def synth_container_payloads(media_ids: DataFrame) -> DataFrame:
+    """Build REAL container payloads (valid PNG/GIF/BMP/WAV headers,
+    magic bytes + packed dimension fields) with formula-derived
+    parameters — width = id % 1000 + 1, height = id*7 % 1000 + 1,
+    channels = id % 8 + 1, sample_rate = 8000 + (id % 100) * 10 — so an
+    oracle can verify the decoded output without parsing binary itself.
+    Every 5th id emits unrecognizable bytes (the opaque-payload branch).
+    """
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = mid % 1000 + 1
+                h = (mid * 7) % 1000 + 1
+                kind = mid % 5
+                if kind == 0:
+                    b = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", w, h) + b"\x08"
+                elif kind == 1:
+                    b = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00"
+                elif kind == 2:
+                    b = b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00\x00"
+                elif kind == 3:
+                    ch = mid % 8 + 1
+                    sr = 8000 + (mid % 100) * 10
+                    b = (
+                        b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE"
+                        + b"fmt \x10\x00\x00\x00\x01\x00"
+                        + struct.pack("<HI", ch, sr) + b"\x00\x00\x00\x00"
+                    )
+                else:
+                    b = b"not-a-container-" + str(mid).encode()
+                rows.append((mid, b))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    from ..sources.tables import rebalance
+
+    return rebalance(media_ids.select("media_id")).mapInPandas(_build, SYNTH_SCHEMA)
+
+
+def decode_headers(media: DataFrame) -> DataFrame:
+    """Arrow-batched header decode over a (media_id, payload) table:
+    the REAL ``decode_payload`` sniffing magic bytes and unpacking
+    dimension fields. A separate mapInPandas stage from any builder, so
+    payload bytes demonstrably round-trip through Arrow."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                m = decode_payload(bytes(payload or b""))
+                rows.append(
+                    (
+                        int(mid),
+                        m.get("format"),
+                        m.get("width"),
+                        m.get("height"),
+                        m.get("channels"),
+                        m.get("sample_rate"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height",
+                    "channels", "sample_rate",
+                ],
+            )
+
+    return media.mapInPandas(_decode, DECODE_SCHEMA)

@@ -1156,3 +1156,36 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine_x10k") >= 3000)
     )
+
+
+@register(
+    "q_multimodal_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav' END AS format,
+       CASE WHEN doc_id % 5 IN (0, 1, 2)
+            THEN CAST(doc_id % 1000 + 1 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 5 IN (0, 1, 2)
+            THEN CAST((doc_id * 7) % 1000 + 1 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 5 = 3
+            THEN CAST(doc_id % 8 + 1 AS INTEGER) END AS channels,
+       CASE WHEN doc_id % 5 = 3
+            THEN CAST(8000 + (doc_id % 100) * 10 AS INTEGER) END AS sample_rate
+FROM documents
+""",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — the REAL header decoder, oracle-verified: payloads are
+    built with VALID container headers (PNG/GIF/BMP/WAV magic bytes +
+    struct-packed dimension fields, parameters derived from media_id
+    formulas), cross the Arrow boundary, and a SEPARATE mapInPandas
+    stage sniffs magic bytes and unpacks format/width/height/
+    channels/sample_rate (functions/multimodal.py::decode_payload —
+    reference has no analogue; this is the north-star codec-boundary
+    plumbing). The oracle recomputes the expected fields from the same
+    id formulas — a full proof of builder, Arrow round-trip, and
+    decoder without needing DuckDB to parse binary."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = multimodal.synth_container_payloads(ids)
+    return multimodal.decode_headers(payloads)
