@@ -190,3 +190,47 @@ def planted_neardup_pairs(
         .filter(F.col("cos_raw") > threshold)
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+def batch_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-BATCH exact top-k: N query vectors against the corpus in
+    one pass. The query side (N rows + precomputed norms) broadcasts;
+    every corpus partition scores all N queries locally; ranking is a
+    row_number over a window PARTITIONED BY query id — each query's
+    top-k sorts independently in parallel (contrast q_cosine_topk's
+    single-query global top-k, which must be TakeOrderedAndProject).
+    This is the production ANN shape: queries arrive in batches, and
+    per-query parallelism comes from the partitioned window."""
+    q = corpus.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sq_norm(vec_col).alias("nq"),
+    )
+    scored = (
+        rebalance(corpus)
+        .select(id_col, vec_col, sq_norm(vec_col).alias("nv"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            (dot(vec_col, "qv") / F.sqrt(F.col("nv") * F.col("nq"))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.floor(F.col("cos_raw") * 10000 + 0.5).cast("long").alias("cosine_x10k"),
+            "rank",
+        )
+    )

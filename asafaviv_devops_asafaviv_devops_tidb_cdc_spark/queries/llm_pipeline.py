@@ -1189,3 +1189,44 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     payloads = multimodal.synth_container_payloads(ids)
     return multimodal.decode_headers(payloads)
+
+
+def _batch_ann_oracle_sql() -> str:
+    def lsum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {lsum('embedding', 'embedding')} AS nq
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {lsum('e.embedding', 'q.qv')}
+           / sqrt({lsum('e.embedding', 'e.embedding')} * q.nq) AS cos_raw
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id,
+       CAST(floor(cos_raw * 10000 + 0.5) AS BIGINT) AS cosine_x10k,
+       rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q_ann_batch", oracle=_batch_ann_oracle_sql())
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — query-batch exact ANN: five query vectors against the
+    corpus in ONE scan (broadcast queries + per-query PARTITIONED
+    top-k window — the production batch shape; see
+    functions/similarity.py::batch_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.batch_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)

@@ -109,6 +109,7 @@ _CHECK_FIRST = [
     "q_median_value",
     "q_grouping_sets",
     "q_multimodal_decode",
+    "q_ann_batch",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",

@@ -272,3 +272,12 @@ def test_cosine_pairs_is_broadcast_nested_loop(spark):
     wrong. Corpus-scale near-dup goes through q_embedding_neardup."""
     plan = checks.plan_string(_df("q_cosine_pairs", spark))
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_ann_batch_window_is_partitioned_by_query(spark):
+    """Query-batch ANN ranks with a window PARTITIONED by query_id —
+    per-query parallel sorts, never the single-task global window."""
+    df = _df("q_ann_batch", spark)
+    plan = checks.plan_string(df)
+    assert "Window" in plan and "query_id" in plan, plan
+    assert not checks.has_cartesian(df)
