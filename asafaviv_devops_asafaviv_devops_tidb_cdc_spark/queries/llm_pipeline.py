@@ -1230,3 +1230,60 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/similarity.py::batch_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.batch_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+_SEARCH_TERMS = ["join", "hash", "filter"]
+
+
+@register(
+    "q_doc_search",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM t WHERE term IN ('join', 'hash', 'filter') GROUP BY 1, 2
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf * (n.n_docs * 1000000 // df.df)) AS BIGINT) AS score_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+FROM tf JOIN df USING (term) CROSS JOIN n
+GROUP BY 1
+ORDER BY score_ppm DESC, doc_id
+LIMIT 20
+""",
+)
+def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — TF-IDF document ranking for a term query, in exact integer
+    arithmetic: idf enters as ``N * 1e6 // df`` (integer-scaled inverse
+    document frequency — engine-portable, unlike ``ln`` whose last-ulp
+    behavior is libm-specific), score = sum(tf * idf_ppm). One explode
+    pass filtered to the query terms (predicate applies pre-shuffle),
+    a Zipf-bounded (doc, term) aggregation, a broadcast df/N attach,
+    and a TakeOrderedAndProject top-20."""
+    docs = _docs(spark, sf_dir)
+    terms = (
+        docs.select("doc_id", F.explode(TX.tokens()).alias("term"))
+        .filter(F.col("term").isin(_SEARCH_TERMS))
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.expr("(n_docs * 1000000) div df"))
+            .cast("long")
+            .alias("score_ppm"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(20)
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import parse as P
-from ..registry import register
+from ..registry import QUERIES, register
 from ..sources import envelopes_from_events, load_table
 
 # Prometheus histogram bucket bounds (reference node-consumer/index.js:102)
@@ -835,4 +835,41 @@ SELECT event_type,
 FROM events
 GROUP BY GROUPING SETS ((event_type), (EXTRACT(year FROM ts)), ())
 """
+    )
+
+
+@register(
+    "q_ops_unpivot",
+    oracle="""
+WITH gen AS (
+  SELECT event_id, event_type, event_id % 10 AS e,
+         (event_id % 101 = 0) AS corrupt, (event_id % 53 = 0) AS no_table
+  FROM events
+),
+success AS (SELECT * FROM gen WHERE NOT corrupt AND e <> 9),
+cdc_rows AS (
+  SELECT g.* FROM success g
+  UNION ALL
+  SELECT g.* FROM success g WHERE g.e = 5
+),
+matrix AS (
+  SELECT CASE WHEN no_table THEN 'unknown' ELSE event_type END AS table_name,
+         CAST(SUM(CASE WHEN e NOT IN (7, 8) THEN 1 ELSE 0 END) AS BIGINT) AS "insert",
+         CAST(SUM(CASE WHEN e = 7 THEN 1 ELSE 0 END) AS BIGINT) AS "update",
+         CAST(SUM(CASE WHEN e = 8 THEN 1 ELSE 0 END) AS BIGINT) AS "delete"
+  FROM cdc_rows GROUP BY 1
+)
+UNPIVOT matrix ON "insert", "update", "delete" INTO NAME operation VALUE n
+""",
+)
+def q_ops_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 inverse — native UNPIVOT (melt) of the counter matrix back to
+    long form, zero cells included (the difference from the plain
+    grouped count, which drops absent combinations). Wide->long is the
+    standard step before regrouping a metrics matrix by a different
+    dimension; pivot and unpivot round-trip in one plan with no extra
+    shuffle beyond the matrix aggregation."""
+    matrix = QUERIES["q_ops_pivot"](spark, sf_dir)
+    return matrix.unpivot(
+        ["table_name"], ["insert", "update", "delete"], "operation", "n"
     )

@@ -110,6 +110,8 @@ _CHECK_FIRST = [
     "q_grouping_sets",
     "q_multimodal_decode",
     "q_ann_batch",
+    "q_ops_unpivot",
+    "q_doc_search",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",
