@@ -637,3 +637,22 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.count_distinct("o_custkey").alias("n_customers"),
     )
+
+
+@register(
+    "q_intersect_active",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_intersect_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 (intersect half) — users present in BOTH behavioral sets via
+    native INTERSECT (distinct semantics; the dual of
+    q_except_deleted's EXCEPT). Plans as a left-semi join over
+    pre-aggregated distinct sides — one shuffle each."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)

@@ -228,3 +228,66 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("p_brand", "rn", "p_partkey", "p_name", "p_retailprice")
     )
+
+
+@register(
+    "q_rolling_1h_count",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, epoch_ms(ts) // 1000 AS sec FROM events
+)
+SELECT user_id, ts,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_trailing_1h
+FROM e
+""",
+)
+def q_rolling_1h_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 — TRUE trailing-window rate per entity: a RANGE frame over
+    event-time seconds (every event sees exactly the 3600 s behind it —
+    the exact semantics the W1 bucketed windows approximate at bucket
+    granularity). RANGE frames bound peers by VALUE, so ties on ts
+    count together in both engines regardless of sort order — the
+    reason this uses RANGE and not ROWS. One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = (F.unix_millis("ts") / F.lit(1000)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("sec"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.withColumn("sec", sec)
+        .select(
+            "user_id",
+            "ts",
+            F.count("*").over(w).alias("n_trailing_1h"),
+        )
+    )
+
+
+@register(
+    "q_rank_stats",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 — distribution ranks per segment: percent_rank
+    ((rank-1)/(n-1)) and cume_dist (peers/n). Both are single IEEE
+    divisions of integers — deterministic cross-engine; ties broken by
+    custkey so rank is total. Partitioned by segment (parallel)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -112,6 +112,9 @@ _CHECK_FIRST = [
     "q_ann_batch",
     "q_ops_unpivot",
     "q_doc_search",
+    "q_rolling_1h_count",
+    "q_rank_stats",
+    "q_intersect_active",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",
