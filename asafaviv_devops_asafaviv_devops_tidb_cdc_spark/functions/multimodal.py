@@ -219,9 +219,14 @@ def synth_container_payloads(media_ids: DataFrame) -> DataFrame:
                 rows.append((mid, b))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    from ..sources.tables import rebalance
-
-    return rebalance(media_ids.select("media_id")).mapInPandas(_build, SYNTH_SCHEMA)
+    # half the cores, not all: this stage CHAINS into decode_headers
+    # (two Python workers per task), so full-width partitioning would
+    # co-schedule 2x cores worth of Python workers and thrash
+    sc = media_ids.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism // 2, 1)
+    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
+        _build, SYNTH_SCHEMA
+    )
 
 
 def decode_headers(media: DataFrame) -> DataFrame:

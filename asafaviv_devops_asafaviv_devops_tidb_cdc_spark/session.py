@@ -29,6 +29,10 @@ def get_spark(app_name: str = "tidb_cdc_spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # reliable checkpoints (iterative CC) are write-once garbage
+        # after their RDD is GC'd — reclaim them so long sessions /
+        # repeated runs don't accumulate checkpoint files
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # events.parquet carries TIMESTAMP(NANOS); read as long, convert
         # explicitly in sources.tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

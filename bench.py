@@ -47,6 +47,11 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        # queries are independent: drop any blocks a query persisted for
+        # its own internal reuse so cached data doesn't accumulate in
+        # the executor across the 100+ query suite (memory pressure
+        # shows up as GC drag attributed to whichever query runs next)
+        spark.catalog.clearCache()
 
     print(
         json.dumps(
