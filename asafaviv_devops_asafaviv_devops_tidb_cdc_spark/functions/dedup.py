@@ -26,7 +26,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .text import fingerprint_from_tokens, shingles_from_tokens
+from .text import shingles_from_tokens
 
 N_HASHES = 4  # bands of 1 row each; candidate iff any minhash matches
 
@@ -50,10 +50,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _with_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, sh) with the distinct-shingle array MATERIALIZED AND
+    PERSISTED (memory-and-disk). Every near-dup detector reads this
+    frame from at least three plan subtrees (signature side A, side B,
+    verify attach) and Spark does not share scan subtrees across a
+    self-join, so without the persist the interpreted shingle/sha256
+    HOFs — the single most expensive expression in the repo — run 3-4x
+    per query. One cached pass is also the right cluster posture: the
+    cache is per-executor local (spills to disk, never shuffles), and
+    recomputing sha256 over ~20 shingles/doc x 100 TB three times dwarfs
+    the cache's storage cost."""
+    from pyspark import StorageLevel
+
     return (
         _balanced(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .withColumn("_toks", F.split(F.col(text_col), " "))
         .select("doc_id", shingles_from_tokens("_toks").alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -164,6 +177,10 @@ def simhash_neardup_pairs(
     dirty at most 3 of 4 bands, so no true pair is missed); verify
     exact hamming distance on the candidate pairs only."""
     band_w = SIMHASH_BITS // SIMHASH_BANDS
+    # no persist here: both sides of the band self-join shuffle the same
+    # (band, key) exchange, so ReusedExchange already computes the
+    # signature once — a cache would only add a write pass (measured
+    # slower at sf0.1)
     sh = with_simhash(
         df.select(F.col(id_col).alias("doc_id"), text_col), text_col
     ).select("doc_id", "simhash")
@@ -308,10 +325,12 @@ def ngram_jaccard_pairs(
     narrow equi-join on the min-shingle-hash — the cheapest blocking
     scheme), verified with exact Jaccard over distinct 3-gram shingles
     in integer ppm."""
-    fp = (
-        _balanced(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
-        .withColumn("_toks", F.split(F.col(text_col), " "))
-        .select("doc_id", fingerprint_from_tokens("_toks").alias("fp"))
+    # fp = min sha256 over the DISTINCT shingle set == min over the full
+    # shingle multiset (fingerprint_from_tokens semantics), so it can be
+    # derived from the cached shingle frame — the expensive shingle
+    # materialization then runs exactly once for blocking AND verify
+    fp = _with_shingles(df, text_col, id_col).select(
+        "doc_id", F.expr("array_min(transform(sh, x -> sha2(x, 256)))").alias("fp")
     )
     cand = (
         fp.alias("a")
