@@ -127,7 +127,15 @@ def neardup_pairs(
     """MinHash-LSH near-dup: salted-minhash band collision candidates,
     verified with exact Jaccard over distinct shingles (integer ppm).
     Returns (doc_a, doc_b, jaccard_ppm) with doc_a < doc_b."""
-    sigs = minhash_signatures(df, text_col, id_col)
+    from pyspark import StorageLevel
+
+    # persist: both self-join sides read the signature rows (n_docs x
+    # n_hashes, narrow); without it the 4x-sha256-per-shingle signature
+    # expression re-runs once per join side (same AQE-broadcast
+    # no-ReusedExchange trap as the simhash path below)
+    sigs = minhash_signatures(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = (
         sigs.alias("a")
         .join(
@@ -177,13 +185,21 @@ def simhash_neardup_pairs(
     dirty at most 3 of 4 bands, so no true pair is missed); verify
     exact hamming distance on the candidate pairs only."""
     band_w = SIMHASH_BITS // SIMHASH_BANDS
-    # no persist here: both sides of the band self-join shuffle the same
-    # (band, key) exchange, so ReusedExchange already computes the
-    # signature once — a cache would only add a write pass (measured
-    # slower at sf0.1)
-    sh = with_simhash(
-        df.select(F.col(id_col).alias("doc_id"), text_col), text_col
-    ).select("doc_id", "simhash")
+    # PERSIST the signature frame: it is tiny (doc_id + 64-char string)
+    # but feeds both sides of the band self-join, and AQE broadcasts one
+    # side — the two sides then plan as DIFFERENT subtrees with no
+    # ReusedExchange, recomputing the interpreted 64-bit vote aggregate
+    # (the most expensive expression in this file) once per subtree
+    # (observed: 6 parquet scans in the physical plan, 20 s at sf0.1 vs
+    # 5 s cached). One cached map pass is also the cluster posture: the
+    # signature is O(corpus) to compute and O(doc_id) to store.
+    from pyspark import StorageLevel
+
+    sh = (
+        with_simhash(df.select(F.col(id_col).alias("doc_id"), text_col), text_col)
+        .select("doc_id", "simhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -329,8 +345,18 @@ def ngram_jaccard_pairs(
     # shingle multiset (fingerprint_from_tokens semantics), so it can be
     # derived from the cached shingle frame — the expensive shingle
     # materialization then runs exactly once for blocking AND verify
-    fp = _with_shingles(df, text_col, id_col).select(
-        "doc_id", F.expr("array_min(transform(sh, x -> sha2(x, 256)))").alias("fp")
+    from pyspark import StorageLevel
+
+    # persist: the fingerprint (one sha256 per shingle, reduced to a
+    # min) feeds both self-join sides — cache the narrow (doc_id, fp)
+    # frame so the hash pass runs once, not once per side
+    fp = (
+        _with_shingles(df, text_col, id_col)
+        .select(
+            "doc_id",
+            F.expr("array_min(transform(sh, x -> sha2(x, 256)))").alias("fp"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (
         fp.alias("a")

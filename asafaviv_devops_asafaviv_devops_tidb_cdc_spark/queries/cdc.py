@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators import parse as P
 from ..registry import register
 from ..sources import envelopes_from_events, load_table
+from ..sources.event_sink import normalized_sink
 
 
 def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -22,7 +23,10 @@ def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return P.normalized_events(_raw(spark, sf_dir))
+    # analytics consumers read the materialized sink (built once by the
+    # real P1-P5 chain — see sources/event_sink.py), mirroring the
+    # reference where dashboards query ES, not the Kafka topic
+    return normalized_sink(spark, sf_dir)
 
 
 # Shared oracle CTE mirroring sources/cdc_gen.py's derivation spec.

@@ -28,7 +28,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return P.normalized_events(envelopes_from_events(_events(spark, sf_dir)))
+    # read the materialized event sink (sources/event_sink.py) — the
+    # reference's dashboards likewise query ES, not the Kafka topic
+    from ..sources.event_sink import normalized_sink
+
+    return normalized_sink(spark, sf_dir)
 
 
 def _bucket_case_sql(expr: str) -> str:

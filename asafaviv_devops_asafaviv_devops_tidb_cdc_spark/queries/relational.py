@@ -29,9 +29,11 @@ from .cdc import TYPED_CTE
 
 
 def _typed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    typed = P.typed_rows(
-        P.normalized_events(envelopes_from_events(load_table(spark, sf_dir, "events")))
-    )
+    # typed view over the materialized sink (sources/event_sink.py):
+    # P6 is a pure projection, so it stays live; P1-P5 land once
+    from ..sources.event_sink import normalized_sink
+
+    typed = P.typed_rows(normalized_sink(spark, sf_dir))
     return typed.withColumnRenamed("offset", "offset_")
 
 

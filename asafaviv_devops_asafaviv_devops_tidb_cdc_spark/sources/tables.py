@@ -72,6 +72,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # lose precision above 2^53) — same truncation parquet readers
         # with native micros support apply.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet timestamps written with isAdjustedToUTC=false arrive as
+    # TIMESTAMP_NTZ, which unix_millis()/window() reject. Interpret the
+    # wall clock as UTC explicitly (to_utc_timestamp, NOT a bare cast,
+    # which would go through the session timezone) so epochs are
+    # identical in any session and match DuckDB's naive-as-UTC reading.
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz:
+        df = df.withColumns(
+            {c: F.to_utc_timestamp(F.col(c), "UTC") for c in ntz}
+        )
     return df
 
 

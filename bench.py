@@ -44,7 +44,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()
         dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
+        timings[name] = round(dt, 2)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
         # queries are independent: drop any blocks a query persisted for
@@ -53,17 +53,26 @@ def main() -> None:
         # shows up as GC drag attributed to whichever query runs next)
         spark.catalog.clearCache()
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    # ONE JSON line. The driver records only the LAST 2000 characters of
+    # stdout; with 100+ queries the line exceeds that, so the headline
+    # fields (metric/value/unit/sf) go LAST so they always survive the
+    # tail truncation, and the full payload is also written to
+    # BENCH_SELF.json for direct reading.
+    payload = {
+        "queries": timings,
+        "metric": "suite_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    print(line)
+    try:
+        Path(REPO, "BENCH_SELF.json").write_text(
+            json.dumps(payload, indent=1) + "\n"
         )
-    )
+    except OSError:
+        pass
     spark.stop()
 
 
