@@ -167,6 +167,89 @@ def ivf_topk(
     return _topk_ranked(scored, id_col, k)
 
 
+def cosine_pairs_pd(a_col: str, b_col: str):
+    """Arrow-batched cosine over two dense-vector columns: one numpy
+    einsum per batch instead of an interpreted lambda per element.
+    Same formula as ``cosine`` (raw dot / sqrt(nsq_a * nsq_b))."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va, vb):
+        import numpy as np
+        import pandas as pd
+
+        if not len(va):
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(
+            np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
+        )
+        return pd.Series(num / den)
+
+    return _cos(a_col, b_col)
+
+
+def allpairs_cosine_x10k(
+    corpus: DataFrame,
+    threshold_x10k: int = 3000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, Arrow-vectorized.
+
+    Dense vector math is the one place where built-in higher-order
+    functions lose by orders of magnitude: ``aggregate(zip_with(...))``
+    evaluates an interpreted lambda per element (measured 74 s for
+    2 000 x 2 000 x 64-dim at sf0.1), while a numpy matmul over the same
+    data is milliseconds. So this path follows the sanctioned E3 shape:
+    one side is collected/broadcast as a dense matrix (it is the
+    broadcast side of the join either way), and ``mapInPandas`` streams
+    the corpus through executors computing a blocked ``A @ B.T``.
+
+    Scale posture: identical to a broadcast join — works while ONE side
+    fits in a broadcast (~GBs of vectors); beyond that, block BOTH sides
+    by id-range and join block pairs. Float semantics mirror the SQL/
+    DuckDB formula (raw dot / sqrt(nsq_a * nsq_b), floor(x*1e4+0.5)) so
+    the 1e-4-unit output is oracle-stable.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    nsq = np.einsum("ij,ij->i", mat, mat)
+    bc = spark.sparkContext.broadcast((ids, mat, nsq))
+
+    def gen(batches):
+        import pandas as pd
+
+        ids_b, mat_b, nsq_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            nsq_a = np.einsum("ij,ij->i", A, A)
+            cos = (A @ mat_b.T) / np.sqrt(np.outer(nsq_a, nsq_b))
+            x10k = np.floor(cos * 10000 + 0.5)
+            keep = (x10k >= threshold_x10k) & (ids_b[None, :] > a_ids[:, None])
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ii],
+                    "id_b": ids_b[jj],
+                    "cosine_x10k": x10k[ii, jj].astype(np.int64),
+                }
+            )
+
+    return rebalance(corpus.select(id_col, vec_col)).mapInPandas(
+        gen, "id_a long, id_b long, cosine_x10k long"
+    )
+
+
 def planted_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -185,8 +268,13 @@ def planted_neardup_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
     )
     cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    # verify with the Arrow-vectorized cosine: candidate pairs carry
+    # both dense vectors, and a batched numpy einsum beats the
+    # interpreted per-element fold by ~10-100x on the exact-verify
+    # stage (the LSH pre-filter keeps the pair count near-linear, so
+    # this stage is small — but it sat at 15 s at sf0.1 interpreted)
     return (
-        cand.withColumn("cos_raw", cosine("va", "vb"))
+        cand.withColumn("cos_raw", cosine_pairs_pd("va", "vb"))
         .filter(F.col("cos_raw") > threshold)
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
     )

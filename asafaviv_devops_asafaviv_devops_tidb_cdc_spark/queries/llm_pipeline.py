@@ -429,6 +429,39 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, query_vec_id=0, k=10, centroid_mod=50, nprobe=2)
 
 
+@register(
+    "q_ann_recall",
+    oracle=f"""
+WITH exact_tk AS (SELECT vec_id FROM ({_cosine_oracle_sql()})),
+approx_tk AS (SELECT vec_id FROM ({_ivf_oracle_sql()}))
+SELECT 10 AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) * 100000 AS BIGINT) AS recall_ppm
+FROM exact_tk JOIN approx_tk USING (vec_id)
+""",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — ANN quality self-validation: recall@10 of the IVF probe
+    path against the exact brute-force top-k, as one query. This is the
+    metric that decides nprobe/centroid count on a real corpus — an
+    approximate index you can't measure is an index you can't trust.
+    Both sides reuse the production operators; the join is 10x10 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    approx = similarity.ivf_topk(
+        emb, query_vec_id=0, k=10, centroid_mod=50, nprobe=2
+    ).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count("*").alias("n_hit"))
+        .select(
+            F.lit(10).alias("k"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            (F.col("n_hit") * 100000).cast("long").alias("recall_ppm"),
+        )
+    )
+
+
 @register("q_embedding_neardup")  # rows-only: float compare too sharp to hash
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2/E3 — embedding-cosine near-dup over LSH buckets; planted
@@ -1125,37 +1158,18 @@ SELECT id_a, id_b, cosine_x10k FROM (
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2e/E3 — exact all-pairs cosine >= 0.30 over the embedding
     dictionary: the exhaustive ground truth the LSH path
-    (q_embedding_neardup) approximates. The embeddings table is a
-    fixed-size dictionary (500 vectors at every SF), so all-pairs is a
-    broadcast nested-loop over ~125k candidates — the right plan AT
-    THIS CARDINALITY; corpus-scale near-dup goes through the bucketed
-    q_embedding_neardup path instead. Cosine emitted as exact integer
-    1e-4 units (same IEEE fold both engines)."""
+    (q_embedding_neardup) approximates. All-pairs is only sane while
+    one side broadcasts (dictionary-sized tables); corpus-scale
+    near-dup goes through the bucketed q_embedding_neardup path
+    instead. Cosine emitted as exact integer 1e-4 units with the same
+    raw-dot / sqrt(nsq*nsq) float formula as the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms materialize ONCE per side (map stage) so the O(n^2) pair
-    # stage folds a single dot product per candidate, not three; the
-    # probe side spreads across cores (single-split input otherwise
-    # serializes the whole O(n^2) stage on one thread)
-    a = similarity.rebalance(emb).select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-        similarity.sq_norm("embedding").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-        similarity.sq_norm("embedding").alias("nb"),
-    )
-    cos = similarity.dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb"))
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.floor(cos * 10000 + 0.5).cast("long").alias("cosine_x10k"),
-        )
-        .filter(F.col("cosine_x10k") >= 3000)
-    )
+    # Arrow-vectorized blocked matmul (functions/similarity.py::
+    # allpairs_cosine_x10k): the dictionary side broadcasts as a dense
+    # matrix, the probe side streams through mapInPandas — the
+    # interpreted zip_with fold was 74 s at sf0.1 (2k x 2k x 64-dim),
+    # the matmul form is ~1 s and keeps the identical float formula
+    return similarity.allpairs_cosine_x10k(emb, threshold_x10k=3000)
 
 
 @register(
@@ -1271,7 +1285,16 @@ def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(TX.tokens()).alias("term"))
         .filter(F.col("term").isin(_SEARCH_TERMS))
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df aggregation and the scoring join — persist
+    # the (tiny, query-term-filtered) frame so the tokenize+explode
+    # scan runs once, not once per subtree
+    from pyspark import StorageLevel
+
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     return (

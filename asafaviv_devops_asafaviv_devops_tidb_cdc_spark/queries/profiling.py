@@ -1,0 +1,168 @@
+"""Data-profiling + tokenizer-statistics queries (round 3).
+
+Four operators a large-scale training-data pipeline runs constantly:
+adjacent-token pair counts (the BPE-merge statistic), order-of-magnitude
+document-length histograms, per-column null/distinct profiling (the
+first query anyone runs on a new 100 TB table), and JSON schema-drift
+tracking over a semi-structured column. All pure built-in-function
+DataFrame code (one shuffle each) with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "q_bigram_counts",
+    oracle="""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+         AS bigram
+  FROM toks
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM big
+GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT 100
+""",
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — adjacent-token pair frequencies: the statistic a BPE/WordPiece
+    tokenizer trainer recomputes every merge round. zip_with over two
+    shifted slices builds the pair list without a per-element lambda
+    join; one shuffle on the pair key with map-side partial aggregation,
+    then a deterministic (n DESC, bigram) top-100 — at 100 TB the
+    groupBy is the canonical word-count shape and the top-k is
+    TakeOrderedAndProject, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        big.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(100)
+    )
+
+
+@register(
+    "q_doc_len_histogram",
+    oracle="""
+SELECT CAST(length(CAST(len(string_split(text, ' ')) AS VARCHAR)) AS INTEGER)
+         AS magnitude,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1
+""",
+)
+def q_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — document-length histogram in decimal orders of magnitude
+    (bucket = digit count of the token count: 1-9, 10-99, ...). The
+    bucket function is pure integer/string arithmetic so it is
+    bit-identical cross-engine — floor(log10(x)) would hit libm
+    rounding at bucket edges. Map-side partial agg, one tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    return (
+        docs.select(
+            F.length(n_toks.cast("string")).cast("int").alias("magnitude"),
+            n_toks.alias("n_toks"),
+        )
+        .groupBy("magnitude")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@register(
+    "q_null_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — row/null/distinct counts for every column in
+    one pass: the first query anyone runs against a new 100 TB table.
+    Implemented as a single unpivot (explode of (col, value-string)
+    structs — one scan, no per-column job) + one groupBy. Values are
+    cast to string only as a distinct-count carrier: both engines' casts
+    are injective, so the count is exact even though the rendered
+    strings differ cross-engine. At scale swap COUNT(DISTINCT) for
+    approx_count_distinct — declared, not silently done, because the
+    oracle pins exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    return kv.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.count_distinct("v").alias("n_distinct"),
+    )
+
+
+@register(
+    "q_schema_drift",
+    oracle="""
+WITH k AS (
+  SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_num,
+         unnest(json_keys(props)) AS key
+  FROM events
+)
+SELECT day_num, key, CAST(COUNT(*) AS BIGINT) AS n
+FROM k
+GROUP BY 1, 2
+""",
+)
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift tracking over a semi-structured column: which JSON
+    keys appear per day, and how often. New keys showing up (or old
+    ones vanishing) between days is how upstream producer changes get
+    caught before they corrupt a typed view. json_object_keys is
+    JVM-side; one shuffle on (day, key)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("unix_millis(ts) div 86400000").cast("long").alias("day_num"),
+            F.explode(F.json_object_keys("props")).alias("key"),
+        )
+        .groupBy("day_num", "key")
+        .agg(F.count("*").alias("n"))
+    )

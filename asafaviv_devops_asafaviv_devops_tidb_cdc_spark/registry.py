@@ -26,6 +26,7 @@ _QUERY_MODULES = [
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.streaming_checks",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.logs",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.window_funcs",
+    "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.profiling",
 ]
 
 # Registration (= iteration) order for the exported query dict. The
@@ -115,6 +116,12 @@ _CHECK_FIRST = [
     "q_rolling_1h_count",
     "q_rank_stats",
     "q_intersect_active",
+    # new in round 3 — never checked
+    "q_bigram_counts",
+    "q_doc_len_histogram",
+    "q_null_profile",
+    "q_schema_drift",
+    "q_ann_recall",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",
