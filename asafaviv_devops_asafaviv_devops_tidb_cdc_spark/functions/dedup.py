@@ -142,6 +142,13 @@ def neardup_pairs(
     sigs = minhash_signatures(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # EAGER materialization: AQE submits both self-join sides as
+    # concurrent jobs; with a lazy cache they race to compute the same
+    # partitions under the cache's per-block locks — duplicated
+    # interpreted-HOF work plus lock serialization (observed as twin
+    # lockstep stages taking ~10x the single-pass time). One count()
+    # builds the cache once; both sides then only read it.
+    sigs.count()
     cand = (
         sigs.alias("a")
         .join(
@@ -163,20 +170,29 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Dimension d is hex digit d of sha256(token): a token votes +1 on
     bit d iff that digit's high bit is set (char >= '8'), else -1; the
-    sign of the vote sum is the bit. Token hashes are materialized once
-    (``_th``) so sha256 runs once per token, not once per (token, bit).
-    Map-only, portable to any engine with sha256 (the only shuffle is
-    ``_balanced``'s spread when the input arrives under-partitioned)."""
-    df = _balanced(df).withColumn(
-        "_th", F.expr(f"transform(split({text_col}, ' '), t -> sha2(t, 256))")
+    sign of the vote sum is the bit.
+
+    Shape matters here: the whole signature is ONE ``aggregate`` fold
+    over the token-hash array, accumulating all 64 vote sums as an
+    int array, then mapped to bits. The naive form — materialize the
+    hash array in one projection, then 64 per-dimension aggregates in
+    the next — is a CollapseProject trap: the optimizer inlines the
+    hash-array expression into the per-dimension lambda and sha256 runs
+    64x per token (measured ~10x the query). A single fold references
+    the hash array exactly once, so sha256 runs once per token no
+    matter what the optimizer collapses. Map-only, portable to any
+    engine with sha256 (integer vote addition is associative, so the
+    fold order doesn't change results)."""
+    votes = (
+        f"aggregate(transform(split({text_col}, ' '), t -> sha2(t, 256)), "
+        f"array_repeat(0, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(1, {SIMHASH_BITS}), "
+        f"(a, d) -> a + (CASE WHEN substring(h, d, 1) >= '8' THEN 1 ELSE -1 END)))"
     )
     sim = F.expr(
-        f"concat_ws('', transform(sequence(1, {SIMHASH_BITS}), d -> "
-        f"CASE WHEN aggregate(_th, 0, (acc, h) -> "
-        f"acc + (CASE WHEN substring(h, d, 1) >= '8' THEN 1 ELSE -1 END)) >= 0 "
-        f"THEN '1' ELSE '0' END))"
+        f"concat_ws('', transform({votes}, s -> CASE WHEN s >= 0 THEN '1' ELSE '0' END))"
     )
-    return df.withColumn("simhash", sim).drop("_th")
+    return _balanced(df).withColumn("simhash", sim)
 
 
 def simhash_neardup_pairs(
@@ -201,30 +217,30 @@ def simhash_neardup_pairs(
     # signature is O(corpus) to compute and O(doc_id) to store.
     from pyspark import StorageLevel
 
-    # the signature frame additionally carries the bitstring packed into
-    # two 32-bit longs: the verify stage then computes hamming distance
-    # with xor + bit_count — whole-stage-codegen integer ops — instead
-    # of a 64-iteration interpreted substring lambda per candidate pair
-    # (measured: the lambda form was ~80M interpreted calls / 15-70 s at
-    # sf0.1's 620k candidate pairs; the packed form is sub-second)
-    sh = (
+    # Materialize the RAW signature frame FIRST, then derive the packed
+    # ints / band keys from the cache. Deriving them in the same
+    # projection is a trap: CollapseProject inlines the interpreted
+    # 64-dim vote aggregate — the most expensive expression in the repo
+    # — into EVERY derived column, evaluating it once per output column
+    # (measured 3x = 13.5 s vs 4.5 s single-eval at sf0.1). The cache
+    # boundary pins exactly one evaluation; everything after reads the
+    # 64-char string. The eager count also keeps AQE's two concurrent
+    # join-side jobs from racing to build the same cache under the
+    # block locks.
+    sig_only = (
         with_simhash(df.select(F.col(id_col).alias("doc_id"), text_col), text_col)
-        .select(
-            "doc_id",
-            "simhash",
-            F.expr("cast(conv(substring(simhash, 1, 32), 2, 10) as bigint)").alias(
-                "hi"
-            ),
-            F.expr("cast(conv(substring(simhash, 33, 32), 2, 10) as bigint)").alias(
-                "lo"
-            ),
-        )
+        .select("doc_id", "simhash")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bands = sh.select(
+    sig_only.count()
+    # packed 2x32-bit form: hamming distance in the verify stage becomes
+    # xor + bit_count — whole-stage-codegen integer ops instead of a
+    # 64-iteration interpreted substring lambda per candidate pair
+    # (~80M interpreted calls / 15-70 s at sf0.1's 620k pairs)
+    bands = sig_only.select(
         "doc_id",
-        "hi",
-        "lo",
+        F.expr("cast(conv(substring(simhash, 1, 32), 2, 10) as bigint)").alias("hi"),
+        F.expr("cast(conv(substring(simhash, 33, 32), 2, 10) as bigint)").alias("lo"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
@@ -391,6 +407,8 @@ def ngram_jaccard_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # eager build — see neardup_pairs
+    fp.count()
     cand = (
         fp.alias("a")
         .join(

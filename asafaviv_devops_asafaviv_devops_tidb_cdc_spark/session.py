@@ -37,7 +37,12 @@ def get_spark(app_name: str = "tidb_cdc_spark", shuffle_partitions: int | None =
         # explicitly in sources.tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] puts all 32 executor threads plus every persisted
+        # block in ONE driver JVM: 8g forced cache eviction + GC thrash
+        # under the signature/sink caches (observed 4x run-to-run
+        # variance on the near-dup queries). On a real cluster this is
+        # executor memory, sized per-executor instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
