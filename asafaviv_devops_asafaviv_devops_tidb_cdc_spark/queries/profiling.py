@@ -139,6 +139,45 @@ def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_key_skew",
+    oracle="""
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+),
+stats AS (
+  SELECT MAX(n) AS max_n, COUNT(*) AS n_keys, SUM(n) AS n_rows FROM per_key
+)
+SELECT p.user_id, CAST(p.n AS BIGINT) AS n,
+       CAST(p.n * s.n_keys * 1000000 // s.n_rows AS BIGINT) AS skew_x1m
+FROM per_key p, stats s
+ORDER BY p.n DESC, p.user_id
+LIMIT 10
+""",
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the top-10 heaviest keys and their
+    skew factor (key count / mean count, integer 1e-6 units) — the
+    query you run BEFORE choosing a salting factor or trusting AQE's
+    skew-join split on a 100 TB join. One groupBy shuffle, a broadcast
+    single-row stats side, TakeOrderedAndProject top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"), F.sum("n").alias("n_rows")
+    )
+    return (
+        per_key.join(F.broadcast(stats))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * n_keys * 1000000 div n_rows").cast("long").alias("skew_x1m"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
     "q_schema_drift",
     oracle="""
 WITH k AS (

@@ -27,6 +27,7 @@ _QUERY_MODULES = [
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.logs",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.window_funcs",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.profiling",
+    "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.storage",
 ]
 
 # Registration (= iteration) order for the exported query dict. The
@@ -122,6 +123,8 @@ _CHECK_FIRST = [
     "q_null_profile",
     "q_schema_drift",
     "q_ann_recall",
+    "q_pruned_scan",
+    "q_key_skew",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",

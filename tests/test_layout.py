@@ -1,0 +1,48 @@
+"""Storage-layout operators: partition pruning, one-file-per-partition
+writes, and small-file compaction (sources/layout.py)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.plans import checks
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import layout
+
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def test_pruned_scan_has_partition_filter(spark):
+    """The ship-year predicate must reach the scan as a PARTITION
+    filter (directory pruning), not a post-scan row filter."""
+    df = registry.QUERIES["q_pruned_scan"](spark, SF_SMOKE)
+    plan = checks.plan_string(df)
+    assert "PartitionFilters" in plan, plan
+    assert "ship_year" in plan, plan
+
+
+def test_partitioned_layout_one_file_per_partition(spark):
+    t = layout.partitioned_lineitem(spark, SF_SMOKE)
+    years = [r[0] for r in t.select("ship_year").distinct().collect()]
+    first = t.inputFiles()[0]
+    local = "/" + first.split(":", 1)[1].lstrip("/")  # file:///x and file:/x
+    root = Path(local).parent.parent
+    for y in years:
+        files = list((root / f"ship_year={y}").glob("*.parquet"))
+        assert len(files) == 1, f"ship_year={y}: {len(files)} files"
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    spark.range(10_000).repartition(16).write.parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    n_before, n_after = layout.compact(spark, path, target_mb=128)
+    assert n_before == 16
+    assert n_after == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after.agg(F.sum("id")).first()[0] == sum(range(10_000))
