@@ -123,18 +123,19 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     events.write.mode("overwrite").parquet(str(base / "src"))
     name = f"winagg_{abs(hash(sf_dir)) % 10_000_000}"
-    q = (
-        spark.readStream.schema(events.schema)
-        .parquet(str(base / "src"))
-        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with ingest.scoped_shuffle_partitions(spark, ingest.STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            spark.readStream.schema(events.schema)
+            .parquet(str(base / "src"))
+            .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(f"SELECT w.start AS window_start, event_type, n FROM {name}")
 
 
@@ -194,13 +195,14 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") <= F.col("purchase_ts")),
     )
     name = f"ssjoin_{abs(hash(sf_dir)) % 10_000_000}"
-    q = (
-        joined.select("user_id", "click_ts", "purchase_ts")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with ingest.scoped_shuffle_partitions(spark, ingest.STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            joined.select("user_id", "click_ts", "purchase_ts")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(f"SELECT user_id, click_ts, purchase_ts FROM {name}")

@@ -23,6 +23,7 @@ reference lacks).
 from __future__ import annotations
 
 import shutil
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -141,6 +142,27 @@ def write_envelope_files(
     return str(out)
 
 
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Run a (streaming) query with ``spark.sql.shuffle.partitions=n``,
+    restoring the previous value after. Stateful operators allocate one
+    state store per shuffle partition and pay a per-store commit on
+    every micro-batch — for the replay harness's state sizes, 32 stores
+    are pure fixed overhead (measured ~2x on the availableNow streams).
+    A production stream sizes this to its state volume; the checkpoint
+    pins it from the first run onward either way."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
 def read_envelope_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(SOURCE_SCHEMA)
@@ -182,12 +204,13 @@ def run_ingest(
     normalized = normalized.withColumn("event_date", F.to_date("ts")).repartition(
         "table_name", "event_date"
     )
-    q = (
-        normalized.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("table_name", "event_date")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            normalized.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .partitionBy("table_name", "event_date")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

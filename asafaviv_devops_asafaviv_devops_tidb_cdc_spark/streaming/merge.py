@@ -103,10 +103,13 @@ def run_replay_stream(
         new_state = new_state.localCheckpoint(eager=True)
         new_state.write.mode("overwrite").parquet(state_dir)
 
-    q = (
-        typed.writeStream.foreachBatch(apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .ingest import STREAM_SHUFFLE_PARTITIONS, scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            typed.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
