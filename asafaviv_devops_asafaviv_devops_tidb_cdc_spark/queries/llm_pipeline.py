@@ -308,6 +308,135 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(pairs)
 
 
+@register(
+    "q_cluster_sizes",
+    oracle=f"WITH RECURSIVE corpus AS ({_CORPUS_BODY}),\n"
+    + _NGRAM_PAIRS_CTES.strip()
+    + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+FROM sizes
+GROUP BY 1
+""",
+)
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2d — near-dup cluster-size histogram + dedup yield: for each
+    cluster size, how many clusters and how many docs dedup would drop
+    (size-1 per cluster). This is the report that decides whether
+    near-dup dedup is worth a corpus pass at all — the distribution's
+    head (pairs) vs tail (boilerplate mega-clusters) drives the
+    blocking and salting choices upstream."""
+    pairs = ngram_jaccard_pairs(_neardup_corpus(spark, sf_dir))
+    clusters = neardup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+    )
+
+
+@register(
+    "q_pii_scan",
+    oracle="""
+WITH noised AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0 THEN
+                text || ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                     || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              WHEN doc_id % 7 = 0 THEN
+                text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST(doc_id % 100 AS VARCHAR)
+                     || ' mail a' || CAST(doc_id AS VARCHAR) || '@b.io'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) )
+            AS BIGINT) AS n_phones,
+       CAST(SUM(len(regexp_extract_all(text,
+            '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+'))) AS BIGINT) AS n_ips,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')))
+            AS BIGINT) AS n_emails,
+       CAST(COUNT(*) FILTER (WHERE
+            len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) > 0
+         OR len(regexp_extract_all(text,
+            '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) > 0
+         OR len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) > 0)
+            AS BIGINT) AS n_docs_flagged
+FROM noised
+GROUP BY 1
+""",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 cleaning — PII inventory per source: phone / IPv4 / email hit
+    counts and flagged-doc counts over deterministically planted noise.
+    The scan every corpus runs BEFORE deciding scrub policy; patterns
+    stay in the Java-regex ∩ RE2 portable subset (no lookaround, no
+    backrefs). Map-only + one tiny shuffle."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    noise5 = F.concat(
+        F.col("text"),
+        F.lit(" call 555-"),
+        (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+        F.lit("-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    noise7 = F.concat(
+        F.col("text"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" mail a"),
+        F.col("doc_id").cast("string"),
+        F.lit("@b.io"),
+    )
+    noised = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, noise5)
+        .when(F.col("doc_id") % 7 == 0, noise7)
+        .otherwise(F.col("text")),
+    )
+    phones = TX.count_pattern("text", "[0-9]{3}-[0-9]{3}-[0-9]{4}")
+    ips = TX.count_pattern("text", "[0-9]+\\\\.[0-9]+\\\\.[0-9]+\\\\.[0-9]+")
+    emails = TX.count_pattern("text", "[a-z0-9.]+@[a-z0-9.]+")
+    flagged = noised.select(
+        "source",
+        phones.alias("p"),
+        ips.alias("i"),
+        emails.alias("e"),
+    )
+    return flagged.groupBy("source").agg(
+        F.sum("p").cast("long").alias("n_phones"),
+        F.sum("i").cast("long").alias("n_ips"),
+        F.sum("e").cast("long").alias("n_emails"),
+        F.sum(
+            F.when((F.col("p") > 0) | (F.col("i") > 0) | (F.col("e") > 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_docs_flagged"),
+    )
+
+
 # --- E3: similarity search -------------------------------------------------
 
 

@@ -125,6 +125,8 @@ _CHECK_FIRST = [
     "q_ann_recall",
     "q_pruned_scan",
     "q_key_skew",
+    "q_cluster_sizes",
+    "q_pii_scan",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",
