@@ -25,8 +25,10 @@ def _configure(spark: SparkSession) -> None:
     """Session settings the engine relies on regardless of who built
     the session (the driver may pass its own)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet carries TIMESTAMP(NANOS) — read as long, converted
-    # in sources.tables.load_table.
+    # Timestamp robustness across testdata generations: TIMESTAMP(NANOS)
+    # parquet reads as long (converted in sources.tables.load_table);
+    # TIMESTAMP_NTZ (micros, isAdjustedToUTC=false) is normalized to a
+    # UTC instant there too via to_utc_timestamp — session-tz-proof.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 

@@ -37,6 +37,23 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
+    # ... and the interpreted higher-order-function evaluator (sha2
+    # folds, zip_with lambdas): C2-compile the hot paths on a 64-doc
+    # sample so the first near-dup query isn't charged the one-time JIT
+    # cost (count() alone would column-prune the expression away —
+    # force evaluation through an agg over the computed column)
+    from pyspark.sql import functions as F
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import dedup
+
+    docs64 = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(64)
+        .select("doc_id", "text")
+    )
+    dedup.with_simhash(docs64).agg(F.max("simhash")).collect()
+    dedup.minhash_signatures(docs64).agg(F.max("h")).collect()
+    spark.catalog.clearCache()
 
     total = 0.0
     for name, fn in sorted(registry.QUERIES.items()):
