@@ -12,7 +12,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import register
+from ..registry import ORACLES, register
 from ..sources import load_table
 from ..streaming import alerts, ingest, merge
 
@@ -147,6 +147,52 @@ def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sink identical to single-delivery — pytest asserts it."""
     sink = _run_stream(spark, sf_dir, "dup", dup_mod=5)
     return sink.groupBy("table_name", "operation").agg(F.count("*").alias("n"))
+
+
+# the streaming sessionizer must agree row-for-row with the batch
+# q_session_windows gaps-and-islands oracle — registered with the SAME
+# oracle text (metrics registers before this module)
+@register("q_stream_sessions", oracle=ORACLES["q_session_windows"])
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9/§2.9 — gap-based session windows computed by a REAL
+    Structured Streaming aggregation (native ``session_window``, 30-min
+    inactivity gap, per-user state merged across micro-batches).
+    Complete output mode drains every session for the oracle compare;
+    a production stream uses watermark + append so only finalized
+    sessions emit and state stays bounded — the mechanism itself is
+    identical. Oracle-backed: the streaming session set must equal the
+    batch gaps-and-islands sessionization exactly."""
+    import shutil
+
+    base = _stream_workdir(sf_dir, "sessions")
+    if base.exists():
+        shutil.rmtree(base)
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(str(base / "src"))
+    stream = spark.readStream.schema(events.schema).parquet(str(base / "src"))
+    name = f"sessions_{abs(hash(sf_dir)) % 10_000_000}"
+    with ingest.scoped_shuffle_partitions(spark, ingest.STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            stream.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                .cast("long")
+                .alias("total_value_cents"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(
+        f"SELECT user_id, w.start AS session_start, n_events, "
+        f"total_value_cents FROM {name}"
+    )
 
 
 @register(

@@ -127,6 +127,7 @@ _CHECK_FIRST = [
     "q_key_skew",
     "q_cluster_sizes",
     "q_pii_scan",
+    "q_stream_sessions",
     # high-value always-on coverage fills the rest of the window
     "q_ops_by_table_op",
     "q_parse_envelope",
