@@ -222,3 +222,83 @@ def test_range_join_matches_reference(spark, pts, ivals, bucket_s):
         if s <= p < s + d
     }
     assert got == expect
+
+
+# --- round-3 additions: simhash fold, packed hamming, bigram counts -----
+
+
+def _py_simhash(tokens: list[str]) -> str:
+    """Pure-Python SimHash reference: dimension d (1-based) is hex digit
+    d of sha256(token); high-bit digit (>= '8') votes +1, else -1."""
+    import hashlib
+
+    votes = [0] * SIMHASH_BITS
+    for t in tokens:
+        h = hashlib.sha256(t.encode()).hexdigest()
+        for d in range(SIMHASH_BITS):
+            votes[d] += 1 if h[d] >= "8" else -1
+    return "".join("1" if v >= 0 else "0" for v in votes)
+
+
+_token = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters=" "),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(st.lists(_token, min_size=1, max_size=12))
+@settings(max_examples=15, deadline=None)
+def test_simhash_matches_python_reference(spark, tokens):
+    """The single-fold signature (rewritten in round 3 to dodge the
+    CollapseProject lambda-inlining trap) must still compute the
+    documented per-token-hash vote semantics exactly."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.dedup import (
+        with_simhash,
+    )
+
+    df = spark.createDataFrame([(" ".join(tokens),)], "text string")
+    got = with_simhash(df).select("simhash").first()[0]
+    assert got == _py_simhash(tokens)
+
+
+@given(
+    a=st.integers(min_value=0, max_value=2**SIMHASH_BITS - 1),
+    b=st.integers(min_value=0, max_value=2**SIMHASH_BITS - 1),
+)
+@settings(max_examples=10, deadline=None)
+def test_packed_hamming_equals_bitstring_hamming(spark, a, b):
+    """bit_count(xor) over the conv-packed 2x32-bit halves must equal
+    the naive bitstring hamming distance for arbitrary signatures."""
+    sa = format(a, f"0{SIMHASH_BITS}b")
+    sb = format(b, f"0{SIMHASH_BITS}b")
+    df = spark.createDataFrame([(sa, sb)], "sim_a string, sim_b string")
+    got = df.selectExpr(
+        "bit_count(cast(conv(substring(sim_a, 1, 32), 2, 10) as bigint)"
+        " ^ cast(conv(substring(sim_b, 1, 32), 2, 10) as bigint))"
+        " + bit_count(cast(conv(substring(sim_a, 33, 32), 2, 10) as bigint)"
+        " ^ cast(conv(substring(sim_b, 33, 32), 2, 10) as bigint)) as h"
+    ).first()[0]
+    assert got == bin(a ^ b).count("1")
+
+
+@given(st.lists(st.lists(_token, min_size=1, max_size=6), min_size=1, max_size=5))
+@settings(max_examples=10, deadline=None)
+def test_bigram_counts_conserve_totals(spark, docs):
+    """Sum of all bigram counts == sum over docs of (n_tokens - 1):
+    the zip_with shifted-slice construction must not drop or duplicate
+    pairs at array boundaries."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(" ".join(d),) for d in docs], "text string")
+    big = df.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+                "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram")
+    )
+    total = big.count()
+    assert total == sum(len(d) - 1 for d in docs)
