@@ -40,59 +40,12 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # (a) outputs changed this round — re-verify first (all cheap)
-    "q_old_image",
-    "q_typed_cast",
-    "q_filter_cmp",
-    "q_arith_update",
-    "q_join_star",
-    "q_cdc_replay",
-    "q_union_variants",
-    "q_session_windows",
-    "q_returned_items",
-    "q_join_fk",
-    "q_pricing_summary",
-    "q_ship_priority",
-    "q_local_supplier_volume",
-    "q_top_supplier",
-    "q_promo_share",
-    "q_except_deleted",
-    # (b) north-star block: no CORRECTNESS row in round 1
-    "q_dedup_exact",
-    "q_minhash_neardup",
-    "q_simhash",
-    "q_simhash_neardup",
-    "q_ngram_jaccard",
-    "q_neardup_clusters",
-    "q_cosine_topk",
-    "q_lsh_buckets",
-    "q_ivf_topk",
-    "q_embedding_neardup",
-    "q_text_stats",
-    "q_token_count",
-    "q_lang_id",
-    "q_quality_score",
-    "q_fingerprint",
-    "q_pipeline_e2e",
-    "q_props_json",
-    "q_multimodal_meta",
-    "q_multimodal_features",
-    "q_split_assign",
-    "q_stratified_sample",
-    "q_alert_sustained",
-    "q_stream_ingest_counts",
-    "q_stream_cdc_replay",
-    "q_stream_dedupe",
-    # new in round 2 — never checked
-    "q_log_ingest",
-    "q_log_error_rate",
-    "q_scrub_text",
-    "q_repetition_ratio",
-    "q_snapshot_diff",
-    "q_ops_pivot",
-    "q_media_chunks",
-    "q_stream_window_counts",
-    "q_running_total",
+    # Round-3 window. The driver oracle-checks a 50-query prefix of the
+    # registered order; rounds 1+2 together covered 83 of 117 queries, so
+    # this round the 34 never-checked queries (all oracle-backed) go
+    # first. NEW queries added this round must be inserted right after
+    # this block (before the re-verify fillers) so they land inside the
+    # 50-query window too.
     "q_moving_avg",
     "q_lag_delta",
     "q_first_last",
@@ -117,7 +70,6 @@ _CHECK_FIRST = [
     "q_rolling_1h_count",
     "q_rank_stats",
     "q_intersect_active",
-    # new in round 3 — never checked
     "q_bigram_counts",
     "q_doc_len_histogram",
     "q_null_profile",
@@ -128,16 +80,25 @@ _CHECK_FIRST = [
     "q_cluster_sizes",
     "q_pii_scan",
     "q_stream_sessions",
-    # high-value always-on coverage fills the rest of the window
+    # new in round 3 (this session) — insert here
+    # re-verify fillers: flagship chains + scale-path operators; these
+    # were green in r01/r02 and pad the window to 50
     "q_ops_by_table_op",
+    "q_cdc_replay",
+    "q_pipeline_e2e",
     "q_parse_envelope",
     "q_normalize",
     "q_asof_join",
     "q_range_join",
     "q_skew_salted_join",
-    "q_alert_liveness",
     "q_prom_quantile",
+    "q_alert_liveness",
     "q_ratio_join",
+    "q_dedup_exact",
+    "q_minhash_neardup",
+    "q_cosine_topk",
+    "q_ivf_topk",
+    "q_lang_id",
 ]
 
 _loaded = False

@@ -71,25 +71,55 @@ def main() -> None:
         spark.catalog.clearCache()
 
     # ONE JSON line. The driver records only the LAST 2000 characters of
-    # stdout; with 100+ queries the line exceeds that, so the headline
-    # fields (metric/value/unit/sf) go LAST so they always survive the
-    # tail truncation, and the full payload is also written to
-    # BENCH_SELF.json for direct reading.
-    payload = {
-        "queries": timings,
+    # stdout and parses from that truncated tail, so the line MUST fit
+    # within 2000 bytes or it can never parse (BENCH_r01/r02 both show
+    # parsed:null). With 100+ registered queries the full per-query dict
+    # is ~2.7 KB, so the stdout line carries the headline fields plus as
+    # many per-query timings as fit (slowest first — they carry nearly
+    # all the wall time); the COMPLETE payload goes to BENCH_SELF.json
+    # in the repo root for direct reading.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full_payload = {
         "metric": "suite_total_wall",
         "value": round(total, 4),
         "unit": "sec",
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "queries": timings,
     }
-    line = json.dumps(payload, separators=(",", ":"))
-    print(line)
     try:
         Path(REPO, "BENCH_SELF.json").write_text(
-            json.dumps(payload, indent=1) + "\n"
+            json.dumps(full_payload, indent=1) + "\n"
         )
     except OSError:
         pass
+
+    budget = 1900
+    fitted: dict[str, float] = {}
+    for name in sorted(timings, key=timings.get, reverse=True):
+        trial = {
+            "metric": "suite_total_wall",
+            "value": round(total, 4),
+            "unit": "sec",
+            "sf": sf_val,
+            "queries_total": len(timings),
+            "queries_omitted": len(timings) - len(fitted) - 1,
+            "queries_full": "BENCH_SELF.json",
+            "queries": {**fitted, name: timings[name]},
+        }
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        fitted[name] = timings[name]
+    line_payload = {
+        "metric": "suite_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "sf": sf_val,
+        "queries_total": len(timings),
+        "queries_omitted": len(timings) - len(fitted),
+        "queries_full": "BENCH_SELF.json",
+        "queries": fitted,
+    }
+    print(json.dumps(line_payload, separators=(",", ":")))
     spark.stop()
 
 
