@@ -36,3 +36,61 @@ def current_state(
         .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
         .drop("_rn")
     )
+
+
+def retraction_totals(
+    typed: DataFrame,
+    group_col: str = "table_name",
+    value_col: str = "value",
+    old_value_col: str = "old_value",
+    op_col: str = "operation",
+) -> DataFrame:
+    """Incremental aggregate maintenance (A10): fold each change event's
+    retraction delta (+new for insert, -old for delete, new-old for
+    update) into per-group SUM/COUNT — the materialized-view semantics
+    Flink calls retraction. For a CONSISTENT changefeed (each update's
+    old image equals the previous version) the folded totals equal the
+    recomputed aggregate over ``current_state`` — the invariant
+    tests/test_corpus_ops.py property-checks. Values enter integer
+    micros before summing (float addition is not associative)."""
+    micro = "CAST(floor({x} * 1000000 + 0.5) AS BIGINT)"
+    new_m = F.expr(micro.format(x=value_col))
+    old_m = F.expr(micro.format(x=old_value_col))
+    op = F.col(op_col)
+    delta = (
+        F.when(op == "delete", -new_m)
+        .when(op == "update", new_m - old_m)
+        .otherwise(new_m)
+    )
+    rows_w = (
+        F.when(op == "delete", -1).when(op == "update", 0).otherwise(1)
+    )
+    return typed.groupBy(group_col).agg(
+        F.sum(rows_w).cast("long").alias("net_rows"),
+        F.sum(delta).cast("long").alias("net_sum_micro"),
+    )
+
+
+def scd2_versions(
+    typed: DataFrame,
+    keys: Sequence[str] = ("table_name", "row_id"),
+    order_by: Sequence[str] = ("offset", "rownum"),
+    ts_col: str = "ts",
+    op_col: str = "operation",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """SCD2 (J9): each non-delete change event becomes a version row
+    with [valid_from_ms, valid_to_ms) bounds; the LEAD runs over ALL
+    events of the key (deletes included) so a delete closes the last
+    version without opening a new one. One shuffle on the key, then a
+    per-key sorted LEAD — version counts per key are bounded by that
+    key's change rate, not corpus size."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    ms = F.unix_millis(ts_col)
+    versions = typed.withColumn("valid_from_ms", ms).withColumn(
+        "valid_to_ms", F.lead(ms).over(w)
+    )
+    return versions.filter(F.col(op_col) != delete_op).withColumn(
+        "is_current",
+        F.when(F.col("valid_to_ms").isNull(), 1).otherwise(0).cast("int"),
+    )

@@ -1,0 +1,610 @@
+"""Training-corpus construction + CDC-state operators (round 3).
+
+Extends the north-star block (SURVEY §2.11) with the remaining
+operations a production LLM-data pipeline runs between "raw corpus"
+and "training shards", plus two CDC-state operators every warehouse
+consumer of a changefeed eventually builds (SCD2 history, incremental
+aggregate maintenance — the materialized-view-maintenance semantics
+Flink calls retraction, reference index.js:255-333 transports exactly
+the +new/-old images required for it).
+
+Cross-engine determinism rules (see queries/_money.py and SURVEY §5.2):
+floats enter integer micro/pico units via ``floor(x * 1eN + 0.5)``
+before any SUM (float addition is not associative; IEEE multiply /
+divide / floor are bit-identical in both engines); hex-prefix
+comparisons of sha256 replace rand(); `div`-style floor division is
+only applied to non-negative integers, negatives go through
+``floor(CAST(a AS DOUBLE) / b)``.
+
+Scale posture is documented per query; the shared theme: everything is
+either map-only + tiny agg, or exactly one shuffle on a declared key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import parse as P
+from ..operators.replay import retraction_totals, scd2_versions
+from ..registry import ORACLES, register
+from ..sources import load_table
+from ..sources.event_sink import normalized_sink
+from .cdc import CDC_ROWS_CTE, _OP_CASE, _TABLE_CASE
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pin float->double once so every downstream arithmetic step is
+    # IEEE double in BOTH engines (DuckDB promotes FLOAT[] lazily)
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E7 — eval-set decontamination (train/eval 5-gram overlap)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_decontaminate",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS t,
+         substr(sha256('split1_' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+           AS is_train
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_train,
+         unnest(list_transform(range(1, len(t) - 3),
+                               i -> array_to_string(t[i:i+4], ' '))) AS gram
+  FROM d WHERE len(t) >= 5
+),
+eg AS (SELECT DISTINCT doc_id, gram FROM g WHERE NOT is_train),
+tg AS (SELECT DISTINCT gram FROM g WHERE is_train)
+SELECT eg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM eg JOIN tg USING (gram)
+GROUP BY 1
+ORDER BY n_shared_grams DESC, doc_id
+LIMIT 100
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — benchmark decontamination: flag held-out docs sharing any
+    word 5-gram with the train split (the standard n-gram-overlap
+    check run before every evaluation). Split is the same salted
+    sha-prefix as q_split_assign, so train/eval membership is a pure
+    function of doc_id. Both sides are DISTINCT'd before the join, so
+    the count is exact distinct-shared-grams. One shuffle on the gram
+    key; at 100 TB replace the gram string with xxhash64(gram) twice
+    (128 bits) to shrink shuffle width ~10x — counts are unchanged at
+    any realistic collision rate. Top-100 is TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir)
+    is_train = (
+        F.substring(
+            F.sha2(F.concat(F.lit("split1_"), F.col("doc_id").cast("string")), 256),
+            1,
+            4,
+        )
+        < "e666"
+    )
+    d = docs.select(
+        "doc_id", F.split("text", " ").alias("t"), is_train.alias("is_train")
+    ).filter(F.size("t") >= 5)
+    g = d.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 4), "
+                "i -> concat_ws(' ', slice(t, i, 5)))"
+            )
+        ).alias("gram"),
+    )
+    eval_grams = g.filter(~F.col("is_train")).select("doc_id", "gram").distinct()
+    train_grams = g.filter("is_train").select("gram").distinct()
+    return (
+        eval_grams.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy(F.desc("n_shared_grams"), "doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8 — sequence packing (concat-and-chop into fixed token budgets)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+WITH d AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT source, n_toks,
+         SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_toks AS prior
+  FROM d
+)
+SELECT source,
+       CAST(prior // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS pack_tokens
+FROM c
+GROUP BY 1, 2
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — training-shard sequence packing: documents are concatenated
+    per source in doc_id order and chopped every PACK_BUDGET tokens;
+    a doc belongs to the pack where it starts (exclusive running sum
+    div budget — deterministic first-fit in arrival order). One hash
+    shuffle on source + per-partition sorted scan; the token counts
+    are exact integers so the running sum is associative-safe. At
+    100 TB this runs per output shard after a range repartition by
+    (source, doc_id) — the window never sees more than one source."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "source",
+        "n_toks",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("prior"),
+    )
+    return (
+        c.select(
+            "source",
+            F.expr(f"prior div {PACK_BUDGET}").cast("long").alias("pack_id"),
+            "n_toks",
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("pack_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9 — corpus mixture rebalance (downsample every source to the min share)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_corpus_mix",
+    oracle="""
+WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+thr AS (
+  SELECT source, n,
+         lower(lpad(hex(least((SELECT MIN(n) FROM n) * 268435456 // n,
+                              268435455)), 7, '0')) AS thr_hex
+  FROM n
+),
+kept AS (
+  SELECT d.source,
+         substr(sha256('mix1_' || CAST(d.doc_id AS VARCHAR)), 1, 7)
+           < t.thr_hex AS keep
+  FROM documents d JOIN thr t USING (source)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_orig,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM kept
+GROUP BY 1
+""",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 — mixture rebalancing: deterministically downsample every
+    source to the smallest source's share (the flat-mix baseline of
+    corpus-mixing recipes). Per-source keep-rate becomes a 7-hex-digit
+    threshold; membership is a salted-sha prefix compare per doc —
+    retry-stable and engine-portable like q_split_assign. The rate for
+    the min source caps at 0xFFFFFFF/0x10000000 (~99.9999996%) so the
+    equal-length string compare stays valid. Plan: tiny per-source
+    count agg joined back BROADCAST (sources are few); the doc pass is
+    map-only — at 100 TB this is one scan + one 8-row broadcast."""
+    docs = _docs(spark, sf_dir)
+    n = docs.groupBy("source").agg(F.count("*").alias("n"))
+    m = n.agg(F.min("n").alias("m"))
+    thr = n.crossJoin(F.broadcast(m)).select(
+        "source",
+        F.lower(
+            F.lpad(
+                F.hex(F.least(F.expr("m * 268435456 div n"), F.lit(268435455))),
+                7,
+                "0",
+            )
+        ).alias("thr_hex"),
+    )
+    kept = docs.join(F.broadcast(thr), "source").select(
+        "source",
+        (
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit("mix1_"), F.col("doc_id").cast("string")), 256
+                ),
+                1,
+                7,
+            )
+            < F.col("thr_hex")
+        ).alias("keep"),
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_orig"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E10 — int8 scalar quantization round-trip (per-vector min/max codec)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_vec_quantize",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         list_aggregate(e, 'min') AS mn,
+         list_aggregate(e, 'max') AS mx
+  FROM v
+),
+q AS (
+  SELECT vec_id, mn, mx,
+         list_transform(e, x -> CASE WHEN mx = mn THEN 0
+             ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)
+             END) AS codes,
+         e
+  FROM s
+)
+SELECT vec_id,
+       CAST(floor(mn * 1000000 + 0.5) AS BIGINT) AS qmin_micro,
+       CAST(floor(mx * 1000000 + 0.5) AS BIGINT) AS qmax_micro,
+       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+       CAST(list_aggregate(
+         list_transform(range(1, len(e) + 1),
+           i -> CAST(floor(
+                  (e[i] - (mn + codes[i] * (mx - mn) / 255))
+                  * (e[i] - (mn + codes[i] * (mx - mn) / 255))
+                  * 1e12 + 0.5) AS BIGINT)),
+         'sum') AS BIGINT) AS err_pico
+FROM q
+""",
+)
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 — int8 scalar quantization (the memory codec ANN indexes
+    ship vectors in): per-vector min/max affine map to 0..255 codes,
+    then dequantize and report the squared reconstruction error. All
+    arithmetic is IEEE double (multiply/divide/floor are bit-identical
+    cross-engine); error terms enter integer picounits BEFORE the sum
+    so accumulation order can't matter. Entirely map-only higher-order
+    functions — zero shuffles at any scale; the same expressions write
+    the codes column at ingest time."""
+    v = _vecs(spark, sf_dir)
+    s = v.select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("mn"),
+        F.array_max("e").alias("mx"),
+    )
+    q = s.withColumn(
+        "codes",
+        F.expr(
+            "transform(e, x -> CASE WHEN mx = mn THEN 0L "
+            "ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT) END)"
+        ),
+    )
+    return q.select(
+        "vec_id",
+        F.expr("CAST(floor(mn * 1000000 + 0.5) AS BIGINT)").alias("qmin_micro"),
+        F.expr("CAST(floor(mx * 1000000 + 0.5) AS BIGINT)").alias("qmax_micro"),
+        F.expr("aggregate(codes, 0L, (acc, x) -> acc + x)").alias("code_sum"),
+        F.expr(
+            "aggregate(transform(sequence(1, size(e)), i -> CAST(floor("
+            "  (e[i-1] - (mn + codes[i-1] * (mx - mn) / 255))"
+            "  * (e[i-1] - (mn + codes[i-1] * (mx - mn) / 255))"
+            "  * 1e12 + 0.5) AS BIGINT)), 0L, (acc, x) -> acc + x)"
+        ).alias("err_pico"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E11 — one Lloyd iteration of k-means (IVF coarse-quantizer training step)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+
+
+@register(
+    "q_kmeans_iter",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {KMEANS_K}),
+dist AS (
+  SELECT v.vec_id, cent.cid,
+         list_aggregate(list_transform(range(1, len(v.e) + 1),
+           i -> CAST(floor((v.e[i] - cent.c[i]) * (v.e[i] - cent.c[i])
+                           * 1e12 + 0.5) AS BIGINT)), 'sum') AS d2_pico
+  FROM v, cent
+),
+assigned AS (
+  SELECT vec_id, cid
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2_pico, cid) AS rn
+        FROM dist)
+  WHERE rn = 1
+),
+ex AS (
+  SELECT a.cid,
+         unnest(list_transform(range(1, len(v.e) + 1),
+           i -> {{'dim': i, 'val': CAST(floor(v.e[i] * 1000000 + 0.5)
+                                        AS BIGINT)}})) AS u
+  FROM assigned a JOIN v USING (vec_id)
+)
+SELECT cid AS cluster_id,
+       CAST(u.dim AS INTEGER) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(floor(CAST(SUM(u.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS mean_micro
+FROM ex
+GROUP BY 1, 2
+""",
+)
+def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 — one Lloyd iteration (assign + recenter), the training step
+    behind q_ivf_topk's coarse quantizer. Seeds are the first K vectors
+    (deterministic); distances accumulate in integer picounits with
+    ties broken by centroid id, so the argmin is total-ordered.
+    Plan: K=8 centroids BROADCAST against the corpus (map-only score +
+    per-row argmin via min_by — no per-vector window), then posexplode
+    to (cluster, dim) cells and one tiny 8x64 agg. Means divide as
+    exact-integer-in-double then floor (integer `div` truncates toward
+    zero and embeddings go negative — floor is the cross-engine-safe
+    choice). At 100 TB: identical shape, the shuffle is K*dims cells."""
+    v = _vecs(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    dist = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.expr(
+            "aggregate(transform(sequence(1, size(e)), "
+            "i -> CAST(floor((e[i-1] - c[i-1]) * (e[i-1] - c[i-1]) * 1e12 + 0.5)"
+            " AS BIGINT)), 0L, (acc, x) -> acc + x)"
+        ).alias("d2_pico"),
+    )
+    assigned = dist.groupBy("vec_id").agg(
+        F.min_by("cid", F.struct("d2_pico", "cid")).alias("cid")
+    )
+    ex = (
+        assigned.join(v, "vec_id")
+        .select(
+            "cid",
+            F.posexplode(
+                F.expr(
+                    "transform(e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+                )
+            ).alias("dim0", "val"),
+        )
+        .select("cid", (F.col("dim0") + 1).cast("int").alias("dim"), "val")
+    )
+    return ex.groupBy(
+        F.col("cid").alias("cluster_id"), "dim"
+    ).agg(
+        F.count("*").alias("n_members"),
+        F.floor(F.sum("val").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("mean_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — SCD2 dimension history from the CDC stream
+# ---------------------------------------------------------------------------
+
+_SCD2_CTE = CDC_ROWS_CTE + f""",
+typed AS (
+  SELECT es,
+         {_TABLE_CASE} AS table_name,
+         {_OP_CASE} AS operation,
+         row_id,
+         user_id,
+         row_value AS value,
+         event_id AS offset_,
+         rownum
+  FROM cdc_rows
+)
+"""
+
+
+@register(
+    "q_scd2_history",
+    oracle=_SCD2_CTE
+    + """
+SELECT table_name, row_id, user_id, value, valid_from_ms, valid_to_ms,
+       CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS is_current
+FROM (
+  SELECT table_name, row_id, user_id, value, operation,
+         es AS valid_from_ms,
+         LEAD(es) OVER (PARTITION BY table_name, row_id
+                        ORDER BY offset_, rownum) AS valid_to_ms
+  FROM typed
+)
+WHERE operation <> 'delete'
+""",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — slowly-changing-dimension type-2 history: every non-delete
+    change event becomes a version row with [valid_from, valid_to)
+    millisecond bounds; a delete closes the last version without
+    opening a new one; open versions are is_current. This is the
+    standard warehouse materialization of exactly the changefeed the
+    reference transports (index.js:255-333 — before/after images in
+    event order). One shuffle on (table_name, row_id) then a
+    per-key sorted LEAD — the same shape at any scale; version counts
+    per key are bounded by that key's change rate, not corpus size."""
+    typed = P.typed_rows(normalized_sink(spark, sf_dir))
+    return scd2_versions(typed).select(
+        "table_name",
+        "row_id",
+        "user_id",
+        "value",
+        "valid_from_ms",
+        "valid_to_ms",
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — time-travel (as-of) lookup over the SCD2 history
+# ---------------------------------------------------------------------------
+
+_ASOF_OFFSETS_MS = (21_600_000, 43_200_000, 86_400_000)  # +6 h, +12 h, +24 h
+
+
+@register(
+    "q_scd2_asof",
+    oracle=_SCD2_CTE
+    + f""",
+v AS (
+  SELECT table_name, row_id, value, operation,
+         es AS valid_from_ms,
+         LEAD(es) OVER (PARTITION BY table_name, row_id
+                        ORDER BY offset_, rownum) AS valid_to_ms
+  FROM typed
+),
+versions AS (SELECT * FROM v WHERE operation <> 'delete'),
+probes AS (
+  SELECT off, (SELECT MIN(es) FROM typed) + off AS t_ms
+  FROM (VALUES {", ".join(f"({o})" for o in _ASOF_OFFSETS_MS)}) AS o(off)
+)
+SELECT p.off AS probe_offset_ms, vv.table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(CAST(floor(vv.value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_micro
+FROM versions vv
+JOIN probes p
+  ON vv.valid_from_ms <= p.t_ms
+ AND (vv.valid_to_ms IS NULL OR vv.valid_to_ms > p.t_ms)
+GROUP BY 1, 2
+""",
+)
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — time-travel: reconstruct each table's state AS OF three
+    probe instants (stream start +6/+12/+24 h) from the SCD2 interval
+    table — the query shape that justifies keeping history at all
+    ("what did the dimension look like when this model trained?").
+    Plan: the probe set is tiny and BROADCAST, so the interval filter
+    is a nested-loop over 3 rows per version — map-only against the
+    versions table; the versions window itself is the single
+    (table, row_id) shuffle shared with q_scd2_history. At 100 TB the
+    probes stay O(1) and nothing else changes."""
+    typed = P.typed_rows(normalized_sink(spark, sf_dir))
+    versions = scd2_versions(typed)
+    t0 = typed.agg(F.min(F.unix_millis("ts")).alias("t0"))
+    probes = (
+        spark.createDataFrame([(o,) for o in _ASOF_OFFSETS_MS], "off long")
+        .crossJoin(F.broadcast(t0))
+        .select("off", (F.col("t0") + F.col("off")).alias("t_ms"))
+    )
+    live = versions.join(
+        F.broadcast(probes),
+        (F.col("valid_from_ms") <= F.col("t_ms"))
+        & (F.col("valid_to_ms").isNull() | (F.col("valid_to_ms") > F.col("t_ms"))),
+    )
+    return live.groupBy(
+        F.col("off").alias("probe_offset_ms"), "table_name"
+    ).agg(
+        F.count("*").alias("n_live"),
+        F.sum(F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("sum_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — incremental aggregate maintenance (retraction semantics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_delta_agg",
+    oracle=CDC_ROWS_CTE
+    + f"""
+SELECT {_TABLE_CASE} AS table_name,
+       CAST(SUM(CASE WHEN e = 8 THEN -1 WHEN e = 7 THEN 0 ELSE 1 END)
+            AS BIGINT) AS net_rows,
+       CAST(SUM(CASE
+         WHEN e = 8 THEN -CAST(floor(row_value * 1000000 + 0.5) AS BIGINT)
+         WHEN e = 7 THEN CAST(floor(row_value * 1000000 + 0.5) AS BIGINT)
+                       - CAST(floor((value + 1) * 1000000 + 0.5) AS BIGINT)
+         ELSE CAST(floor(row_value * 1000000 + 0.5) AS BIGINT)
+       END) AS BIGINT) AS net_sum_micro
+FROM cdc_rows
+GROUP BY 1
+""",
+)
+def q_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — incremental materialized-view maintenance over the
+    changefeed: each event contributes its retraction delta (+new for
+    insert, -old for delete, new-old for update) to per-table SUM and
+    COUNT — the Flink/Materialize semantics that turn a CDC stream
+    into an always-fresh aggregate without replaying state. Values
+    enter integer micros before summing. Map-side partial agg + one
+    tiny shuffle on table_name; at 100 TB this runs per micro-batch
+    and folds into the serving table with a keyed upsert (the
+    streaming twin is q_stream_cdc_replay's foreachBatch MERGE)."""
+    typed = P.typed_rows(normalized_sink(spark, sf_dir))
+    return retraction_totals(typed)
+
+
+@register("q_stream_delta_agg", oracle=None)
+def q_stream_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 stream form — the retraction fold executed by a REAL
+    Structured Streaming query (foreachBatch partials, idempotent
+    epoch=<id> overwrite — streaming/delta.py). Deltas commute, so the
+    folded totals equal the batch q_delta_agg independent of batch
+    boundaries; the oracle is attached right after this definition
+    (same SQL text as q_delta_agg) and the driver hash-compares the
+    STREAMED result against the BATCH oracle — true stream/batch
+    equivalence, checked end to end."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from ..streaming import delta as D
+    from ..streaming import ingest as I
+
+    shm = _P("/dev/shm")
+    base = (
+        shm if shm.is_dir() else _P(tempfile.gettempdir())
+    ) / "tidb_cdc_spark_stream" / f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}_delta"
+    src = I.write_envelope_files(spark, sf_dir, str(base / "src"), None, n_files=4)
+    D.run_delta_stream(spark, src, str(base / "partials"), str(base / "ckpt"))
+    return D.folded_totals(spark, str(base / "partials"))
+
+
+# stream/batch equivalence IS the claim: the streamed fold must
+# hash-match the batch oracle exactly (deltas commute across batches)
+ORACLES["q_stream_delta_agg"] = ORACLES["q_delta_agg"]

