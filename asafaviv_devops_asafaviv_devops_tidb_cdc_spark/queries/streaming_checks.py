@@ -99,7 +99,7 @@ def q_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge.run_replay_stream(
         spark, src, str(base / "state"), str(base / "ckpt"), max_files_per_trigger=2
     )
-    state = merge.live_state(spark.read.parquet(str(base / "state")))
+    state = merge.live_state(merge.read_state(spark, str(base / "state")))
     return state.groupBy("table_name").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))

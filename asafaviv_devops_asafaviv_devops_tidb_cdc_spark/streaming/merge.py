@@ -70,6 +70,35 @@ def live_state(
     return state.filter(F.col(op_col) != delete_op)
 
 
+def _versions(state_dir: str) -> list[Path]:
+    base = Path(state_dir)
+    if not base.is_dir():
+        return []
+    return sorted(p for p in base.iterdir() if p.name.startswith("v"))
+
+
+def latest_state_path(state_dir: str) -> str | None:
+    """Newest committed state version (copy-on-write dir layout)."""
+    vs = _versions(state_dir)
+    return str(vs[-1]) if vs else None
+
+
+def _prune_versions(state_dir: str, keep: int = 2) -> None:
+    # keep >= 2: the previous version stays until the new one is fully
+    # written and read at least once — crash-safe without a manifest
+    for old in _versions(state_dir)[:-keep]:
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the newest state version (tombstones included — wrap with
+    ``live_state`` for the queryable view)."""
+    latest = latest_state_path(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no state versions under {state_dir}")
+    return spark.read.parquet(latest)
+
+
 def run_replay_stream(
     spark: SparkSession,
     source_dir: str,
@@ -95,13 +124,23 @@ def run_replay_stream(
     typed = P.typed_rows(P.normalized_events(stream))
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        existing = (
-            spark.read.parquet(state_dir) if Path(state_dir).exists() else None
-        )
+        # copy-on-write versioned state: read version N, write version
+        # N+1 to a NEW directory (named by epoch — a micro-batch retry
+        # overwrites its own version, idempotent), then prune old
+        # versions. No checkpoint needed: the write job reads the old
+        # parquet + batch directly (different paths, no overwrite-while-
+        # read hazard), and on a cluster an executor loss just
+        # recomputes from those durable inputs — the failure mode
+        # localCheckpoint had (executor-only blocks, no recompute path)
+        # is gone. This is exactly the table-format recipe Delta/Iceberg
+        # productionize: immutable data files + a version pointer.
+        latest = latest_state_path(state_dir)
+        existing = spark.read.parquet(latest) if latest else None
         new_state = merge_state(existing, batch_df)
-        # materialize BEFORE overwriting the path the plan reads from
-        new_state = new_state.localCheckpoint(eager=True)
-        new_state.write.mode("overwrite").parquet(state_dir)
+        new_state.write.mode("overwrite").parquet(
+            f"{state_dir}/v{epoch_id:09d}"
+        )
+        _prune_versions(state_dir, keep=2)
 
     from .ingest import STREAM_SHUFFLE_PARTITIONS, scoped_shuffle_partitions
 

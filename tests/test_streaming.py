@@ -53,7 +53,7 @@ def test_stream_merge_equals_batch_replay(spark):
     merge.run_replay_stream(
         spark, src, str(base / "state"), str(base / "ckpt"), max_files_per_trigger=2
     )
-    streamed = merge.live_state(spark.read.parquet(str(base / "state")))
+    streamed = merge.live_state(merge.read_state(spark, str(base / "state")))
 
     typed = P.typed_rows(
         P.normalized_events(envelopes_from_events(load_table(spark, SF_SMOKE, "events")))
