@@ -284,3 +284,61 @@ def test_ann_batch_window_is_partitioned_by_query(spark):
     plan = checks.plan_string(df)
     assert "Window" in plan and "query_id" in plan, plan
     assert not checks.has_cartesian(df)
+
+
+# --- round-3 corpus/CDC-state block ---------------------------------------
+
+
+def test_vec_quantize_is_map_only(spark):
+    """Pure HOF codec: no exchange, no join — one scan straight to
+    project."""
+    df = _df("q_vec_quantize", spark)
+    assert checks.count_nodes(df, "Exchange") == 0, checks.plan_string(df)
+    assert not checks.has_cartesian(df)
+    assert checks.scan_columns(df, "embeddings") == {"vec_id", "embedding"}
+
+
+def test_kmeans_iter_broadcasts_centroids(spark):
+    """The K=8 centroid side must broadcast; the only shuffle is the
+    final (cluster, dim) cell aggregation."""
+    df = _df("q_kmeans_iter", spark)
+    assert checks.uses_broadcast_join(df)
+
+
+def test_corpus_mix_broadcasts_thresholds(spark):
+    """Per-source thresholds are a tiny agg broadcast back onto the
+    scan — the doc-side pass must not shuffle on source for the join."""
+    df = _df("q_corpus_mix", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+
+
+def test_decontaminate_topk_is_take_ordered(spark):
+    df = _df("q_decontaminate", spark)
+    plan = checks.plan_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert checks.scan_columns(df, "documents") == {"doc_id", "text"}
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """One hash shuffle on source for the running sum; the pack agg
+    reuses the same partitioning (no second exchange on source)."""
+    df = _df("q_pack_sequences", spark)
+    assert checks.count_nodes(df, "Exchange") <= 2, checks.plan_string(df)
+
+
+def test_scd2_single_key_shuffle(spark):
+    """SCD2 versions: exactly the (table_name, row_id) window shuffle
+    on top of the shared normalized-sink scan."""
+    df = _df("q_scd2_history", spark)
+    plan = checks.plan_string(df)
+    assert "Window" in plan
+    assert not checks.has_cartesian(df)
+
+
+def test_scd2_asof_broadcasts_probes(spark):
+    """Three probe rows must broadcast (nested-loop over 3 rows is the
+    right plan); the versions window is the only big shuffle."""
+    df = _df("q_scd2_asof", spark)
+    plan = checks.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan or checks.uses_broadcast_join(df), plan
