@@ -1078,6 +1078,54 @@ def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_frame_sample",
+    oracle="""
+WITH frames AS (
+  SELECT doc_id AS media_id,
+         unnest(range(0, least((length(text) + 127) // 128, 32), 4))
+           AS frame_idx,
+         text
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(length(substring(text, 1 + frame_idx * 128, 128)) AS BIGINT)
+         AS frame_bytes,
+       sha256(substring(text, 1 + frame_idx * 128, 128)) AS frame_sha
+FROM frames
+""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — uniform temporal frame sampling: treat the payload as a
+    sequence of fixed 128-byte frames and keep every 4th, capped at 8
+    samples per media (the video keyframe-sampling shape: rate + cap,
+    never the whole reel). sequence() with an explicit step generates
+    only the sampled indices — the explode never materializes skipped
+    frames, so cost scales with SAMPLES, not media length. Pure
+    codegen byte-slicing, map-only at any scale."""
+    media = multimodal.as_media_table(_docs(spark, sf_dir)).filter(
+        F.col("meta.n_bytes") > 0
+    )
+    sampled = media.select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.expr(
+                "sequence(0, least((meta.n_bytes + 127) div 128, 32) - 1, 4)"
+            )
+        ).alias("frame_idx"),
+    )
+    frame = F.expr("substring(payload, 1 + frame_idx * 128, 128)")
+    return sampled.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length(frame).cast("long").alias("frame_bytes"),
+        F.sha2(frame, 256).alias("frame_sha"),
+    )
+
+
 @register("q_multimodal_features")  # rows-only: Python mapInPandas path
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 — Arrow-batched mapInPandas over binary payloads: real

@@ -44,6 +44,26 @@ HEADLINE = {
         "per-key running totals — single hash shuffle on custkey feeds "
         "row_number and cumulative sum in one partitioned Window"
     ),
+    "q_decontaminate": (
+        "train/eval 5-gram decontamination — distinct'd gram sets, one "
+        "gram-key shuffle join, TakeOrderedAndProject top-100"
+    ),
+    "q_vec_quantize": (
+        "int8 scalar quantization — pure higher-order-function codec, "
+        "zero exchanges: scan -> project"
+    ),
+    "q_kmeans_iter": (
+        "k-means Lloyd step — centroids broadcast, per-row argmin via "
+        "min_by (no window), one tiny (cluster, dim) cell aggregation"
+    ),
+    "q_scd2_history": (
+        "SCD2 versioning — single (table_name, row_id) shuffle feeds "
+        "the LEAD window over the shared normalized-sink scan"
+    ),
+    "q_delta_agg": (
+        "retraction-fold aggregate maintenance — map-side partial agg "
+        "of signed integer-micro deltas, one tiny table_name shuffle"
+    ),
 }
 
 
