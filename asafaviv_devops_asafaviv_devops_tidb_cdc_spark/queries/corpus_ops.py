@@ -608,3 +608,154 @@ def q_stream_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream/batch equivalence IS the claim: the streamed fold must
 # hash-match the batch oracle exactly (deltas commute across batches)
 ORACLES["q_stream_delta_agg"] = ORACLES["q_delta_agg"]
+
+
+# ---------------------------------------------------------------------------
+# E12 — cross-document boilerplate detection (shared-n-gram prevalence)
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 3
+
+
+@register(
+    "q_boilerplate_grams",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM d WHERE len(t) >= 3
+),
+boiler AS (
+  SELECT source, gram
+  FROM g GROUP BY 1, 2
+  HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+)
+SELECT g.source,
+       CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_boiler_grams,
+       CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_docs_affected
+FROM g JOIN boiler b ON g.source = b.source AND g.gram = b.gram
+GROUP BY 1
+""",
+)
+def q_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 — cross-document boilerplate detection (the C4/RefinedWeb
+    "repeated across documents" filter, generalized from lines to word
+    3-grams since the corpus has no line structure): a gram occurring
+    in >= {BOILER_MIN_DOCS} distinct docs of the SAME source is
+    boilerplate (headers, footers, nav chrome). Per source: how many
+    boilerplate grams and how many docs carry at least one — the
+    report that sizes a scrub pass before committing to it.
+    Plan: doc-distinct gram pairs (one explode + distinct), prevalence
+    agg on (source, gram), self-join back on the same key — the
+    partitioning from the distinct is REUSED by both the agg and the
+    join (one logical shuffle key end to end). At 100 TB hash grams
+    to 128 bits and the shuffles narrow 10x; counts are unchanged.
+    """
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    g = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), "
+                "i -> concat_ws(' ', slice(t, i, 3)))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    boiler = (
+        g.groupBy("source", "gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("source", "gram")
+    )
+    flagged = g.join(boiler, ["source", "gram"])
+    return flagged.groupBy("source").agg(
+        F.countDistinct("gram").alias("n_boiler_grams"),
+        F.countDistinct("doc_id").alias("n_docs_affected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E13 — canonical-document selection per near-dup cluster
+# ---------------------------------------------------------------------------
+
+def _canonical_oracle() -> str:
+    from .llm_pipeline import _CORPUS_BODY, _NGRAM_PAIRS_CTES
+
+    return (
+        f"WITH RECURSIVE corpus AS ({_CORPUS_BODY}),\n"
+        + _NGRAM_PAIRS_CTES.strip()
+        + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, length(co.text) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(co.text) DESC, c.doc_id) AS rn
+  FROM clusters c JOIN corpus co ON c.doc_id = co.doc_id
+)
+SELECT cluster_id,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_dropped
+FROM ranked
+GROUP BY 1
+"""
+    )
+
+
+@register("q_canonical_pick", oracle=None)
+def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 — canonical selection: after near-dup clustering, KEEP one
+    document per cluster — the longest (keep-longest is the standard
+    near-dup survivor heuristic; ties break to the smallest doc_id) —
+    and account the chars the dedup pass drops. Completes the dedup
+    story: detect (E2), cluster (E2d), now CHOOSE + measure yield.
+    Plan: cluster ids join the corpus on doc_id (one shuffle), then a
+    per-cluster window — partitioned by cluster_id, so parallelism is
+    #clusters; no global sort. At 100 TB the cluster table is tiny
+    relative to the corpus and broadcast-joins back for the final
+    keep-filter at write time."""
+    from ..functions.dedup import neardup_clusters, ngram_jaccard_pairs
+    from .llm_pipeline import _neardup_corpus
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus)
+    clusters = neardup_clusters(pairs)
+    ranked = clusters.join(
+        corpus.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("n_chars"), "doc_id"
+            )
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
+        F.count("*").alias("cluster_size"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_dropped"),
+    )
+
+
+ORACLES["q_canonical_pick"] = _canonical_oracle()
