@@ -657,16 +657,25 @@ def q_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", "source", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= 3)
-    g = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 2), "
-                "i -> concat_ws(' ', slice(t, i, 3)))"
-            )
-        ).alias("gram"),
-    ).distinct()
+    from pyspark import StorageLevel
+
+    g = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        # both the prevalence agg and the flag join read this frame;
+        # without the persist the explode+distinct runs twice (the
+        # same reuse posture as dedup._with_shingles)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     boiler = (
         g.groupBy("source", "gram")
         .agg(F.count("*").alias("n_docs"))
