@@ -78,19 +78,33 @@ def scd2_versions(
     ts_col: str = "ts",
     op_col: str = "operation",
     delete_op: str = "delete",
+    drop_deletes: bool = True,
 ) -> DataFrame:
     """SCD2 (J9): each non-delete change event becomes a version row
     with [valid_from_ms, valid_to_ms) bounds; the LEAD runs over ALL
     events of the key (deletes included) so a delete closes the last
     version without opening a new one. One shuffle on the key, then a
     per-key sorted LEAD — version counts per key are bounded by that
-    key's change rate, not corpus size."""
+    key's change rate, not corpus size.
+
+    ``drop_deletes=False`` keeps the delete rows (with their interval
+    columns) — the form a streaming maintainer must PERSIST, because a
+    late event can only splice correctly if the closing tombstone is
+    still there (streaming/scd2.py); serving views filter them."""
     w = Window.partitionBy(*keys).orderBy(*order_by)
     ms = F.unix_millis(ts_col)
-    versions = typed.withColumn("valid_from_ms", ms).withColumn(
-        "valid_to_ms", F.lead(ms).over(w)
+    versions = (
+        typed.withColumn("valid_from_ms", ms)
+        .withColumn("valid_to_ms", F.lead(ms).over(w))
+        .withColumn(
+            "is_current",
+            F.when(
+                F.col("valid_to_ms").isNull() & (F.col(op_col) != delete_op), 1
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
     )
-    return versions.filter(F.col(op_col) != delete_op).withColumn(
-        "is_current",
-        F.when(F.col("valid_to_ms").isNull(), 1).otherwise(0).cast("int"),
-    )
+    if drop_deletes:
+        versions = versions.filter(F.col(op_col) != delete_op)
+    return versions

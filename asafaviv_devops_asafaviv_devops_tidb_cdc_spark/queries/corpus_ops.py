@@ -478,6 +478,41 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_stream_scd2", oracle=None)
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 stream form — SCD2 history maintained by a REAL Structured
+    Streaming query: keyed-recompute foreachBatch (touched keys rebuild
+    their version chains from persisted tombstone-inclusive state ∪
+    batch; untouched keys carry computed intervals verbatim —
+    streaming/scd2.py). Out-of-order batches splice correctly. The
+    oracle is the SAME SQL as the batch q_scd2_history — the driver
+    hash-compares the STREAMED version table against it."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from ..streaming import ingest as I
+    from ..streaming import scd2 as S
+
+    shm = _P("/dev/shm")
+    base = (
+        shm if shm.is_dir() else _P(tempfile.gettempdir())
+    ) / "tidb_cdc_spark_stream" / f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}_scd2"
+    src = I.write_envelope_files(spark, sf_dir, str(base / "src"), None, n_files=4)
+    S.run_scd2_stream(spark, src, str(base / "state"), str(base / "ckpt"))
+    return S.history(spark, str(base / "state")).select(
+        "table_name",
+        "row_id",
+        "user_id",
+        "value",
+        "valid_from_ms",
+        "valid_to_ms",
+        "is_current",
+    )
+
+
+ORACLES["q_stream_scd2"] = ORACLES["q_scd2_history"]
+
+
 # ---------------------------------------------------------------------------
 # J10 — time-travel (as-of) lookup over the SCD2 history
 # ---------------------------------------------------------------------------

@@ -210,3 +210,46 @@ def test_scd2_asof_probes_monotone(spark):
     per_table_versions = hist.groupby("table_name").size()
     for _, row in out.iterrows():
         assert row["n_live"] <= per_table_versions[row["table_name"]]
+
+
+def test_scd2_keyed_recompute_splices_late_event(spark):
+    """A late out-of-order event must re-cut the interval it lands
+    inside — the property append-only schemes cannot provide."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming.scd2 import (
+        rebuild_state,
+    )
+
+    def ev(ts_s, op, val, off):
+        return ("2024-01-01 00:00:%02d" % ts_s, "t", op, 1, 7, float(val), off, 0)
+
+    schema = (
+        "ts_s string, table_name string, operation string, row_id long, "
+        "user_id long, value double, offset long, rownum int"
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).selectExpr(
+            "cast(ts_s as timestamp) as ts",
+            "table_name",
+            "operation",
+            "row_id",
+            "user_id",
+            "value",
+            "offset",
+            "rownum",
+        )
+
+    # batch 1: insert @0s, update @30s  -> intervals [0,30),[30,inf)
+    state = rebuild_state(None, df([ev(0, "insert", 1, 0), ev(30, "update", 3, 2)]))
+    # batch 2 (LATE): update @10s with an intermediate offset
+    state = rebuild_state(state, df([ev(10, "update", 2, 1)]))
+    got = sorted(
+        (r["valid_from_ms"], r["valid_to_ms"], r["value"])
+        for r in state.filter("operation <> 'delete'").collect()
+    )
+    base = 1704067200000  # 2024-01-01 UTC
+    assert got == [
+        (base, base + 10_000, 1.0),       # original interval RE-CUT at 10s
+        (base + 10_000, base + 30_000, 2.0),  # late event spliced in
+        (base + 30_000, None, 3.0),
+    ]
