@@ -253,3 +253,81 @@ def test_scd2_keyed_recompute_splices_late_event(spark):
         (base + 10_000, base + 30_000, 2.0),  # late event spliced in
         (base + 30_000, None, 3.0),
     ]
+
+
+_scd2_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(min_value=0, max_value=99),  # value
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_scd2_ops, st.data())
+def test_scd2_stream_equals_batch_any_split(spark, ops, data):
+    """Keyed-recompute SCD2 over ANY partition of the oplog into
+    batches — including out-of-order batch delivery — must equal the
+    batch computation over the full log."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.operators.replay import (
+        scd2_versions,
+    )
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming.scd2 import (
+        rebuild_state,
+    )
+
+    rows = [
+        ("2024-01-01 00:00:%02d" % i, "t", op, key, 7, float(val), i, 0)
+        for i, (key, op, val) in enumerate(ops)
+    ]
+    schema = (
+        "ts_s string, table_name string, operation string, row_id long, "
+        "user_id long, value double, offset long, rownum int"
+    )
+
+    def df(rs):
+        return spark.createDataFrame(rs, schema).selectExpr(
+            "cast(ts_s as timestamp) as ts",
+            "table_name",
+            "operation",
+            "row_id",
+            "user_id",
+            "value",
+            "offset",
+            "rownum",
+        )
+
+    # random batch split, then shuffle batch ORDER (out-of-order delivery)
+    n_batches = data.draw(st.integers(min_value=1, max_value=3))
+    assignment = [
+        data.draw(st.integers(min_value=0, max_value=n_batches - 1))
+        for _ in rows
+    ]
+    batches = [
+        [r for r, b in zip(rows, assignment) if b == i] for i in range(n_batches)
+    ]
+    batches = [b for b in batches if b]
+    order = data.draw(st.permutations(range(len(batches))))
+
+    state = None
+    for i in order:
+        state = rebuild_state(state, df(batches[i]))
+
+    def key_fn(r):
+        return (r["row_id"], r["valid_from_ms"], r["offset"])
+
+    got = sorted(
+        (
+            r.asDict()
+            for r in state.filter("operation <> 'delete'").collect()
+        ),
+        key=lambda d: (d["row_id"], d["valid_from_ms"], d["offset"]),
+    )
+    want = sorted(
+        (r.asDict() for r in scd2_versions(df(rows)).collect()),
+        key=lambda d: (d["row_id"], d["valid_from_ms"], d["offset"]),
+    )
+    assert got == want
