@@ -565,3 +565,89 @@ def q_sql_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REGION_REVENUE_SQL)
+
+
+@register(
+    "q_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — forecasting revenue change: a pure
+    predicate-heavy scan-aggregate. ALL four predicates (date window,
+    discount band, quantity cap) push into the parquet scan and the
+    row-group statistics prune before decode — the canonical
+    full-pushdown query. Revenue accumulates as cents x discount-cents
+    (exact 1e-4-dollar integers). Map-side partial agg to a single
+    row: zero meaningful shuffle at any scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    f = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(cents("l_extendedprice") * cents("l_discount"))
+        .cast("long")
+        .alias("revenue_e4")
+    )
+
+
+@register(
+    "q_idle_rich_customers",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_bal_cents
+FROM customer c, pos
+WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '2000-01-01')
+GROUP BY 1
+""",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — "rich but idle" customers: above-average
+    balance (scalar-aggregate subquery) with no RECENT orders — none
+    since 2000-01-01 (anti join on a date-filtered order set: the
+    churn-risk variant), grouped by segment. The average threshold compares as
+    an integer CROSS-MULTIPLY (cents x count > total-cents) — a float
+    average threshold could flip boundary rows between engines; the
+    cross-multiply is exact. Plan: the single-row positive-balance agg
+    broadcasts; the anti join shuffles on custkey (or broadcasts the
+    order-key side after AQE sizes it); one segment agg after."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count("*").alias("n"),
+        F.sum(cents("c_acctbal")).cast("long").alias("s"),
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        cents("c_acctbal") * F.col("n") > F.col("s")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        F.sum(cents("c_acctbal")).cast("long").alias("total_bal_cents"),
+    )

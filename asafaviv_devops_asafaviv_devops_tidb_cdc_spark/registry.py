@@ -95,6 +95,8 @@ _CHECK_FIRST = [
     "q_boilerplate_grams",
     "q_canonical_pick",
     "q_stream_scd2",
+    "q_forecast_revenue",
+    "q_idle_rich_customers",
     # re-verify fillers: flagship chains + scale-path operators; these
     # were green in r01/r02 and pad the window to 50
     "q_ops_by_table_op",

@@ -342,3 +342,18 @@ def test_scd2_asof_broadcasts_probes(spark):
     df = _df("q_scd2_asof", spark)
     plan = checks.plan_string(df)
     assert "BroadcastNestedLoopJoin" in plan or checks.uses_broadcast_join(df), plan
+
+
+def test_forecast_revenue_full_pushdown(spark):
+    """Q6 shape: date window, discount band, and quantity cap must ALL
+    reach the parquet scan."""
+    pushed = checks.pushed_filters(_df("q_forecast_revenue", spark))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in p for p in pushed), (col, pushed)
+
+
+def test_idle_rich_customers_no_cartesian(spark):
+    df = _df("q_idle_rich_customers", spark)
+    assert not checks.has_cartesian(df)
+    pushed = checks.pushed_filters(df)
+    assert any("o_orderdate" in p for p in pushed), pushed
