@@ -1,8 +1,10 @@
-"""Streaming-semantics queries (SURVEY §2.9 / W7). The sustained-alert
-batch form is SQL-expressible and gets a DuckDB oracle; the replay
-harness queries run REAL Structured Streaming (availableNow file
-source -> P1-P5 -> parquet sink) and are rows-only — the accompanying
-pytest asserts stream-equals-batch.
+"""Streaming-semantics queries (SURVEY §2.9 / W7): REAL Structured
+Streaming executions (availableNow file source -> P1-P5 -> sinks),
+every one of them oracle-backed — the streamed results are
+deterministic, so the driver hash-compares each against the equivalent
+BATCH SQL (stream/batch equivalence enforced at the gate, not just in
+pytest). The accompanying pytest additionally asserts
+stream-equals-batch at the DataFrame level.
 """
 
 from __future__ import annotations
@@ -75,7 +77,7 @@ def _run_stream(spark: SparkSession, sf_dir: str, tag: str, dup_mod: int | None)
     return spark.read.parquet(str(base / "sink"))
 
 
-@register("q_stream_ingest_counts")  # rows-only: real streaming execution
+@register("q_stream_ingest_counts")  # oracle attached below
 def q_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 — the P1-P5 chain executed as a REAL Structured Streaming
     query (availableNow file source standing in for Kafka, parquet
@@ -85,7 +87,7 @@ def q_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("table_name", "operation").agg(F.count("*").alias("n"))
 
 
-@register("q_stream_cdc_replay")  # rows-only: real streaming execution
+@register("q_stream_cdc_replay")  # oracle attached below
 def q_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 stream form — incremental current-state materialization:
     the envelope backlog split into out-of-order micro-batches, each
@@ -108,7 +110,16 @@ def q_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_window_counts")  # rows-only: real streaming execution
+@register(
+    "q_stream_window_counts",
+    oracle="""
+SELECT epoch_ms(CAST(epoch_ms(ts) // 60000 * 60000 AS BIGINT)) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W6 as a REAL stream: tumbling 1-minute event counts computed
     by Structured Streaming (complete mode — state holds every open
@@ -139,7 +150,7 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT w.start AS window_start, event_type, n FROM {name}")
 
 
-@register("q_stream_dedupe")  # rows-only: real streaming execution
+@register("q_stream_dedupe")  # oracle attached below
 def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 exactly-once upgrade: every 5th envelope is replayed
     (at-least-once duplicate, reference index.js:350-352 semantics);
@@ -252,3 +263,33 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.sql(f"SELECT user_id, click_ts, purchase_ts FROM {name}")
+
+
+# The streaming results are deterministic, so they get REAL oracles —
+# the driver hash-compares each STREAMED result against the equivalent
+# batch SQL (true stream/batch equivalence at the gate, not just pytest):
+# - ingest counts and the duplicate-replay dedupe must both equal the
+#   single-delivery batch chain counts (A1 oracle);
+# - the merge replay's live state must aggregate to the last-writer-wins
+#   batch replay.
+from .cdc import TYPED_CTE as _TYPED_CTE  # noqa: E402
+
+ORACLES["q_stream_ingest_counts"] = ORACLES["q_ops_by_table_op"]
+ORACLES["q_stream_dedupe"] = ORACLES["q_ops_by_table_op"]
+ORACLES["q_stream_cdc_replay"] = (
+    _TYPED_CTE
+    + """
+SELECT table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_name, user_id
+    ORDER BY ts DESC, offset_ DESC, rownum DESC) AS rn
+  FROM typed
+)
+WHERE rn = 1 AND operation <> 'delete'
+GROUP BY 1
+"""
+)

@@ -91,12 +91,18 @@ _CHECK_FIRST = [
     "q_scd2_asof",
     "q_delta_agg",
     "q_stream_delta_agg",
-    "q_frame_sample",
     "q_boilerplate_grams",
     "q_canonical_pick",
     "q_stream_scd2",
     "q_forecast_revenue",
     "q_idle_rich_customers",
+    # rows-only -> oracle upgrades (r3): first-ever hash verdicts
+    "q_stream_dedupe",
+    "q_stream_cdc_replay",
+    # window is exactly 50 at this point; below = next-round candidates
+    "q_stream_ingest_counts",
+    "q_stream_window_counts",
+    "q_frame_sample",
     # re-verify fillers: flagship chains + scale-path operators; these
     # were green in r01/r02 and pad the window to 50
     "q_ops_by_table_op",
