@@ -29,6 +29,7 @@ _QUERY_MODULES = [
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.profiling",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.storage",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.corpus_ops",
+    "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.extensions",
 ]
 
 # Registration (= iteration) order for the exported query dict. The
@@ -100,6 +101,8 @@ _CHECK_FIRST = [
     "q_stream_dedupe",
     "q_stream_cdc_replay",
     # window is exactly 50 at this point; below = next-round candidates
+    "q_udaf_median",
+    "q_udtf_explode",
     "q_stream_ingest_counts",
     "q_stream_window_counts",
     "q_frame_sample",
