@@ -39,3 +39,72 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
         )
     )
+
+
+# --- Z-order clustering key (multi-dimensional layout) ---------------------
+
+Z_BITS = 16
+
+
+def _z_expr(div_op: str) -> str:
+    """Bit-interleave (u, m) into a Z-value using PURE INTEGER
+    arithmetic — ``(x div 2^i) % 2`` instead of shifts — because the
+    identical expression text must evaluate in BOTH engines (Spark's
+    and DuckDB's bitwise-operator syntax differ; integer div/mod do
+    not). ``div_op`` is ' div ' for Spark SQL, ' // ' for DuckDB."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(((u{div_op}{1 << i}) % 2) * {1 << (2 * i + 1)})")
+        terms.append(f"(((m{div_op}{1 << i}) % 2) * {1 << (2 * i)})")
+    return " + ".join(terms)
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+WITH d AS (
+  SELECT user_id % 65536 AS u,
+         (epoch_ms(ts) // 60000) % 65536 AS m
+  FROM events
+),
+z AS (SELECT u, m, {_z_expr(" // ")} AS zval FROM d)
+SELECT CAST(zval // {1 << (2 * Z_BITS - 6)} AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(u) AS BIGINT) AS u_min, CAST(MAX(u) AS BIGINT) AS u_max,
+       CAST(MIN(m) AS BIGINT) AS m_min, CAST(MAX(m) AS BIGINT) AS m_max
+FROM z
+GROUP BY 1
+""",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key: interleave the bits of (user_id,
+    event-minute) and bucket rows by Z-range — the multi-dimensional
+    layout Delta/Iceberg call OPTIMIZE ZORDER BY. The output shows the
+    property that matters at 100 TB: every Z-bucket covers a NARROW
+    range of BOTH dimensions simultaneously (u_min..u_max and
+    m_min..m_max per bucket), so file-level min/max statistics prune
+    scans filtered on EITHER dimension — a single-column sort gives
+    this for one dimension only. The Z-value is a map-only integer
+    expression (no shifts: identical arithmetic text runs in both
+    engines); writing `df.repartitionByRange(F.expr(zval))` lays files
+    out in exactly these buckets."""
+    from ..sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        (F.col("user_id") % 65536).alias("u"),
+        ((F.unix_millis("ts") / F.lit(60000)).cast("long") % 65536).alias("m"),
+    )
+    z = d.withColumn("zval", F.expr(_z_expr(" div ")))
+    return (
+        z.groupBy(
+            F.expr(f"zval div {1 << (2 * Z_BITS - 6)}").cast("long").alias("z_bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("u").cast("long").alias("u_min"),
+            F.max("u").cast("long").alias("u_max"),
+            F.min("m").cast("long").alias("m_min"),
+            F.max("m").cast("long").alias("m_max"),
+        )
+    )

@@ -103,6 +103,7 @@ _CHECK_FIRST = [
     # window is exactly 50 at this point; below = next-round candidates
     "q_udaf_median",
     "q_udtf_explode",
+    "q_zorder_layout",
     "q_stream_ingest_counts",
     "q_stream_window_counts",
     "q_frame_sample",
