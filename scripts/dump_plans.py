@@ -64,6 +64,15 @@ HEADLINE = {
         "retraction-fold aggregate maintenance — map-side partial agg "
         "of signed integer-micro deltas, one tiny table_name shuffle"
     ),
+    "q_zorder_layout": (
+        "Z-order clustering key — map-only integer bit-interleave, "
+        "one bucket-agg shuffle; the layout key repartitionByRange "
+        "writes at 100 TB"
+    ),
+    "q_forecast_revenue": (
+        "TPC-H Q6 shape — all four predicates pushed into the parquet "
+        "scan, partial agg to a single row"
+    ),
 }
 
 

@@ -357,3 +357,19 @@ def test_idle_rich_customers_no_cartesian(spark):
     assert not checks.has_cartesian(df)
     pushed = checks.pushed_filters(df)
     assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_zorder_is_map_only_single_agg_shuffle(spark):
+    """The Z-value is pure integer arithmetic: one scan, one bucket-agg
+    shuffle, nothing else."""
+    df = _df("q_zorder_layout", spark)
+    assert checks.count_nodes(df, "Exchange") == 1, checks.plan_string(df)
+    assert checks.scan_columns(df, "events") == {"user_id", "ts"}
+
+
+def test_boilerplate_gram_frame_reused_from_cache(spark):
+    """The persisted gram frame must feed BOTH consumers (prevalence
+    agg + flag join) from cache, not recompute the explode."""
+    df = _df("q_boilerplate_grams", spark)
+    plan = checks.plan_string(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
