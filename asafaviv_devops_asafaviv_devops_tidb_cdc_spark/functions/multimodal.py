@@ -42,7 +42,7 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, n_bytes long, n_chunks int, mean_byte double, "
+    "media_id long, n_bytes long, n_chunks int, byte_sum long, mean_byte double, "
     "feature array<float>, format string, width int, height int"
 )
 
@@ -134,6 +134,7 @@ def fake_decode_features(media: DataFrame, chunk: int = 256) -> DataFrame:
                 n = len(buf)
                 n_chunks = (n + chunk - 1) // chunk
                 arr = np.frombuffer(buf, dtype=np.uint8)
+                byte_sum = int(arr.sum()) if n else 0
                 mean_byte = float(arr.mean()) if n else 0.0
                 feat = [
                     float(arr[i * chunk : (i + 1) * chunk].mean())
@@ -146,6 +147,7 @@ def fake_decode_features(media: DataFrame, chunk: int = 256) -> DataFrame:
                         int(media_id),
                         n,
                         n_chunks,
+                        byte_sum,
                         mean_byte,
                         feat,
                         meta.get("format"),
@@ -159,6 +161,7 @@ def fake_decode_features(media: DataFrame, chunk: int = 256) -> DataFrame:
                     "media_id",
                     "n_bytes",
                     "n_chunks",
+                    "byte_sum",
                     "mean_byte",
                     "feature",
                     "format",

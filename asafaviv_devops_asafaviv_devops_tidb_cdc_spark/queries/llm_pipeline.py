@@ -1126,19 +1126,36 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features")  # rows-only: Python mapInPandas path
+@register(
+    "q_multimodal_features",
+    oracle="""
+WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents)
+SELECT media_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST((n + 255) // 256 AS INTEGER) AS n_chunks,
+       CAST(COALESCE(list_aggregate(
+         list_transform(range(1, n + 1), i -> ord(substring(text, i, 1))),
+         'sum'), 0) AS BIGINT) AS byte_sum,
+       CAST(NULL AS VARCHAR) AS format
+FROM d
+""",
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 — Arrow-batched mapInPandas over binary payloads: real
     magic-byte header sniffing (``decode_payload``) + deterministic
-    feature stand-in for the codec-gated pixel decode (see
-    functions/multimodal.py). Rows-only check."""
+    feature extraction (numpy over the byte buffer). The compared
+    columns are integer-exact (byte_sum, chunk count) so even the
+    PYTHON path is hash-checked against SQL — the text payloads carry
+    no container magic, so format is NULL on both sides (the decode
+    itself is oracle-verified on synthesized containers in
+    q_multimodal_decode)."""
     media = multimodal.as_media_table(_docs(spark, sf_dir))
     feats = multimodal.fake_decode_features(media)
     return feats.select(
         "media_id",
         "n_bytes",
         "n_chunks",
-        F.round("mean_byte", 4).alias("mean_byte"),
+        "byte_sum",
         "format",
     )
 
