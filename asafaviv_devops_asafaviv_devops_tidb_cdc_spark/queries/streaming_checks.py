@@ -293,3 +293,38 @@ WHERE rn = 1 AND operation <> 'delete'
 GROUP BY 1
 """
 )
+
+
+@register("q_stream_alerts", oracle=ORACLES["q_alert_sustained"])
+def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 stream form — the sustained-alert evaluator as a REAL
+    applyInPandasWithState stream (custom per-rule state: open window
+    counts + streak, straddle-safe across micro-batches). The LAST
+    streaming operator family at the gate: its output is
+    hash-compared against the same gaps-and-islands batch oracle as
+    q_alert_sustained — custom stateful Python streaming == batch SQL,
+    proven end to end."""
+    import shutil
+
+    base = _stream_workdir(sf_dir, "alerts")
+    if base.exists():
+        shutil.rmtree(base)
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(str(base / "src"))
+    stream_src = spark.readStream.schema(events.schema).parquet(str(base / "src"))
+    out = alerts.sustained_alerts_stream(stream_src)
+    with ingest.scoped_shuffle_partitions(spark, ingest.STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(base / "sink"))
+            .option("checkpointLocation", str(base / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sink = spark.read.parquet(str(base / "sink"))
+    return sink.select(
+        F.timestamp_millis(F.col("window_ms")).alias("window_start"),
+        "error_ppm",
+        "streak",
+    )
