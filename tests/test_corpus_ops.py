@@ -331,3 +331,26 @@ def test_scd2_stream_equals_batch_any_split(spark, ops, data):
         key=lambda d: (d["row_id"], d["valid_from_ms"], d["offset"]),
     )
     assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+def test_zorder_expression_matches_reference(spark, u, m):
+    """The engine-portable div/mod interleave must equal the canonical
+    bitwise Z-value."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.storage import (
+        Z_BITS,
+        _z_expr,
+    )
+
+    want = 0
+    for i in range(Z_BITS):
+        want |= ((u >> i) & 1) << (2 * i + 1)
+        want |= ((m >> i) & 1) << (2 * i)
+    got = spark.sql(
+        f"SELECT {_z_expr(' div ')} AS z FROM (SELECT {u} AS u, {m} AS m)"
+    ).collect()[0]["z"]
+    assert got == want
