@@ -803,3 +803,47 @@ def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_canonical_pick"] = _canonical_oracle()
+
+
+@register("q_stream_doc_dedup", oracle=None)
+def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 stream form — exact dedup maintained by a REAL Structured
+    Streaming query: documents arrive in micro-batches, each folds
+    into min-doc_id-per-content-hash survivor state
+    (streaming/corpus.py — commutative fold, so arrival order and
+    batch boundaries cannot change the survivor set, unlike a naive
+    streaming dropDuplicates which keeps the nondeterministic first
+    arrival). The oracle is the SAME SQL as batch q_dedup_exact — the
+    driver hash-compares the STREAMED survivor set against it."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from ..streaming import corpus as C
+    from .llm_pipeline import _doubled_docs
+
+    shm = _P("/dev/shm")
+    base = (
+        shm if shm.is_dir() else _P(tempfile.gettempdir())
+    ) / "tidb_cdc_spark_stream" / f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}_docdedup"
+    src = base / "src"
+    if src.exists():
+        import shutil
+
+        shutil.rmtree(src)
+    doubled = _doubled_docs(spark, sf_dir)
+    # 4 source files -> multiple micro-batches; file split is arbitrary
+    # (the fold is order-robust by construction)
+    doubled.repartition(4).write.mode("overwrite").parquet(str(src))
+    C.run_dedup_stream(
+        spark,
+        str(src),
+        str(base / "state"),
+        str(base / "ckpt"),
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return C.survivors(spark, str(base / "state")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+ORACLES["q_stream_doc_dedup"] = ORACLES["q_dedup_exact"]

@@ -1,0 +1,87 @@
+"""Streaming training-corpus ingest (E1 stream form): maintain the
+exact-dedup survivor set while documents arrive in micro-batches.
+
+A naive streaming ``dropDuplicates(content_hash)`` keeps the FIRST
+ARRIVAL per hash — which copy that is depends on shuffle timing, so
+the survivor set is not deterministic under retries. This maintainer
+keeps the MIN-doc_id survivor instead (the batch dedup's rule): each
+micro-batch folds into per-hash state via min-by-id — commutative and
+idempotent, so any batch split / delivery order / retry converges to
+the same survivors, and the streamed result hash-matches the BATCH
+oracle (q_dedup_exact's SQL).
+
+Durability follows streaming/merge.py: copy-on-write ``v<epoch>``
+state directories, overwrite-by-epoch idempotent, pruned to two.
+
+Scale posture: state is one row per DISTINCT document (the deduped
+corpus itself — the thing you're building anyway); each batch costs
+one hash-key shuffle of (state ∪ batch), and on a key-partitioned
+table format only touched partitions rewrite.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import ingest
+from .merge import _prune_versions, latest_state_path
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 2,
+) -> None:
+    """Drain a document backlog maintaining min-id-per-content-hash
+    survivor state."""
+    for d in (state_dir, checkpoint_dir):
+        shutil.rmtree(Path(d), ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.withColumn("_h", F.sha2(F.col(text_col), 256))
+        latest = latest_state_path(state_dir)
+        combined = (
+            batch
+            if latest is None
+            else spark.read.parquet(latest).unionByName(batch)
+        )
+        # min-by-id per hash: commutative across batches, so arrival
+        # order cannot change the survivor set
+        w_cols = [c for c in combined.columns if c != "_h"]
+        survivors = (
+            combined.groupBy("_h")
+            .agg(F.min(F.struct(id_col, *[c for c in w_cols if c != id_col])).alias("_s"))
+            .select("_h", "_s.*")
+        )
+        survivors.write.mode("overwrite").parquet(f"{state_dir}/v{epoch_id:09d}")
+        _prune_versions(state_dir, keep=2)
+
+    with ingest.scoped_shuffle_partitions(spark, ingest.STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def survivors(spark: SparkSession, state_dir: str) -> DataFrame:
+    latest = latest_state_path(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no state versions under {state_dir}")
+    return spark.read.parquet(latest).drop("_h")
