@@ -205,3 +205,69 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_num", "key")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "q_vocab_growth",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1])) AS tok
+  FROM toks
+),
+first_occ AS (SELECT tok, MIN(doc_id) AS fd FROM big GROUP BY 1),
+mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+bucketed AS (
+  SELECT least(9, fd * 10 // (SELECT n FROM mx)) AS decile
+  FROM first_occ
+),
+per AS (
+  SELECT CAST(decile AS INTEGER) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS new_tokens
+  FROM bucketed GROUP BY 1
+)
+SELECT decile, new_tokens,
+       CAST(SUM(new_tokens) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_cum
+FROM per
+""",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4c — vocabulary growth (Heaps'-law curve): how many NEW
+    distinct token BIGRAMS each tenth of the corpus contributes (the
+    unigram vocabulary saturates instantly on any large corpus —
+    n-gram growth is the curve that still moves), plus the
+    cumulative vocabulary size — the statistic that decides tokenizer
+    vocab budgets and flags corpus drift (a flat tail means the
+    vocabulary saturated; a spiking decile means a new domain landed).
+    First occurrence = min doc_id per token: one shuffle on the token
+    key with map-side partial MIN, then a 10-row cumulative window —
+    at 100 TB the token agg is the word-count shape and everything
+    after is O(10)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("tok"),
+    )
+    first_occ = big.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    n = docs.agg((F.max("doc_id") + 1).alias("n"))
+    bucketed = first_occ.crossJoin(F.broadcast(n)).select(
+        F.least(F.lit(9), F.expr("fd * 10 div n")).cast("int").alias("decile")
+    )
+    per = bucketed.groupBy("decile").agg(F.count("*").alias("new_tokens"))
+    from pyspark.sql import Window as W
+
+    cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per.select(
+        "decile",
+        "new_tokens",
+        F.sum("new_tokens").over(cum).cast("long").alias("vocab_cum"),
+    )

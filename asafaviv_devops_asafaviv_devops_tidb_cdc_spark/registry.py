@@ -106,6 +106,7 @@ _CHECK_FIRST = [
     "q_zorder_layout",
     "q_stream_alerts",
     "q_stream_doc_dedup",
+    "q_vocab_growth",
     "q_stream_ingest_counts",
     "q_stream_window_counts",
     "q_frame_sample",
