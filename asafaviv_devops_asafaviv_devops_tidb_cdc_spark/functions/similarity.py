@@ -210,17 +210,28 @@ def allpairs_cosine_x10k(
 
     Scale posture: identical to a broadcast join — works while ONE side
     fits in a broadcast (~GBs of vectors); beyond that, block BOTH sides
-    by id-range and join block pairs. Float semantics mirror the SQL/
-    DuckDB formula (raw dot / sqrt(nsq_a * nsq_b), floor(x*1e4+0.5)) so
-    the 1e-4-unit output is oracle-stable.
+    by id-range and join block pairs. Components are quantized to exact
+    integer micro-units before any summation (int64 matmul — see the
+    note in the code) so the 1e-4-unit output is BIT-stable against the
+    oracle regardless of BLAS summation order.
     """
     import numpy as np
+
+    def _micro(m: "np.ndarray") -> "np.ndarray":
+        # components -> exact integer micro-units BEFORE any summation:
+        # int64 matmul accumulation is exact, so the dot/norm values
+        # cannot depend on BLAS blocking/FMA order (a float matmul's
+        # can, and a sum within a few ulps of a .5 boundary would round
+        # differently than the oracle's sequential fold). All remaining
+        # float ops (one divide, one sqrt, one multiply, one floor) are
+        # single IEEE operations — bit-identical in both engines.
+        return np.floor(m * 1_000_000 + 0.5).astype(np.int64)
 
     spark = corpus.sparkSession
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    nsq = np.einsum("ij,ij->i", mat, mat)
+    mat = _micro(np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]))
+    nsq = np.einsum("ij,ij->i", mat, mat)  # int64, exact
     bc = spark.sparkContext.broadcast((ids, mat, nsq))
 
     def gen(batches):
@@ -231,9 +242,14 @@ def allpairs_cosine_x10k(
             if not len(pdf):
                 continue
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            nsq_a = np.einsum("ij,ij->i", A, A)
-            cos = (A @ mat_b.T) / np.sqrt(np.outer(nsq_a, nsq_b))
+            A = _micro(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            nsq_a = np.einsum("ij,ij->i", A, A)  # int64, exact
+            dot = (A @ mat_b.T).astype(np.float64)  # exact ints < 2^53
+            cos = dot / np.sqrt(
+                np.outer(nsq_a.astype(np.float64), nsq_b.astype(np.float64))
+            )
             x10k = np.floor(cos * 10000 + 0.5)
             keep = (x10k >= threshold_x10k) & (ids_b[None, :] > a_ids[:, None])
             ii, jj = np.nonzero(keep)

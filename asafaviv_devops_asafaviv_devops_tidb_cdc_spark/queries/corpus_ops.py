@@ -487,16 +487,10 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/scd2.py). Out-of-order batches splice correctly. The
     oracle is the SAME SQL as the batch q_scd2_history — the driver
     hash-compares the STREAMED version table against it."""
-    import tempfile
-    from pathlib import Path as _P
-
     from ..streaming import ingest as I
     from ..streaming import scd2 as S
 
-    shm = _P("/dev/shm")
-    base = (
-        shm if shm.is_dir() else _P(tempfile.gettempdir())
-    ) / "tidb_cdc_spark_stream" / f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}_scd2"
+    base = I.stream_workdir(sf_dir, "scd2")
     src = I.write_envelope_files(spark, sf_dir, str(base / "src"), None, n_files=4)
     S.run_scd2_stream(spark, src, str(base / "state"), str(base / "ckpt"))
     return S.history(spark, str(base / "state")).select(
@@ -625,16 +619,11 @@ def q_stream_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same SQL text as q_delta_agg) and the driver hash-compares the
     STREAMED result against the BATCH oracle — true stream/batch
     equivalence, checked end to end."""
-    import tempfile
-    from pathlib import Path as _P
-
     from ..streaming import delta as D
     from ..streaming import ingest as I
+    from ..streaming.ingest import stream_workdir
 
-    shm = _P("/dev/shm")
-    base = (
-        shm if shm.is_dir() else _P(tempfile.gettempdir())
-    ) / "tidb_cdc_spark_stream" / f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}_delta"
+    base = stream_workdir(sf_dir, "delta")
     src = I.write_envelope_files(spark, sf_dir, str(base / "src"), None, n_files=4)
     D.run_delta_stream(spark, src, str(base / "partials"), str(base / "ckpt"))
     return D.folded_totals(spark, str(base / "partials"))
@@ -815,16 +804,11 @@ def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming dropDuplicates which keeps the nondeterministic first
     arrival). The oracle is the SAME SQL as batch q_dedup_exact — the
     driver hash-compares the STREAMED survivor set against it."""
-    import tempfile
-    from pathlib import Path as _P
-
     from ..streaming import corpus as C
+    from ..streaming.ingest import stream_workdir
     from .llm_pipeline import _doubled_docs
 
-    shm = _P("/dev/shm")
-    base = (
-        shm if shm.is_dir() else _P(tempfile.gettempdir())
-    ) / "tidb_cdc_spark_stream" / f"{sf_dir.rstrip('/').rsplit('/', 1)[-1]}_docdedup"
+    base = stream_workdir(sf_dir, "docdedup")
     src = base / "src"
     if src.exists():
         import shutil

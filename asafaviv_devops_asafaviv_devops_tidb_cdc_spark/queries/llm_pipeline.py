@@ -1324,19 +1324,23 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_cos_sql(a: str, b: str) -> str:
-    d = (
-        f"list_sum(list_transform(range(1, 65), "
-        f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+    # components quantized to exact integer micro-units before the sum:
+    # integer accumulation is order-free, so this matches the Spark
+    # side's int64 matmul bit-for-bit (a float fold would depend on
+    # summation order at the ulp level)
+    def m(t: str) -> str:
+        return (
+            f"CAST(floor(CAST({t}.embedding[i] AS DOUBLE) * 1000000 + 0.5) "
+            f"AS BIGINT)"
+        )
+
+    d = f"list_sum(list_transform(range(1, 65), i -> {m(a)} * {m(b)}))"
+    na = f"list_sum(list_transform(range(1, 65), i -> {m(a)} * {m(a)}))"
+    nb = f"list_sum(list_transform(range(1, 65), i -> {m(b)} * {m(b)}))"
+    return (
+        f"floor(CAST({d} AS DOUBLE) / "
+        f"sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)) * 10000 + 0.5)"
     )
-    na = (
-        f"list_sum(list_transform(range(1, 65), "
-        f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({a}.embedding[i] AS DOUBLE)))"
-    )
-    nb = (
-        f"list_sum(list_transform(range(1, 65), "
-        f"i -> CAST({b}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
-    )
-    return f"floor({d} / sqrt({na} * {nb}) * 10000 + 0.5)"
 
 
 @register(

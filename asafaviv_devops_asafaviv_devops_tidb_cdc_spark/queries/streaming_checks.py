@@ -58,16 +58,7 @@ def q_alert_sustained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_workdir(sf_dir: str, tag: str) -> Path:
-    # prefer tmpfs: checkpoint/state/sink writes fsync, and on a real
-    # disk those stalls dominate (and destabilize) the stream queries'
-    # wall-clock; a production deployment points these at fast local
-    # SSD or object storage with its own durability story
-    import os
-
-    shm = Path("/dev/shm")
-    base = shm if shm.is_dir() and os.access(shm, os.W_OK) else Path(tempfile.gettempdir())
-    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return base / "tidb_cdc_spark_stream" / f"{sf}_{tag}"
+    return ingest.stream_workdir(sf_dir, tag)
 
 
 def _run_stream(spark: SparkSession, sf_dir: str, tag: str, dup_mod: int | None) -> DataFrame:

@@ -87,6 +87,12 @@ def normalized_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _materialize(spark: SparkSession, sf_dir: str, dest: Path) -> None:
     root = dest.parent
     root.mkdir(parents=True, exist_ok=True)
+    # re-check the marker before clearing: a sibling session may have
+    # FINISHED its build between our caller's check and now — deleting
+    # a completed sink would break that session's already-returned
+    # DataFrames mid-query (TOCTOU)
+    if (dest / "_SUCCESS").exists():
+        return
     # a directory without _SUCCESS is a dead partial build — clear it
     if dest.exists():
         shutil.rmtree(dest, ignore_errors=True)

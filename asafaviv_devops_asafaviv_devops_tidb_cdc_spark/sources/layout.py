@@ -50,27 +50,52 @@ def compact(
     spark: SparkSession, path: str, target_mb: int = 128
 ) -> tuple[int, int]:
     """Small-file compaction: rewrite a parquet directory into
-    ceil(total_size / target_mb) files. Returns (files_before,
-    files_after). The write is atomic (temp dir + rename) so concurrent
-    readers see either the old or the new layout, never a partial one.
+    ~ceil(total_size / target_mb) files per partition directory,
+    PRESERVING any hive partition layout (a flat rewrite of a
+    partitioned sink would silently lose directory pruning). Returns
+    (files_before, files_after), both counted recursively.
+
+    Crash posture: the rewrite builds in a temp dir and swaps in with
+    two renames. POSIX cannot swap directories atomically, so there is
+    a sub-millisecond window where the path is absent; a reader in that
+    window retries, and a crash in it leaves the data intact at
+    ``<path>.old`` (recovered automatically on the next compact). On a
+    table format (Delta/Iceberg) this whole dance is a metadata-only
+    commit — which is the production recommendation; this is the
+    filesystem stand-in.
 
     This is the maintenance job every streaming sink needs: micro-batch
     appends produce O(batches x partitions) files, and scan/planning
     cost grows with file count regardless of data size."""
     p = Path(path)
+    old = Path(str(p) + ".old")
+    # recover from a previous crash between the two renames
+    if old.exists() and not p.exists():
+        os.rename(old, p)
+    shutil.rmtree(old, ignore_errors=True)
+
     files = [f for f in p.rglob("*.parquet") if f.is_file()]
     total = sum(f.stat().st_size for f in files)
     n_after = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
+    # hive partition dirs (key=value) become DataFrame columns on read;
+    # re-partitionBy them so the compacted table keeps its pruning
+    part_cols = sorted(
+        {seg.split("=", 1)[0] for f in files for seg in f.parent.relative_to(p).parts if "=" in seg}
+    )
     tmp = Path(tempfile.mkdtemp(dir=p.parent, prefix="._compact_"))
     build = tmp / "data"
-    df.coalesce(n_after).write.mode("overwrite").parquet(str(build))
-    old = Path(str(p) + ".old")
+    out = df.coalesce(n_after)
+    if part_cols:
+        out = df.repartition(n_after, *[F.col(c) for c in part_cols])
+        out.write.mode("overwrite").partitionBy(*part_cols).parquet(str(build))
+    else:
+        out.write.mode("overwrite").parquet(str(build))
     os.rename(p, old)
     os.rename(build, p)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
-    return len(files), len(list(p.glob("*.parquet")))
+    return len(files), len([f for f in p.rglob("*.parquet") if f.is_file()])
 
 
 def _layout_root() -> Path:
@@ -118,6 +143,10 @@ def partitioned_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _materialize(spark: SparkSession, sf_dir: str, dest: Path) -> None:
     root = dest.parent
     root.mkdir(parents=True, exist_ok=True)
+    # re-check before clearing: a sibling session may have finished its
+    # build since our caller's check (TOCTOU — same rule as event_sink)
+    if (dest / "_SUCCESS").exists():
+        return
     if dest.exists():
         shutil.rmtree(dest, ignore_errors=True)
     tmp = Path(tempfile.mkdtemp(dir=root, prefix="._build_"))

@@ -53,7 +53,7 @@ def run_dedup_stream(
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.withColumn("_h", F.sha2(F.col(text_col), 256))
-        latest = latest_state_path(state_dir)
+        latest = latest_state_path(state_dir, before_epoch=epoch_id)
         combined = (
             batch
             if latest is None

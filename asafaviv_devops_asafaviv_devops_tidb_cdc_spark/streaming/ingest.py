@@ -23,6 +23,7 @@ reference lacks).
 from __future__ import annotations
 
 import shutil
+import tempfile
 from contextlib import contextmanager
 from pathlib import Path
 
@@ -161,6 +162,24 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
 
 
 STREAM_SHUFFLE_PARTITIONS = 8
+
+
+def stream_workdir(sf_dir: str, tag: str) -> Path:
+    """Scratch dir for a streaming query's src/state/ckpt/sink. Prefers
+    tmpfs: checkpoint/state/sink writes fsync, and on a real disk those
+    stalls dominate (and destabilize) stream wall-clock; production
+    points these at fast local SSD or object storage. Falls back to
+    the system tempdir when /dev/shm is absent or unwritable."""
+    import os as _os
+
+    shm = Path("/dev/shm")
+    base = (
+        shm
+        if shm.is_dir() and _os.access(shm, _os.W_OK)
+        else Path(tempfile.gettempdir())
+    )
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return base / "tidb_cdc_spark_stream" / f"{sf}_{tag}"
 
 
 def read_envelope_stream(spark: SparkSession, source_dir: str) -> DataFrame:

@@ -77,9 +77,20 @@ def _versions(state_dir: str) -> list[Path]:
     return sorted(p for p in base.iterdir() if p.name.startswith("v"))
 
 
-def latest_state_path(state_dir: str) -> str | None:
-    """Newest committed state version (copy-on-write dir layout)."""
+def latest_state_path(state_dir: str, before_epoch: int | None = None) -> str | None:
+    """Newest committed state version (copy-on-write dir layout).
+
+    ``before_epoch``: a foreachBatch maintainer MUST pass its own epoch
+    id here — on a micro-batch RETRY (crash between the state write and
+    the checkpoint commit) the retried epoch's own ``v<epoch>`` dir
+    already exists, and reading it would fold this batch's events in
+    twice. Restricting to versions strictly older than the current
+    epoch makes every maintainer retry-idempotent regardless of whether
+    its fold tolerates duplicates."""
     vs = _versions(state_dir)
+    if before_epoch is not None:
+        cut = f"v{before_epoch:09d}"
+        vs = [p for p in vs if p.name < cut]
     return str(vs[-1]) if vs else None
 
 
@@ -134,7 +145,7 @@ def run_replay_stream(
         # localCheckpoint had (executor-only blocks, no recompute path)
         # is gone. This is exactly the table-format recipe Delta/Iceberg
         # productionize: immutable data files + a version pointer.
-        latest = latest_state_path(state_dir)
+        latest = latest_state_path(state_dir, before_epoch=epoch_id)
         existing = spark.read.parquet(latest) if latest else None
         new_state = merge_state(existing, batch_df)
         new_state.write.mode("overwrite").parquet(

@@ -84,7 +84,10 @@ def run_scd2_stream(
     typed = P.typed_rows(P.normalized_events(stream))
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        latest = latest_state_path(state_dir)
+        # before_epoch: a retried epoch must NOT read its own partial
+        # v<epoch> write — the SCD2 fold is order-sensitive and folding
+        # the batch twice doubles every touched key's version rows
+        latest = latest_state_path(state_dir, before_epoch=epoch_id)
         existing = spark.read.parquet(latest) if latest else None
         new_state = rebuild_state(existing, batch_df)
         new_state.write.mode("overwrite").parquet(f"{state_dir}/v{epoch_id:09d}")

@@ -31,13 +31,16 @@ def test_pack_sequences_conserves_tokens(spark):
     total_tokens = int(docs["text"].str.split(" ").str.len().sum())
     assert int(packs["pack_tokens"].sum()) == total_tokens
     assert int(packs["n_docs"].sum()) == len(docs)
+    max_doc_tokens = int(docs["text"].str.split(" ").str.len().max())
     for _, grp in packs.groupby("source"):
         ids = sorted(grp["pack_id"])
         assert ids == list(range(len(ids)))  # dense, 0-based
-        # all but the last pack carry at least the budget (a doc that
-        # STARTS inside pack k pushes the running sum past its end)
+        # every pack except the source's last must reach the budget
+        # minus at most one document's tokens: a doc that STARTS inside
+        # pack k pushes the running sum past its end, so only the final
+        # (still-open) pack may be short
         full = grp.sort_values("pack_id").iloc[:-1]
-        assert (full["pack_tokens"] >= PACK_BUDGET - full["pack_tokens"].max()).all()
+        assert (full["pack_tokens"] >= PACK_BUDGET - max_doc_tokens).all()
 
 
 def test_scd2_intervals_chain(spark):
