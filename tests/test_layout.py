@@ -46,3 +46,34 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before_rows
     assert after.agg(F.sum("id")).first()[0] == sum(range(10_000))
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    """Compacting a hive-partitioned sink must keep the partition
+    directory layout (and thus pruning), not flatten it."""
+    path = str(tmp_path / "ptab")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).alias("k")
+    )
+    df.repartition(8).write.partitionBy("k").parquet(path)
+    before, after = layout.compact(spark, path, target_mb=1)
+    assert after <= before
+    part_dirs = {p.name for p in Path(path).iterdir() if p.is_dir()}
+    assert {"k=0", "k=1", "k=2"} <= part_dirs, part_dirs
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert set(back.columns) == {"id", "k"}
+
+
+def test_compact_recovers_from_stale_old_dir(spark, tmp_path):
+    """A leftover '<path>.old' from a crashed compaction must not break
+    (or double) the next one."""
+    import os
+
+    path = str(tmp_path / "tab")
+    spark.range(100).write.parquet(path)
+    # simulate a crash between the two renames: data only at .old
+    os.rename(path, path + ".old")
+    layout.compact(spark, path, target_mb=1)
+    assert spark.read.parquet(path).count() == 100
+    assert not Path(path + ".old").exists()

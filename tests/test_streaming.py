@@ -143,3 +143,25 @@ def test_sustained_alert_stream_matches_batch(spark):
         ).collect()
     }
     assert stream == batch
+
+
+def test_state_maintainers_are_retry_idempotent(spark):
+    """A retried micro-batch must not fold its events twice: with the
+    epoch's own version dir already on disk, latest_state_path(...,
+    before_epoch=epoch) must return the PREVIOUS version."""
+    import tempfile
+    from pathlib import Path
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming.merge import (
+        latest_state_path,
+    )
+
+    base = Path(tempfile.mkdtemp()) / "state"
+    for e in (0, 1, 2):
+        (base / f"v{e:09d}").mkdir(parents=True)
+    # normal flow: epoch 3 reads newest
+    assert latest_state_path(str(base)).endswith("v000000002")
+    # retry of epoch 2: its own dir exists but must be skipped
+    assert latest_state_path(str(base), before_epoch=2).endswith("v000000001")
+    # retry of epoch 0: nothing older -> fresh start
+    assert latest_state_path(str(base), before_epoch=0) is None
