@@ -831,3 +831,121 @@ def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_stream_doc_dedup"] = ORACLES["q_dedup_exact"]
+
+
+@register(
+    "q_embedding_norm_hist",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+         list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * x * 1e9 + 0.5) AS BIGINT))) AS nsq_nano
+  FROM embeddings
+)
+SELECT CAST(nsq_nano // 250000000 AS BIGINT) AS norm_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(nsq_nano) AS BIGINT) AS nsq_nano_min,
+       CAST(MAX(nsq_nano) AS BIGINT) AS nsq_nano_max
+FROM v
+GROUP BY 1
+""",
+)
+def q_embedding_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3b — embedding norm histogram: the sanity audit run before any
+    cosine index is built (zero-norm vectors break cosine; a bimodal
+    norm distribution means two incompatible encoder versions landed in
+    one table). Squared-norm terms enter integer nano-units per
+    element BEFORE the sum (order-free), bucketed at 0.25 intervals.
+    Map-only + tiny agg — a scan at any scale."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> CAST(floor(x * x * 1e9 + 0.5) AS BIGINT)), 0L, "
+            "(acc, x) -> acc + x)"
+        ).alias("nsq_nano"),
+    )
+    return v.groupBy(
+        F.expr("nsq_nano div 250000000").cast("long").alias("norm_bucket")
+    ).agg(
+        F.count("*").alias("n_vecs"),
+        F.min("nsq_nano").cast("long").alias("nsq_nano_min"),
+        F.max("nsq_nano").cast("long").alias("nsq_nano_max"),
+    )
+
+
+def _dedup_yield_oracle() -> str:
+    from .llm_pipeline import _CORPUS_BODY, _NGRAM_PAIRS_CTES
+
+    return (
+        f"WITH RECURSIVE corpus AS ({_CORPUS_BODY}),\n"
+        + _NGRAM_PAIRS_CTES.strip()
+        + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+),
+labeled AS (
+  SELECT c.doc_id, c.cluster_id,
+         (SELECT d.source FROM documents d
+          WHERE d.doc_id = c.doc_id % 1000000) AS source,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY c.doc_id)
+           AS rn
+  FROM clusters c
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_clustered,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM labeled
+GROUP BY 1
+"""
+    )
+
+
+@register("q_dedup_yield_by_source", oracle=None)
+def q_dedup_yield_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2f — near-dup yield attributed to SOURCE: which provenance
+    contributes the duplicate mass (min-id survivor per cluster; every
+    other member counts as dropped). This is the report that turns a
+    dedup pass into a data-sourcing decision — a source whose docs are
+    mostly duplicates gets down-weighted at acquisition, not at
+    filtering. The doubled-corpus synthetic ids map back to their
+    original doc (id % 1e6) for the source lookup; the lookup side is
+    dictionary-sized and broadcasts."""
+    from ..functions.dedup import neardup_clusters, ngram_jaccard_pairs
+    from .llm_pipeline import _neardup_corpus
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus)
+    clusters = neardup_clusters(pairs).withColumnRenamed("doc_id", "member_id")
+    src = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    labeled = clusters.join(
+        F.broadcast(src),
+        (F.col("member_id") % 1_000_000) == F.col("orig_id"),
+    ).select("member_id", "cluster_id", "source")
+    ranked = labeled.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy("member_id")
+        ),
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_clustered"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+ORACLES["q_dedup_yield_by_source"] = _dedup_yield_oracle()

@@ -107,6 +107,8 @@ _CHECK_FIRST = [
     "q_stream_alerts",
     "q_stream_doc_dedup",
     "q_vocab_growth",
+    "q_embedding_norm_hist",
+    "q_dedup_yield_by_source",
     "q_stream_ingest_counts",
     "q_stream_window_counts",
     "q_frame_sample",
