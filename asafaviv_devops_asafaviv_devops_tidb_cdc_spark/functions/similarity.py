@@ -196,73 +196,115 @@ def allpairs_cosine_x10k(
     threshold_x10k: int = 3000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact all-pairs cosine >= threshold, Arrow-vectorized.
+    """Exact all-pairs cosine >= threshold, Arrow-vectorized and fully
+    distributed: BOTH sides are blocked by a hash of the id and every
+    block PAIR is scored independently by an ``applyInPandas`` group.
 
     Dense vector math is the one place where built-in higher-order
     functions lose by orders of magnitude: ``aggregate(zip_with(...))``
     evaluates an interpreted lambda per element (measured 74 s for
     2 000 x 2 000 x 64-dim at sf0.1), while a numpy matmul over the same
-    data is milliseconds. So this path follows the sanctioned E3 shape:
-    one side is collected/broadcast as a dense matrix (it is the
-    broadcast side of the join either way), and ``mapInPandas`` streams
-    the corpus through executors computing a blocked ``A @ B.T``.
+    data is milliseconds. Earlier rounds broadcast one whole side from
+    the driver; that caps the corpus at driver memory. This form never
+    materializes anything on the driver:
 
-    Scale posture: identical to a broadcast join — works while ONE side
-    fits in a broadcast (~GBs of vectors); beyond that, block BOTH sides
-    by id-range and join block pairs. Components are quantized to exact
-    integer micro-units before any summation (int64 matmul — see the
-    note in the code) so the 1e-4-unit output is BIT-stable against the
-    oracle regardless of BLAS summation order.
+    - each row lands in block ``b = xxhash64(id) mod n_blocks``;
+    - each row is replicated to the ``n_blocks`` unordered block pairs
+      it participates in (pair key = (min(b, j), max(b, j)));
+    - ``groupBy(pair).applyInPandas`` scores each pair with one int64
+      ``A @ B.T`` per group. n_blocks*(n_blocks+1)/2 independent tasks;
+      per-task memory is 2/n_blocks of the corpus, so n_blocks scales
+      the shape to any corpus the CLUSTER holds (pick
+      n_blocks ~ corpus_bytes / executor_budget).
+
+    Total work is O(n^2) either way — this is the exhaustive ground
+    truth; near-linear corpus-scale near-dup goes through the LSH
+    bucket path instead. Components are quantized to exact integer
+    micro-units before any summation (int64 matmul accumulation is
+    exact, so dot/norm values cannot depend on BLAS blocking/FMA order;
+    the remaining float ops — one divide, one sqrt, one multiply, one
+    floor — are single IEEE operations, bit-identical in any engine).
     """
-    import numpy as np
+    blocked = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    # replicate each row to every block pair it joins: row in block b
+    # meets block j in the unordered pair (min(b,j), max(b,j)); j == b
+    # contributes the diagonal pair exactly once
+    pairs = blocked.select(
+        "_id",
+        "_vec",
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_other"),
+    ).select(
+        "_id",
+        "_vec",
+        "_blk",
+        F.least("_blk", "_other").alias("_pi"),
+        F.greatest("_blk", "_other").alias("_pj"),
+    )
 
-    def _micro(m: "np.ndarray") -> "np.ndarray":
-        # components -> exact integer micro-units BEFORE any summation:
-        # int64 matmul accumulation is exact, so the dot/norm values
-        # cannot depend on BLAS blocking/FMA order (a float matmul's
-        # can, and a sum within a few ulps of a .5 boundary would round
-        # differently than the oracle's sequential fold). All remaining
-        # float ops (one divide, one sqrt, one multiply, one floor) are
-        # single IEEE operations — bit-identical in both engines.
-        return np.floor(m * 1_000_000 + 0.5).astype(np.int64)
-
-    spark = corpus.sparkSession
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = _micro(np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]))
-    nsq = np.einsum("ij,ij->i", mat, mat)  # int64, exact
-    bc = spark.sparkContext.broadcast((ids, mat, nsq))
-
-    def gen(batches):
+    def score_pair(key, pdf):
+        import numpy as np
         import pandas as pd
 
-        ids_b, mat_b, nsq_b = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            A = _micro(
-                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            )
-            nsq_a = np.einsum("ij,ij->i", A, A)  # int64, exact
-            dot = (A @ mat_b.T).astype(np.float64)  # exact ints < 2^53
-            cos = dot / np.sqrt(
-                np.outer(nsq_a.astype(np.float64), nsq_b.astype(np.float64))
-            )
-            x10k = np.floor(cos * 10000 + 0.5)
-            keep = (x10k >= threshold_x10k) & (ids_b[None, :] > a_ids[:, None])
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine_x10k": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(pdf):
+            return empty
+        pi, pj = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        blks = pdf["_blk"].to_numpy()
+        # components -> exact integer micro-units BEFORE any summation
+        mat = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+            * 1_000_000
+            + 0.5
+        ).astype(np.int64)
+        if pi == pj:
+            a_ids, b_ids, A, B = ids, ids, mat, mat
+        else:
+            am, bm = blks == pi, blks == pj
+            a_ids, b_ids, A, B = ids[am], ids[bm], mat[am], mat[bm]
+        if not len(a_ids) or not len(b_ids):
+            return empty
+        nsq_a = np.einsum("ij,ij->i", A, A)  # int64, exact
+        nsq_b = np.einsum("ij,ij->i", B, B)
+        dot_ab = (A @ B.T).astype(np.float64)  # exact ints < 2^53
+        cos = dot_ab / np.sqrt(
+            np.outer(nsq_a.astype(np.float64), nsq_b.astype(np.float64))
+        )
+        x10k = np.floor(cos * 10000 + 0.5)
+        if pi == pj:
+            # upper triangle of the self-pair block
+            keep = (x10k >= threshold_x10k) & (b_ids[None, :] > a_ids[:, None])
             ii, jj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ii],
-                    "id_b": ids_b[jj],
-                    "cosine_x10k": x10k[ii, jj].astype(np.int64),
-                }
-            )
+            ida, idb = a_ids[ii], b_ids[jj]
+        else:
+            # cross-block: each unordered id pair appears exactly once
+            # in this group; normalize to id_a < id_b (cosine symmetric)
+            ii, jj = np.nonzero(x10k >= threshold_x10k)
+            ida = np.minimum(a_ids[ii], b_ids[jj])
+            idb = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame(
+            {
+                "id_a": ida,
+                "id_b": idb,
+                "cosine_x10k": x10k[ii, jj].astype(np.int64),
+            }
+        )
 
-    return rebalance(corpus.select(id_col, vec_col)).mapInPandas(
-        gen, "id_a long, id_b long, cosine_x10k long"
+    return pairs.groupBy("_pi", "_pj").applyInPandas(
+        score_pair, "id_a long, id_b long, cosine_x10k long"
     )
 
 

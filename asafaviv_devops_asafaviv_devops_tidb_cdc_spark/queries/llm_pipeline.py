@@ -1363,10 +1363,12 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-dot / sqrt(nsq*nsq) float formula as the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     # Arrow-vectorized blocked matmul (functions/similarity.py::
-    # allpairs_cosine_x10k): the dictionary side broadcasts as a dense
-    # matrix, the probe side streams through mapInPandas — the
-    # interpreted zip_with fold was 74 s at sf0.1 (2k x 2k x 64-dim),
-    # the matmul form is ~1 s and keeps the identical float formula
+    # allpairs_cosine_x10k): both sides hash into id blocks, every
+    # block pair is one applyInPandas group computing an int64
+    # A @ B.T — nothing materializes on the driver, so corpus size is
+    # bounded by the cluster, not driver memory. The interpreted
+    # zip_with fold was 74 s at sf0.1 (2k x 2k x 64-dim); the matmul
+    # form is ~1 s and keeps the identical float formula.
     return similarity.allpairs_cosine_x10k(emb, threshold_x10k=3000)
 
 

@@ -265,16 +265,21 @@ def test_embedding_stats_single_shuffle_after_explode(spark):
     assert checks.count_nodes(df, "Exchange") == 1, checks.plan_string(df)
 
 
-def test_cosine_pairs_is_arrow_map_only(spark):
-    """All-pairs cosine is an Arrow-vectorized blocked matmul: the
-    dictionary side rides a broadcast VARIABLE (not a join side), so
-    the plan must be a single map stage — MapInPandas over the scan,
-    with NO join node and NO shuffle at all (the round-2 shape was a
-    BroadcastNestedLoopJoin folding an interpreted lambda per element:
-    74 s at sf0.1 vs ~1 s vectorized)."""
-    plan = checks.plan_string(_df("q_cosine_pairs", spark))
-    assert "MapInPandas" in plan, plan
+def test_cosine_pairs_is_blocked_group_matmul(spark):
+    """All-pairs cosine is a fully distributed blocked matmul: both
+    sides hash into id blocks, every block PAIR is one applyInPandas
+    group (FlatMapGroupsInPandas) fed by ONE shuffle on the pair key.
+    No join node (the round-2 shape was a BroadcastNestedLoopJoin
+    folding an interpreted lambda per element: 74 s at sf0.1 vs ~1 s
+    vectorized) and no driver-side collect/broadcast of a whole side
+    (the round-3 shape) — nothing in the plan references a local
+    relation."""
+    df = _df("q_cosine_pairs", spark)
+    plan = checks.plan_string(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "Join" not in plan, plan
+    assert not checks.has_cartesian(df)
+    assert "LocalTableScan" not in plan, plan
 
 
 def test_ann_batch_window_is_partitioned_by_query(spark):
