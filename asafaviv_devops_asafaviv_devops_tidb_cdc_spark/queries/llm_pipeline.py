@@ -591,12 +591,26 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_embedding_neardup")  # rows-only: float compare too sharp to hash
+@register(
+    "q_embedding_neardup",
+    oracle="""
+SELECT vec_id AS id_a,
+       vec_id + 100000 AS id_b,
+       CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings
+WHERE vec_id % 10 = 0
+""",
+)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2/E3 — embedding-cosine near-dup over LSH buckets; planted
-    scaled copies (cosine exactly 1) are the expected catches.
-    Rows-only: raw cosine values near the threshold are not
-    hash-portable across engines."""
+    scaled copies are the expected catches, and they make the path
+    hash-checkable: a positive-scaled copy projects to the SAME
+    hyperplane signs (same LSH bucket, guaranteed candidate) and its
+    cosine is 1 within one ulp (doubling a float is exact), so
+    round(·, 4) lands on exactly 1.0 in any engine. Random 64-dim
+    pairs never approach the 0.99 threshold, so the expected output is
+    precisely the planted (id, id+100000) pairs — recomputed
+    independently by the oracle from the id formula."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.unionByName(
         emb.filter(F.col("vec_id") % 10 == 0).select(

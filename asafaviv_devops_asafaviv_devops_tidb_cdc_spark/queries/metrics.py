@@ -431,6 +431,39 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_hll_error_bound",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS within_10pct
+FROM events
+GROUP BY 1
+""",
+)
+def q_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 scale path, verdict form — the HLL sketch's error bound
+    asserted IN-ENGINE so the approximate path gets a pass/fail hash
+    verdict instead of rows-only: emits 1 iff
+    |approx - exact| <= 10% * exact per group (rsd=0.02 -> 5 sigma;
+    a sketch outside that bound is broken, not unlucky). The oracle
+    recomputes the exact count and expects every group in bound, so
+    any estimator drift fails the hash compare."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (F.abs(F.col("approx_users") - F.col("exact_users")) * 10
+         <= F.col("exact_users"))
+        .cast("long")
+        .alias("within_10pct"),
+    )
+
+
+@register(
     "q_session_windows",
     oracle="""
 WITH flagged AS (

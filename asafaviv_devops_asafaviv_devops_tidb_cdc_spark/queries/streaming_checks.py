@@ -82,9 +82,12 @@ def q_stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 stream form — incremental current-state materialization:
     the envelope backlog split into out-of-order micro-batches, each
-    foreachBatch-MERGEd into a keyed state table (streaming/merge.py).
-    Returns per-table state counts; pytest asserts the final state
-    equals the batch replay exactly."""
+    foreachBatch-MERGEd into a hash-BUCKETED state table
+    (streaming/merge.py): only buckets the batch's keys touch are read
+    and rewritten (per-batch I/O bounded by batch key spread, not
+    total state size — the Delta/Iceberg MERGE INTO shape). Returns
+    per-table state counts; pytest asserts the final state equals the
+    batch replay exactly and untouched buckets stay byte-identical."""
     base = _stream_workdir(sf_dir, "merge")
     # 2 out-of-order micro-batches exercise the merge/tombstone path;
     # tests/test_streaming.py runs the 4-batch variant

@@ -42,65 +42,11 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-3 window. The driver oracle-checks a 50-query prefix of the
-    # registered order; rounds 1+2 together covered 83 of 117 queries, so
-    # this round the 34 never-checked queries (all oracle-backed) go
-    # first. NEW queries added this round must be inserted right after
-    # this block (before the re-verify fillers) so they land inside the
-    # 50-query window too.
-    "q_moving_avg",
-    "q_lag_delta",
-    "q_first_last",
-    "q_ntile",
-    "q_topn_per_group",
-    "q_nation_volume",
-    "q_market_share",
-    "q_order_count_dist",
-    "q_small_qty_revenue",
-    "q_big_orders",
-    "q_term_stats",
-    "q_embedding_stats",
-    "q_cosine_pairs",
-    "q_stream_stream_join",
-    "q_sql_region_revenue",
-    "q_median_value",
-    "q_grouping_sets",
-    "q_multimodal_decode",
-    "q_ann_batch",
-    "q_ops_unpivot",
-    "q_doc_search",
-    "q_rolling_1h_count",
-    "q_rank_stats",
-    "q_intersect_active",
-    "q_bigram_counts",
-    "q_doc_len_histogram",
-    "q_null_profile",
-    "q_schema_drift",
-    "q_ann_recall",
-    "q_pruned_scan",
-    "q_key_skew",
-    "q_cluster_sizes",
-    "q_pii_scan",
-    "q_stream_sessions",
-    # new in round 3 (this session) — never checked, must be in window
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_corpus_mix",
-    "q_vec_quantize",
-    "q_kmeans_iter",
-    "q_scd2_history",
-    "q_scd2_asof",
-    "q_delta_agg",
-    "q_stream_delta_agg",
-    "q_boilerplate_grams",
-    "q_canonical_pick",
-    "q_stream_scd2",
-    "q_forecast_revenue",
-    "q_idle_rich_customers",
-    # rows-only -> oracle upgrades (r3): first-ever hash verdicts
-    "q_stream_dedupe",
-    "q_stream_cdc_replay",
-    # window is exactly 50 at this point; below = next-round candidates
+    # Round-4 window (the close-out round): the driver oracle-checks a
+    # 50-query prefix of the registered order. Rounds 1-3 left exactly
+    # 9 queries never driver-checked and 2 checked only rows-only
+    # before their oracles existed — they go first, making every
+    # registered query ever-verified once this window lands.
     "q_udaf_median",
     "q_udtf_explode",
     "q_zorder_layout",
@@ -109,27 +55,66 @@ _CHECK_FIRST = [
     "q_vocab_growth",
     "q_embedding_norm_hist",
     "q_dedup_yield_by_source",
+    "q_frame_sample",
     "q_stream_ingest_counts",
     "q_stream_window_counts",
-    "q_frame_sample",
-    # re-verify fillers: flagship chains + scale-path operators; these
-    # were green in r01/r02 and pad the window to 50
+    # oracle upgrades + impl rewrites this round: first/fresh hash
+    # verdicts for the planted-copy near-dup oracle, the new HLL
+    # error-bound query, the r3 multimodal-features oracle (never
+    # windowed), the blocked all-pairs cosine, and the bucketed
+    # partition-pruned streaming merge
+    "q_embedding_neardup",
+    "q_hll_error_bound",
+    "q_multimodal_features",
+    "q_cosine_pairs",
+    "q_stream_cdc_replay",
+    # drift re-verification: every oracle-backed query whose last green
+    # verdict is round 1 — the event-sink rewrite and the cents sweep
+    # landed underneath all of them since
     "q_ops_by_table_op",
-    "q_cdc_replay",
-    "q_pipeline_e2e",
+    "q_status_counts",
+    "q_validate_events",
     "q_parse_envelope",
+    "q_explode_rows",
     "q_normalize",
+    "q_sha2",
+    "q_string_ops",
+    "q_anti_orphans",
+    "q_semi_active",
+    "q_ratio_join",
+    "q_unique_check",
     "q_asof_join",
     "q_range_join",
     "q_skew_salted_join",
-    "q_prom_quantile",
+    "q_latency_histogram",
+    "q_totals_last",
+    "q_sums_filtered",
+    "q_rollup_ops",
+    "q_cube_ops",
+    "q_windowed_distinct",
+    "q_rate_5m",
+    "q_error_ratio",
+    "q_quantiles",
     "q_alert_liveness",
-    "q_ratio_join",
+    "q_prom_quantile",
+    "q_rate_per_op",
+    "q_increase_1h",
+    "q_date_histogram",
+    "q_topk_recent",
+    "q_order_priority",
+    # 47 queries above; the next three (oldest-r02 flagship chains)
+    # complete the 50-query window. Entries after them are next in
+    # line if the driver widens the window.
     "q_dedup_exact",
     "q_minhash_neardup",
+    "q_cdc_replay",
+    "q_pipeline_e2e",
     "q_cosine_topk",
     "q_ivf_topk",
     "q_lang_id",
+    "q_stream_dedupe",
+    "q_snapshot_diff",
+    "q_session_windows",
 ]
 
 _loaded = False

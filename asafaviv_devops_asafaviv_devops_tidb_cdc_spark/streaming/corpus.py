@@ -10,13 +10,16 @@ idempotent, so any batch split / delivery order / retry converges to
 the same survivors, and the streamed result hash-matches the BATCH
 oracle (q_dedup_exact's SQL).
 
-Durability follows streaming/merge.py: copy-on-write ``v<epoch>``
-state directories, overwrite-by-epoch idempotent, pruned to two.
+Durability follows streaming/merge.py: hash-bucketed copy-on-write
+state (per-bucket ``v<epoch>`` chains), overwrite-by-epoch idempotent,
+pruned to two.
 
 Scale posture: state is one row per DISTINCT document (the deduped
 corpus itself — the thing you're building anyway); each batch costs
-one hash-key shuffle of (state ∪ batch), and on a key-partitioned
-table format only touched partitions rewrite.
+one hash-key shuffle of (touched-bucket state ∪ batch), and only the
+buckets the batch's content hashes land in are rewritten
+(``merge.apply_bucketed_fold``) — per-batch I/O bounded by batch key
+spread, not corpus size.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import ingest
-from .merge import _prune_versions, latest_state_path
+from .merge import N_STATE_BUCKETS, apply_bucketed_fold, read_state
 
 
 def run_dedup_stream(
@@ -51,24 +54,31 @@ def run_dedup_stream(
         .parquet(source_dir)
     )
 
-    def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        batch = batch_df.withColumn("_h", F.sha2(F.col(text_col), 256))
-        latest = latest_state_path(state_dir, before_epoch=epoch_id)
-        combined = (
-            batch
-            if latest is None
-            else spark.read.parquet(latest).unionByName(batch)
-        )
+    def fold(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+        combined = batch if existing is None else existing.unionByName(batch)
         # min-by-id per hash: commutative across batches, so arrival
         # order cannot change the survivor set
         w_cols = [c for c in combined.columns if c != "_h"]
-        survivors = (
+        return (
             combined.groupBy("_h")
             .agg(F.min(F.struct(id_col, *[c for c in w_cols if c != id_col])).alias("_s"))
             .select("_h", "_s.*")
         )
-        survivors.write.mode("overwrite").parquet(f"{state_dir}/v{epoch_id:09d}")
-        _prune_versions(state_dir, keep=2)
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.withColumn("_h", F.sha2(F.col(text_col), 256))
+        apply_bucketed_fold(
+            spark,
+            batch,
+            state_dir,
+            epoch_id,
+            # bucket on the content hash — the fold's grouping key, so
+            # every row of one group lands in exactly one bucket
+            lambda: F.pmod(F.xxhash64(F.col("_h")), F.lit(N_STATE_BUCKETS)).cast(
+                "int"
+            ),
+            fold,
+        )
 
     with ingest.scoped_shuffle_partitions(spark, ingest.STREAM_SHUFFLE_PARTITIONS):
         q = (
@@ -81,7 +91,4 @@ def run_dedup_stream(
 
 
 def survivors(spark: SparkSession, state_dir: str) -> DataFrame:
-    latest = latest_state_path(state_dir)
-    if latest is None:
-        raise FileNotFoundError(f"no state versions under {state_dir}")
-    return spark.read.parquet(latest).drop("_h")
+    return read_state(spark, state_dir).drop("_h")

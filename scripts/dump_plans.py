@@ -73,6 +73,11 @@ HEADLINE = {
         "TPC-H Q6 shape — all four predicates pushed into the parquet "
         "scan, partial agg to a single row"
     ),
+    "q_cosine_pairs": (
+        "exhaustive all-pairs cosine — both sides hash-blocked, one "
+        "pair-key shuffle into FlatMapGroupsInPandas int64 matmuls; "
+        "nothing materializes on the driver (r4)"
+    ),
 }
 
 

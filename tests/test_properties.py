@@ -96,6 +96,39 @@ def test_incremental_merge_equals_batch_replay(spark, ops, cut):
     assert got == _fold(ops)
 
 
+@settings(max_examples=8, deadline=None)
+@given(ops=_oplog, cut=st.integers(min_value=1, max_value=24))
+def test_tombstone_expiry_preserves_fold_for_in_horizon_streams(spark, ops, cut):
+    """Replay-horizon tombstone GC never changes the answer for any
+    stream that respects the horizon: merging in event-time order with
+    a horizon SHORTER than the log (expiry actually fires) yields the
+    same live state as the reference fold — an expired tombstone's key
+    can only stay deleted, never resurrect, because every event that
+    could have revived it is older than the horizon and thus cannot be
+    delivered."""
+    horizon_ms = 5_000  # log spans up to 25 s -> expiry fires
+    cut = min(cut, len(ops))
+    df_all = _events_df(spark, ops)
+    state = None
+    # in-order delivery: chunk watermarks are monotone, so no delivered
+    # event is ever older than (watermark - horizon) of a prior merge
+    for pred in (f"offset < {cut}", f"offset >= {cut}"):
+        chunk = df_all.filter(pred)
+        if chunk.count() == 0:
+            continue
+        wm = chunk.agg({"ts": "max"}).collect()[0][0]
+        state = merge.merge_state(
+            state, chunk, keys=["table_name", "user_id"],
+            order_by=["ts", "offset", "rownum"],
+            tombstone_horizon_ms=horizon_ms,
+            watermark_ms=int(wm.timestamp() * 1000),
+        )
+    got = {
+        r["user_id"]: int(r["value"]) for r in merge.live_state(state).collect()
+    }
+    assert got == _fold(ops)
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     vals=st.lists(

@@ -165,3 +165,113 @@ def test_state_maintainers_are_retry_idempotent(spark):
     assert latest_state_path(str(base), before_epoch=2).endswith("v000000001")
     # retry of epoch 0: nothing older -> fresh start
     assert latest_state_path(str(base), before_epoch=0) is None
+
+
+from pathlib import Path  # noqa: E402  (used by the bucket-layout tests)
+
+
+def _typed_batch(spark, rows):
+    """rows = [(table, user_id, op, value, ts_s, offset)] -> typed-row
+    frame with the merge state schema."""
+    return spark.createDataFrame(
+        [(t, u, op, float(v), ts, o, 0) for (t, u, op, v, ts, o) in rows],
+        "table_name string, user_id long, operation string, value double, "
+        "ts_s string, offset long, rownum int",
+    ).selectExpr(
+        "table_name",
+        "user_id",
+        "operation",
+        "cast(value as decimal(18,2)) as value",
+        "cast(ts_s as timestamp) as ts",
+        "offset",
+        "rownum",
+    )
+
+
+def _bucket_files(state_dir):
+    """{relative file path: bytes} for every committed bucket file."""
+    out = {}
+    for p in Path(state_dir).rglob("*"):
+        if p.is_file() and "_stage" not in str(p):
+            out[str(p.relative_to(state_dir))] = p.read_bytes()
+    return out
+
+
+def test_merge_rewrites_only_touched_buckets(spark):
+    """Partition-pruned MERGE: a micro-batch whose keys hash into one
+    bucket must leave every other bucket's files byte-identical (same
+    paths, same contents) — per-batch state I/O is bounded by the
+    batch's key spread, not total state size."""
+    import tempfile
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import merge
+
+    state = str(Path(tempfile.mkdtemp()) / "state")
+    batch1 = _typed_batch(
+        spark,
+        [("t", u, "insert", u * 10, f"2024-01-01 00:00:{u:02d}", u) for u in range(12)],
+    )
+    merge.apply_merge_batch(spark, batch1, state, epoch_id=1, n_buckets=8)
+    before = _bucket_files(state)
+    assert before, "batch1 wrote no state"
+
+    batch2 = _typed_batch(spark, [("t", 3, "update", 999, "2024-01-01 00:01:00", 100)])
+    b3 = batch2.select(merge.bucket_of(n_buckets=8).alias("b")).collect()[0]["b"]
+    merge.apply_merge_batch(spark, batch2, state, epoch_id=2, n_buckets=8)
+    after = _bucket_files(state)
+
+    untouched_before = {p: c for p, c in before.items() if not p.startswith(f"b{b3:04d}/")}
+    untouched_after = {p: c for p, c in after.items() if not p.startswith(f"b{b3:04d}/")}
+    assert untouched_before == untouched_after
+    # ... and the touched bucket did advance to a new version
+    assert any(p.startswith(f"b{b3:04d}/v000000002") for p in after)
+    # final state is still the correct LWW fold
+    got = {
+        r["user_id"]: int(r["value"])
+        for r in merge.live_state(merge.read_state(spark, state)).collect()
+    }
+    assert got == {u: (999 if u == 3 else u * 10) for u in range(12)}
+
+
+def test_tombstone_gc_drops_expired_without_resurrection(spark):
+    """Replay-horizon tombstone expiry: once the watermark passes
+    ts(delete) + horizon, the tombstone is physically dropped from any
+    bucket the next batch rewrites — and the deleted key stays deleted,
+    because no event older than the horizon can arrive."""
+    import tempfile
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import merge
+
+    horizon = 60_000  # 1 minute
+    state = str(Path(tempfile.mkdtemp()) / "state")
+    # one bucket for everything: all keys rewrite together
+    batch1 = _typed_batch(
+        spark,
+        [
+            ("t", 1, "insert", 10, "2024-01-01 00:00:00", 0),
+            ("t", 1, "delete", 10, "2024-01-01 00:00:01", 1),
+            ("t", 2, "insert", 20, "2024-01-01 00:00:02", 2),
+        ],
+    )
+    merge.apply_merge_batch(
+        spark, batch1, state, epoch_id=1, n_buckets=1, tombstone_horizon_ms=horizon
+    )
+    # tombstone still within horizon: retained
+    ops1 = {
+        (r["user_id"], r["operation"])
+        for r in merge.read_state(spark, state).collect()
+    }
+    assert (1, "delete") in ops1
+
+    # watermark advances past ts(delete) + horizon -> tombstone expires
+    batch2 = _typed_batch(spark, [("t", 2, "update", 21, "2024-01-01 00:02:30", 3)])
+    merge.apply_merge_batch(
+        spark, batch2, state, epoch_id=2, n_buckets=1, tombstone_horizon_ms=horizon
+    )
+    final = merge.read_state(spark, state)
+    ops2 = {(r["user_id"], r["operation"]) for r in final.collect()}
+    assert (1, "delete") not in ops2  # physically gone
+    got = {
+        r["user_id"]: int(r["value"]) for r in merge.live_state(final).collect()
+    }
+    assert got == {2: 21}  # key 1 deleted, not resurrected
