@@ -80,3 +80,35 @@ def max_offsets_per_trigger(
     reference index.js:353)."""
     batch_bytes = total_cores * TARGET_SHUFFLE_PARTITION_BYTES
     return max(batch_bytes // max(avg_event_bytes, 1), kafka_partitions)
+
+
+def state_buckets(state_bytes: int, expected_batch_keys: int) -> int:
+    """Bucket count for the hash-bucketed streaming state table
+    (streaming/merge.py). Two pressures trade off:
+
+    - rewrite amplification: a batch rewrites every bucket one of its
+      keys hashes into, so per-batch I/O ~= touched_buckets x
+      (state_bytes / n_buckets). More buckets -> finer pruning, until
+      touched_buckets saturates at the batch's distinct-key count.
+    - file-count pressure: each bucket keeps its own version chain;
+      beyond ~100k live bucket dirs the metadata layer (listing,
+      checkpoint manifests) becomes the bottleneck.
+
+    Sizing rule: make one bucket ~= one shuffle-partition envelope
+    (state_bytes / 200 MiB), then cap so a typical batch still touches
+    a minority of buckets (n <= 4 x expected distinct batch keys keeps
+    expected touched fraction under ~1 - e^-1/4 ~ 22%)."""
+    by_size = state_bytes // TARGET_SHUFFLE_PARTITION_BYTES + 1
+    return int(min(max(by_size, 1), max(4 * expected_batch_keys, 1), 100_000))
+
+
+def cosine_blocks(corpus_bytes: int, executor_task_memory_bytes: int) -> int:
+    """Block count for the distributed all-pairs cosine
+    (functions/similarity.py::allpairs_cosine_x10k). A block-pair task
+    holds two blocks as dense int64 matrices (~2x the float32 parquet
+    footprint each), so per-task memory ~= 4 x corpus_bytes / n_blocks;
+    pick the smallest n_blocks that fits the task budget. Task count
+    grows as n(n+1)/2 — quadratic, like the work itself — so n_blocks
+    only ever needs to be as large as memory demands."""
+    need = (4 * corpus_bytes) // max(executor_task_memory_bytes, 1) + 1
+    return int(max(need, 2))

@@ -190,10 +190,11 @@ def apply_bucketed_fold(
     files + per-partition version pointers."""
     batch_df = batch_df.persist()
     try:
-        # touched bucket ids: scalar driver action, <= n_buckets ints
+        # touched bucket ids: ONE scalar driver action, <= n_buckets ints
         touched = sorted(
-            r[0]
-            for r in batch_df.select(bucket_expr().alias("_b")).distinct().collect()
+            batch_df.select(bucket_expr().alias("_b"))
+            .agg(F.collect_set("_b"))
+            .collect()[0][0]
         )
         if not touched:
             return
@@ -202,9 +203,15 @@ def apply_bucketed_fold(
         existing = spark.read.parquet(*prior_paths) if prior_paths else None
         merged = fold(existing, batch_df).withColumn("_bucket", bucket_expr())
         # one write job for all touched buckets; the partition column is
-        # recomputable from the keys so it is never stored in the rows
+        # recomputable from the keys so it is never stored in the rows.
+        # repartition ON the bucket id first: one task (one file) per
+        # touched bucket instead of |tasks| x |buckets| small files —
+        # bucket count is the size-scaled parallelism unit anyway
+        # (plans/scale.py::state_buckets)
         stage = Path(state_dir) / f"_stage_v{epoch_id:09d}"
-        merged.write.mode("overwrite").partitionBy("_bucket").parquet(str(stage))
+        merged.repartition(len(touched), "_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(str(stage))
         empty = merged.drop("_bucket").limit(0)
         for b in touched:
             dst = Path(state_dir) / f"b{b:04d}" / f"v{epoch_id:09d}"
@@ -238,13 +245,15 @@ def apply_merge_batch(
     """MERGE one micro-batch into the bucketed CDC state table:
     last-writer-wins fold with tombstone retention + replay-horizon
     expiry, partition-pruned via ``apply_bucketed_fold``."""
-    watermark_ms = None
-    if tombstone_horizon_ms is not None:
-        watermark_ms = batch_df.agg(
-            F.max(F.unix_millis(F.col(order_by[0])))
-        ).collect()[0][0]
 
     def fold(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+        # batch is persisted by apply_bucketed_fold, so the watermark
+        # scan (a scalar) doesn't recompute the parse chain
+        watermark_ms = None
+        if tombstone_horizon_ms is not None:
+            watermark_ms = batch.agg(
+                F.max(F.unix_millis(F.col(order_by[0])))
+            ).collect()[0][0]
         return merge_state(
             existing,
             batch,

@@ -142,6 +142,15 @@ def test_scale_conf_formulas():
     small = scale.recommended_conf(1 * scale.GIB, executors=1, cores_per_executor=8)
     assert small["spark.sql.shuffle.partitions"] == "16"
     assert scale.max_offsets_per_trigger(4, 1024, 64) == 64 * 200 * scale.MIB // 1024
+    # bucketed state: 1 TiB state -> size-driven (~5243 buckets), but a
+    # 100-key batch caps at 400 so most buckets stay untouched per batch
+    assert scale.state_buckets(1 * scale.TIB, 100) == 400
+    assert scale.state_buckets(1 * scale.TIB, 10_000) == 1 * scale.TIB // (200 * scale.MIB) + 1
+    assert scale.state_buckets(1 * scale.MIB, 10_000) == 1  # tiny state: one bucket
+    # blocked cosine: 64 GiB of vectors into 2 GiB task memory -> 129
+    # blocks (4x dense-int64 inflation); floor of 2 blocks always
+    assert scale.cosine_blocks(64 * scale.GIB, 2 * scale.GIB) == 129
+    assert scale.cosine_blocks(1 * scale.MIB, 2 * scale.GIB) == 2
 
 
 def test_returned_items_broadcasts_dims_pushes_flag(spark):
