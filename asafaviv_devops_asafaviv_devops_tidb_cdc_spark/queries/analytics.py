@@ -651,3 +651,130 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_custs"),
         F.sum(cents("c_acctbal")).cast("long").alias("total_bal_cents"),
     )
+
+
+@register(
+    "q_supplier_parts",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def q_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — parts/supplier relationship report: distinct
+    supplier count per (brand, type, size) with a NOT-IN exclusion
+    subquery (suppliers "with complaints" — negative balance stands in
+    for the missing comment column). The exclusion list is tiny and
+    becomes a broadcast LEFT ANTI join (null-safe here: keys are
+    non-null); the brand/type/size predicates all push to the part
+    scan; COUNT(DISTINCT) shuffles once on the group key with the
+    suppkey carried for the distinct-aggregate expand."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").startswith("MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == F.col("bad_suppkey"), "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_disjunctive_revenue",
+    oracle=f"""
+SELECT {sum_revenue_sql('l.l_extendedprice', 'l.l_discount')} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue under a DISJUNCTION of
+    (brand, size-range, quantity-range) triples: the planner case where
+    a naive engine evaluates the OR after the join. Catalyst extracts
+    the common-subexpression bounds: the per-side implied predicates
+    (p_size >= 1, quantity/size upper bounds from the OR's union) push
+    into BOTH scans, part broadcasts, and the residual OR evaluates in
+    the join's codegen stage. Revenue accumulates in exact integer
+    1e-4-dollar units."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.filter(cond).agg(
+        units_as_dollars(F.sum(revenue_units())).alias("revenue")
+    )
+
+
+@register(
+    "q_value_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS np, CAST(SUM(value_cents) AS BIGINT) AS tv FROM pv)
+SELECT pv.l_partkey AS partkey, pv.value_cents
+FROM pv, tot
+WHERE pv.value_cents * tot.np * 2 > tot.tv * 3
+""",
+)
+def q_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — disproportionately valuable parts: per-part
+    value vs a SCALAR-subquery threshold over the same aggregate
+    (parts holding > 1.5x the mean value share — scale-free, unlike
+    Q11's literal fraction, so the shape yields rows at any SF). The
+    per-part aggregate is computed ONCE: the single-row (count, total)
+    reduction of it broadcasts back via cross join, and the threshold
+    compares as an integer cross-multiply (cents x count x 2 >
+    total x 3) — exact at any partition order, where a float mean
+    could flip boundary rows between engines."""
+    pv = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice")).cast("long").alias("value_cents"))
+        .persist()
+    )
+    tot = pv.agg(
+        F.count("*").alias("np"), F.sum("value_cents").cast("long").alias("tv")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("np") * 2 > F.col("tv") * 3)
+        .select(F.col("l_partkey").alias("partkey"), "value_cents")
+    )

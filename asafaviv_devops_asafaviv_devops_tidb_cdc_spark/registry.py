@@ -102,9 +102,15 @@ _CHECK_FIRST = [
     "q_date_histogram",
     "q_topk_recent",
     "q_order_priority",
-    # 47 queries above; the next three (oldest-r02 flagship chains)
-    # complete the 50-query window. Entries after them are next in
-    # line if the driver widens the window.
+    # 47 queries above; the next three (new classic-warehouse shapes
+    # added this round: Q16 distinct-supplier report, Q19 disjunctive
+    # pushdown join, Q11 scalar-subquery value share) complete the
+    # 50-query window — keeping every registered query ever-verified.
+    # Entries after them are oldest-r02 flagship chains, next in line
+    # if the driver widens the window.
+    "q_supplier_parts",
+    "q_disjunctive_revenue",
+    "q_value_parts",
     "q_dedup_exact",
     "q_minhash_neardup",
     "q_cdc_replay",

@@ -55,3 +55,50 @@ def observe_normalized(df: DataFrame, name: str = "cdc_metrics") -> tuple[DataFr
         return df.observe(name, *_metric_exprs()), name
     obs = Observation(name)
     return df.observe(obs, *_metric_exprs()), obs
+
+
+# metric -> (type, help) for the exposition renderer; mirrors the
+# prom-client registrations at reference node-consumer/index.js:90-125
+_METRIC_META = {
+    PROCESSED_TOTAL: ("counter", "Total CDC row events processed"),
+    INSERTS_TOTAL: ("counter", "Total INSERT row events"),
+    UPDATES_TOTAL: ("counter", "Total UPDATE row events"),
+    DELETES_TOTAL: ("counter", "Total DELETE row events"),
+    LAST_EVENT_MS: ("gauge", "Event-time of the newest processed event (ms)"),
+}
+
+
+def _escape_label(v: str) -> str:
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def to_prometheus_text(
+    metrics: dict[str, int | float | None],
+    labels: dict[str, str] | None = None,
+) -> str:
+    """Render an observed-metrics dict in the Prometheus text exposition
+    format (version 0.0.4) — byte-compatible with what prom-client
+    serves on the reference's /metrics endpoint (reference
+    node-consumer/index.js:387-398), so the same scrape config works.
+    Transport is out of scope on an engine (any HTTP server or
+    pushgateway can serve the string); this pins the FORMAT, which is
+    the part a scraper contract actually depends on."""
+    label_str = ""
+    if labels:
+        inner = ",".join(
+            f'{k}="{_escape_label(str(v))}"' for k, v in sorted(labels.items())
+        )
+        label_str = "{" + inner + "}"
+    lines: list[str] = []
+    for name in sorted(metrics):
+        value = metrics[name]
+        if value is None:
+            continue
+        mtype, mhelp = _METRIC_META.get(name, ("untyped", name))
+        lines.append(f"# HELP {name} {mhelp}")
+        lines.append(f"# TYPE {name} {mtype}")
+        # integers render without exponent/decimal; floats via repr —
+        # both accepted by the exposition grammar
+        sval = str(int(value)) if float(value).is_integer() else repr(float(value))
+        lines.append(f"{name}{label_str} {sval}")
+    return "\n".join(lines) + "\n"

@@ -100,6 +100,33 @@ def test_observe_batch_counters_match_groupby(spark):
     assert got[metrics.LAST_EVENT_MS] > 0
 
 
+def test_prometheus_exposition_round_trip(spark):
+    """S5 transport format: observed batch counters render in the
+    Prometheus text exposition format (0.0.4) — HELP/TYPE headers,
+    escaped labels, integer values without decimals — the byte contract
+    the reference's /metrics endpoint serves (index.js:387-398)."""
+    norm = _normalized(spark)
+    observed, obs = metrics.observe_normalized(norm)
+    observed.write.format("noop").mode("overwrite").save()
+    text = metrics.to_prometheus_text(
+        obs.get, labels={"job": "cdc", "instance": 'a"b\\c'}
+    )
+    lines = text.splitlines()
+    total = obs.get[metrics.PROCESSED_TOTAL]
+    assert f"# TYPE {metrics.PROCESSED_TOTAL} counter" in lines
+    assert f"# HELP {metrics.LAST_EVENT_MS} " + "Event-time of the newest processed event (ms)" in lines
+    assert (
+        f'{metrics.PROCESSED_TOTAL}{{instance="a\\"b\\\\c",job="cdc"}} {total}'
+        in lines
+    )
+    # every sample line parses as <name>{labels} <number>
+    samples = [ln for ln in lines if not ln.startswith("#")]
+    assert len(samples) == 5
+    for ln in samples:
+        float(ln.rsplit(" ", 1)[1])  # value is numeric
+    assert text.endswith("\n")
+
+
 def test_streaming_query_listener_lifecycle(spark):
     """§2.9 health/lifecycle parity: the reference exposes /health,
     /ready and a SIGTERM drain (index.js:401-497); the engine-native

@@ -153,6 +153,45 @@ def test_scale_conf_formulas():
     assert scale.cosine_blocks(1 * scale.MIB, 2 * scale.GIB) == 2
 
 
+def test_supplier_parts_anti_join_broadcasts_and_pushes(spark):
+    """Q16 shape: the NOT-IN exclusion is a broadcast LEFT ANTI join and
+    every brand/type/size predicate reaches the part scan."""
+    df = _df("q_supplier_parts", spark)
+    plan = checks.plan_string(df)
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert not checks.has_cartesian(df)
+    pushed = " ".join(checks.pushed_filters(df))
+    assert "In(p_size" in pushed and "StringStartsWith(p_type" in pushed, pushed
+
+
+def test_disjunctive_revenue_pushes_or_bounds_to_both_scans(spark):
+    """Q19 shape: Catalyst pushes the OR's per-side implied bounds into
+    BOTH parquet scans (quantity Or-tree -> lineitem, brand/size
+    Or-tree + implied p_size >= 1 -> part) instead of evaluating the
+    disjunction only after the join."""
+    df = _df("q_disjunctive_revenue", spark)
+    assert checks.uses_broadcast_join(df)
+    pushed = checks.pushed_filters(df)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+    assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
+
+
+def test_value_parts_scans_lineitem_once(spark):
+    """Q11 shape: the per-part aggregate is computed once (persisted
+    InMemoryRelation feeds both the filter side and the single-row
+    reduction); the scalar threshold rides a 1-row broadcast."""
+    import re
+
+    df = _df("q_value_parts", spark)
+    plan = checks.plan_string(df)
+    # every Scan parquet in the tree is the SAME node id — the cached
+    # per-part aggregate is shared, not recomputed per consumer
+    ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(ids) == 1, plan
+    assert "InMemoryRelation" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
 def test_returned_items_broadcasts_dims_pushes_flag(spark):
     df = _df("q_returned_items", spark)
     assert checks.uses_broadcast_join(df)
