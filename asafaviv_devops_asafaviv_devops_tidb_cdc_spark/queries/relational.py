@@ -127,21 +127,43 @@ def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_batch_insert_gen")  # rows-only: rand() is partitioning-dependent
+@register(
+    "q_batch_insert_gen",
+    oracle="""
+SELECT 'BatchProduct' || CAST(i AS VARCHAR) AS name,
+       CAST(20 + ('0x' || substr(sha256('price_' || CAST(i AS VARCHAR)), 1, 12))::BIGINT % 200
+            AS DOUBLE) AS price,
+       CAST(1 + ('0x' || substr(sha256('stock_' || CAST(i AS VARCHAR)), 1, 12))::BIGINT % 50
+            AS INTEGER) AS stock
+FROM range(1, 21) t(i)
+""",
+)
 def q_batch_insert_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5+F6 — randomized batch-insert generation (reference
     run_test.sh:80-84: 20 inserts named 'BatchProduct{i}' with
-    $((RANDOM % 200 + 20)) prices): seeded rand() + template concat.
-    Rows-only — rand(seed) streams per-partition, so values are stable
-    only for a fixed partitioning; the contract checked is shape +
-    bounds, not exact values."""
-    return (
-        spark.range(1, 21, 1, 1)
-        .select(
-            F.concat(F.lit("BatchProduct"), F.col("id")).alias("name"),
-            (F.floor(F.rand(42) * 200) + 20).cast("decimal(10,2)").alias("price"),
-            (F.floor(F.rand(43) * 100) + 10).cast("int").alias("stock"),
-        )
+    $((RANDOM % 200 + 20)) prices and $((RANDOM % 50 + 1)) stock).
+    bash RANDOM is a seeded PRNG; the
+    engine-portable equivalent is a counter-mode hash draw —
+    ``sha2(salt || i)`` first 48 bits mod the range — which is uniform,
+    reproducible on ANY partitioning (rand(seed) streams per-partition,
+    so its values shift whenever the split changes), and identical in
+    both engines, so the generator itself is hash-verified rather than
+    rows-only."""
+
+    def draw(salt: str, lo: int, span: int):
+        h = F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit(salt), F.col("id").cast("string")), 256), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % span + lo
+
+    return spark.range(1, 21, 1, 1).select(
+        F.concat(F.lit("BatchProduct"), F.col("id")).alias("name"),
+        draw("price_", 20, 200).cast("double").alias("price"),
+        draw("stock_", 1, 50).cast("int").alias("stock"),
     )
 
 

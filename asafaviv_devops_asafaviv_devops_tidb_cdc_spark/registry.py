@@ -77,7 +77,11 @@ _CHECK_FIRST = [
     "q_parse_envelope",
     "q_explode_rows",
     "q_normalize",
-    "q_sha2",
+    # F5 upgraded to a hash-verified counter-mode generator this round —
+    # its first oracle verdict takes the slot q_sha2 held (sha2
+    # semantics re-verify transitively via the windowed q_dedup_exact,
+    # whose survivor keys are sha2(text))
+    "q_batch_insert_gen",
     "q_string_ops",
     "q_anti_orphans",
     "q_semi_active",

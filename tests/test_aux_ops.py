@@ -177,7 +177,7 @@ def test_batch_insert_gen_shape(spark):
     assert len(rows) == 20
     assert all(r["name"] == f"BatchProduct{i+1}" for i, r in enumerate(rows))
     assert all(20 <= float(r["price"]) < 220 for r in rows)
-    assert all(10 <= r["stock"] < 110 for r in rows)
+    assert all(1 <= r["stock"] < 51 for r in rows)
 
 
 def registry_queries():
