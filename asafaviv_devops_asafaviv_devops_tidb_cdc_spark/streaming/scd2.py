@@ -19,14 +19,16 @@ the batch query uses — one code path, two execution modes, which is
 why the streamed result can hash-match the batch oracle. Serving is a
 tombstone filter over precomputed intervals, no window at read time.
 
-Durability follows streaming/merge.py: copy-on-write ``v<epoch>``
-directories, overwrite-by-epoch idempotent on retry, pruned to the
-last two versions.
+Durability follows streaming/merge.py: hash-bucketed copy-on-write
+state (per-bucket ``v<epoch>`` chains), overwrite-by-epoch idempotent
+on retry, pruned to the last two versions per bucket.
 
 Scale posture: the recompute cost per batch is O(events of touched
-keys), not O(state); the carry-over is a partition-pruned anti-join
-copy. On a table format with key partitioning the copy disappears
-entirely (only touched partitions rewrite).
+keys), not O(state), and the rewrite is partition-pruned
+(``merge.apply_bucketed_fold``): only buckets the batch's keys hash
+into are read and rewritten — the carry-over copy of untouched keys is
+bounded by the touched buckets, and untouched buckets' files are not
+touched at all.
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators import parse as P
 from ..operators.replay import scd2_versions
 from . import ingest
-from .merge import latest_state_path
+from .merge import apply_bucketed_fold, bucket_of, read_state
 
 SCD2_KEYS = ["table_name", "row_id"]
 _INTERVAL_COLS = ["valid_from_ms", "valid_to_ms", "is_current"]
@@ -84,16 +86,18 @@ def run_scd2_stream(
     typed = P.typed_rows(P.normalized_events(stream))
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        # before_epoch: a retried epoch must NOT read its own partial
-        # v<epoch> write — the SCD2 fold is order-sensitive and folding
-        # the batch twice doubles every touched key's version rows
-        latest = latest_state_path(state_dir, before_epoch=epoch_id)
-        existing = spark.read.parquet(latest) if latest else None
-        new_state = rebuild_state(existing, batch_df)
-        new_state.write.mode("overwrite").parquet(f"{state_dir}/v{epoch_id:09d}")
-        from .merge import _prune_versions
-
-        _prune_versions(state_dir, keep=2)
+        # apply_bucketed_fold handles retry idempotence (a retried epoch
+        # never reads its own partial v<epoch> write — the SCD2 fold is
+        # order-sensitive and folding the batch twice would double every
+        # touched key's version rows) and rewrites only touched buckets
+        apply_bucketed_fold(
+            spark,
+            batch_df,
+            state_dir,
+            epoch_id,
+            lambda: bucket_of(SCD2_KEYS),
+            rebuild_state,
+        )
 
     with ingest.scoped_shuffle_partitions(spark, ingest.STREAM_SHUFFLE_PARTITIONS):
         q = (
@@ -111,7 +115,4 @@ def history(spark: SparkSession, state_dir: str) -> DataFrame:
     read), no window. The interval semantics come from the same
     ``scd2_versions`` operator the batch query uses — one code path,
     two execution modes."""
-    latest = latest_state_path(state_dir)
-    if latest is None:
-        raise FileNotFoundError(f"no state versions under {state_dir}")
-    return spark.read.parquet(latest).filter(F.col("operation") != "delete")
+    return read_state(spark, state_dir).filter(F.col("operation") != "delete")
