@@ -11,8 +11,13 @@ driver can hash-compare the streamed result against the BATCH oracle
 Idempotence: partials land in an ``epoch=<id>`` directory written with
 mode=overwrite, so a micro-batch retry after a crash rewrites its own
 partial instead of double-counting — the foreachBatch exactly-once
-recipe. At 100 TB the partials are O(groups x batches) rows; compact
-them with the same fold whenever the serving read slows.
+recipe. At 100 TB the partials are O(groups x batches) rows;
+``compact_partials`` folds them into a versioned BASE with the same
+commutative fold, bounding the serving read at O(groups + batches
+since last compaction). The base is copy-on-write (``base_v<epoch>``)
+and serving ignores epoch partials at or below the base's version, so
+a crash anywhere in compaction — before the base commit, or before the
+folded epoch dirs are removed — never double-counts or drops a batch.
 """
 
 from __future__ import annotations
@@ -25,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators import parse as P
 from ..operators.replay import retraction_totals
 from . import ingest
+
+_BASE_PREFIX = "base_v"
 
 
 def run_delta_stream(
@@ -62,10 +69,74 @@ def run_delta_stream(
         q.awaitTermination()
 
 
+def _base_version(partials_dir: str) -> tuple[int, Path | None]:
+    """(version, path) of the newest committed base; (-1, None) if none."""
+    root = Path(partials_dir)
+    bases = sorted(p for p in root.iterdir() if p.name.startswith(_BASE_PREFIX))
+    if not bases:
+        return -1, None
+    newest = bases[-1]
+    return int(newest.name[len(_BASE_PREFIX):]), newest
+
+
+def _epoch_dirs(partials_dir: str) -> list[tuple[int, Path]]:
+    root = Path(partials_dir)
+    out = []
+    for p in root.iterdir():
+        if p.name.startswith("epoch="):
+            out.append((int(p.name.split("=", 1)[1]), p))
+    return sorted(out)
+
+
+def _live_paths(partials_dir: str) -> list[str]:
+    """The partial set serving must fold: newest base + every epoch
+    partial NEWER than the base's version. Epoch dirs at or below the
+    base version are already folded in — leftovers from an interrupted
+    compaction are ignored, never double-counted."""
+    ver, base = _base_version(partials_dir)
+    paths = [str(base)] if base is not None else []
+    paths += [str(p) for e, p in _epoch_dirs(partials_dir) if e > ver]
+    return paths
+
+
 def folded_totals(spark: SparkSession, partials_dir: str) -> DataFrame:
-    """Serving view: sum the per-batch partials into current totals."""
-    parts = spark.read.parquet(partials_dir)
+    """Serving view: sum the live partials into current totals."""
+    parts = spark.read.parquet(*_live_paths(partials_dir))
     return parts.groupBy("table_name").agg(
         F.sum("net_rows").cast("long").alias("net_rows"),
         F.sum("net_sum_micro").cast("long").alias("net_sum_micro"),
     )
+
+
+def compact_partials(spark: SparkSession, partials_dir: str) -> None:
+    """Fold every live partial into one new base (copy-on-write,
+    versioned by the newest folded epoch), then drop what it folded.
+
+    Crash safety without a manifest: the base commit is the atomic
+    point. Before it, serving sees the old base + epochs (complete);
+    after it, serving sees the new base and IGNORES epoch dirs <= its
+    version, so interrupted cleanup leaves garbage, not wrong answers.
+    Re-running compaction is idempotent. The same recipe at 100 TB —
+    compaction is a background fold, never a correctness event."""
+    epochs = _epoch_dirs(partials_dir)
+    old_ver, old_base = _base_version(partials_dir)
+    new_ver = max((e for e, _ in epochs), default=old_ver)
+    if new_ver <= old_ver:
+        return  # nothing newer than the base — no-op
+    folded = (
+        spark.read.parquet(*_live_paths(partials_dir))
+        .groupBy("table_name")
+        .agg(
+            F.sum("net_rows").cast("long").alias("net_rows"),
+            F.sum("net_sum_micro").cast("long").alias("net_sum_micro"),
+        )
+    )
+    folded.write.mode("overwrite").parquet(
+        f"{partials_dir}/{_BASE_PREFIX}{new_ver:09d}"
+    )
+    # post-commit cleanup: anything the new base covers
+    for e, p in epochs:
+        if e <= new_ver:
+            shutil.rmtree(p, ignore_errors=True)
+    if old_base is not None:
+        shutil.rmtree(old_base, ignore_errors=True)

@@ -153,6 +153,43 @@ def test_scale_conf_formulas():
     assert scale.cosine_blocks(1 * scale.MIB, 2 * scale.GIB) == 2
 
 
+def test_embedding_norm_hist_single_shuffle(spark):
+    """E3b norm audit is map-only up to one tiny histogram-key
+    aggregation — no join, no second exchange."""
+    df = _df("q_embedding_norm_hist", spark)
+    assert checks.count_nodes(df, "Exchange") == 1, checks.plan_string(df)
+    assert "Join" not in checks.plan_string(df)
+
+
+def test_frame_sample_is_codegen_map_only(spark):
+    """E5c frame sampling: stepped sequence() + byte-substring is one
+    whole-stage-codegen map over the scan — zero exchanges, no Python."""
+    df = _df("q_frame_sample", spark)
+    plan = checks.plan_string(df)
+    assert checks.count_nodes(df, "Exchange") == 0, plan
+    assert "Python" not in plan and "Generate" in plan, plan
+
+
+def test_hll_error_bound_has_no_python_and_two_aggs(spark):
+    """A8b verdict query: approx + exact distinct in ONE grouped
+    aggregation pipeline (expand for the distinct), pure JVM."""
+    df = _df("q_hll_error_bound", spark)
+    plan = checks.plan_string(df)
+    assert "Python" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_embedding_neardup_is_bucket_join_not_allpairs(spark):
+    """E2e: candidates come from an equi-join on the LSH bucket key —
+    never a cartesian/BNLJ pair explosion — and the exact verify is
+    Arrow-vectorized (ArrowEvalPython), not an interpreted fold."""
+    df = _df("q_embedding_neardup", spark)
+    plan = checks.plan_string(df)
+    assert not checks.has_cartesian(df)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
 def test_supplier_parts_anti_join_broadcasts_and_pushes(spark):
     """Q16 shape: the NOT-IN exclusion is a broadcast LEFT ANTI join and
     every brand/type/size predicate reaches the part scan."""

@@ -96,6 +96,38 @@ def test_incremental_merge_equals_batch_replay(spark, ops, cut):
     assert got == _fold(ops)
 
 
+@settings(max_examples=5, deadline=None)
+@given(
+    ops=_oplog,
+    cut=st.integers(min_value=0, max_value=25),
+    nb=st.sampled_from([1, 3, 8]),
+)
+def test_bucketed_merge_on_disk_converges_to_fold(spark, ops, cut, nb):
+    """The full bucketed state machinery (bucket assignment, per-bucket
+    copy-on-write versions, partition-pruned rewrite, bucket-union read)
+    converges to the reference fold for ANY oplog, ANY batch split
+    delivered LATER-CHUNK-FIRST, and ANY bucket count — bucketing must
+    be invisible to the merge semantics."""
+    import tempfile
+    from pathlib import Path
+
+    cut = min(cut, len(ops))
+    df_all = _events_df(spark, ops)
+    state = str(Path(tempfile.mkdtemp()) / "state")
+    epoch = 0
+    for pred in (f"offset >= {cut}", f"offset < {cut}"):
+        chunk = df_all.filter(pred)
+        if chunk.count() == 0:
+            continue
+        merge.apply_merge_batch(spark, chunk, state, epoch_id=epoch, n_buckets=nb)
+        epoch += 1
+    got = {
+        r["user_id"]: int(r["value"])
+        for r in merge.live_state(merge.read_state(spark, state)).collect()
+    }
+    assert got == _fold(ops)
+
+
 @settings(max_examples=8, deadline=None)
 @given(ops=_oplog, cut=st.integers(min_value=1, max_value=24))
 def test_tombstone_expiry_preserves_fold_for_in_horizon_streams(spark, ops, cut):

@@ -233,6 +233,50 @@ def test_merge_rewrites_only_touched_buckets(spark):
     assert got == {u: (999 if u == 3 else u * 10) for u in range(12)}
 
 
+def test_delta_partials_compaction_preserves_totals(spark):
+    """A10 compaction: folding epoch partials into a versioned base
+    changes nothing about the served totals — before/after identical,
+    re-compaction is a no-op, and a resurrected stale epoch dir (an
+    interrupted cleanup) is ignored because serving skips epochs at or
+    below the base version."""
+    import shutil as sh
+    import tempfile
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import delta, ingest
+
+    base = Path(tempfile.mkdtemp())
+    src = ingest.write_envelope_files(spark, SF_SMOKE, str(base / "src"), None, n_files=4)
+    delta.run_delta_stream(
+        spark, src, str(base / "partials"), str(base / "ckpt"), max_files_per_trigger=2
+    )
+    pdir = str(base / "partials")
+
+    def totals():
+        return sorted(
+            (r["table_name"], r["net_rows"], r["net_sum_micro"])
+            for r in delta.folded_totals(spark, pdir).collect()
+        )
+
+    before = totals()
+    epochs = delta._epoch_dirs(pdir)
+    assert len(epochs) >= 2  # multiple micro-batches actually ran
+    saved = Path(tempfile.mkdtemp()) / epochs[0][1].name
+    sh.copytree(epochs[0][1], saved)
+
+    delta.compact_partials(spark, pdir)
+    assert totals() == before
+    assert delta._epoch_dirs(pdir) == []  # all folded into the base
+    ver, _ = delta._base_version(pdir)
+    assert ver == max(e for e, _ in epochs)
+
+    delta.compact_partials(spark, pdir)  # idempotent no-op
+    assert totals() == before
+
+    # interrupted-cleanup simulation: a stale folded epoch reappears
+    sh.copytree(saved, Path(pdir) / saved.name)
+    assert totals() == before  # ignored, not double-counted
+
+
 def test_tombstone_gc_drops_expired_without_resurrection(spark):
     """Replay-horizon tombstone expiry: once the watermark passes
     ts(delete) + horizon, the tombstone is physically dropped from any
