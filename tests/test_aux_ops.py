@@ -247,3 +247,31 @@ def test_observe_streaming_attaches_named_metrics(spark):
             ]
     batch_total = _normalized(spark).count()
     assert seen.get(metrics.PROCESSED_TOTAL) == batch_total
+
+
+def test_events_format_transparency(spark):
+    """S4 extension: the events table read back from JSONL and CSV
+    landings is row-for-row identical to the parquet path — format is
+    a property of the scan node only, so every downstream operator
+    (and every oracle) is format-agnostic by construction."""
+    import tempfile
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import formats
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources.tables import (
+        load_table,
+    )
+
+    def rows(df):
+        return sorted(
+            tuple(str(v) for v in r)
+            for r in df.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            ).collect()
+        )
+
+    base = tempfile.mkdtemp()
+    expected = rows(load_table(spark, SF_SMOKE, "events"))
+    for fmt in ("json", "csv"):
+        path = formats.dump_events(spark, SF_SMOKE, base, fmt)
+        got = rows(formats.read_events(spark, path, fmt))
+        assert got == expected, f"{fmt} round-trip diverged"
