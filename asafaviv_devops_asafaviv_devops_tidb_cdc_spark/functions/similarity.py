@@ -124,8 +124,9 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     cells around deterministic centroids (every ``centroid_mod``-th
-    vector — RNG-free stand-in for k-means; swap in trained centroids at
-    scale), then search only the query's ``nprobe`` nearest cells.
+    vector — RNG-free stand-in for k-means; ``ivf_topk_trained`` takes
+    real trained centroids), then search only the query's ``nprobe``
+    nearest cells.
 
     Scale posture: centroids are a tiny broadcast side; assignment is a
     map stage (corpus × broadcast-centroids, rank-1 filter). The probed
@@ -136,6 +137,45 @@ def ivf_topk(
     cents = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
+    return _ivf_probe(corpus, cents, query_vec_id, k, nprobe, id_col, vec_col)
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over EXTERNALLY TRAINED centroids — ``centroids`` is a
+    (cid long, cv array<double>) frame, e.g. the recentered means of
+    k-means Lloyd steps (queries/corpus_ops.py::q_kmeans_iter produces
+    exactly the (cluster, dim, mean) cells to assemble it). The probe
+    plan is identical to ``ivf_topk``; only the cell geometry improves:
+    trained cells follow the data distribution, so the same nprobe
+    budget recovers more of the true neighborhood."""
+    return _ivf_probe(
+        corpus,
+        centroids.select("cid", "cv"),
+        query_vec_id,
+        k,
+        nprobe,
+        id_col,
+        vec_col,
+    )
+
+
+def _ivf_probe(
+    corpus: DataFrame,
+    cents: DataFrame,
+    query_vec_id: int,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     scored_cells = rebalance(corpus).crossJoin(F.broadcast(cents)).select(
         id_col,
         vec_col,

@@ -60,9 +60,8 @@ def sustained_alerts(
     w_rank = Window.orderBy("window_start")
     islanded = b.withColumn(
         "island",
-        (F.unix_millis("window_start") - F.row_number().over(w_rank) * WINDOW_MS).cast(
-            "long"
-        ),
+        F.unix_millis("window_start")
+        - F.row_number().over(w_rank).cast("long") * F.lit(WINDOW_MS).cast("long"),
     )
     w_streak = (
         Window.partitionBy("island")
@@ -73,6 +72,102 @@ def sustained_alerts(
         islanded.withColumn("streak", F.count("*").over(w_streak).cast("long"))
         .filter(F.col("streak") >= for_windows)
         .select("window_start", "error_ppm", "streak")
+    )
+
+
+def evaluate_rules(
+    events: DataFrame,
+    rules: list[dict],
+    window_ms: int = WINDOW_MS,
+) -> DataFrame:
+    """W7 generalized — alert RULES AS DATA, the declarative equivalent
+    of the reference's whole alerts.yml (monitoring/alerts.yml:6-45):
+    each rule is {name, metric, op ('>=' | '<='), threshold (integer
+    units), for_windows}, where ``metric`` is a SQL expression over the
+    per-window basis columns (n_total, n_errors, error_ppm,
+    p95_value_cents). Returns every (rule, window) where the condition
+    held for >= for_windows CONSECUTIVE windows.
+
+    Shape: ONE windowed aggregation computes the basis for all rules; a
+    full window GRID (sequence over [min, max]) gives absence rules
+    ('no events for 10m' = n_total <= 0) real zero-windows to fire on;
+    rules fan out as selects over the same frame (no re-aggregation);
+    gaps-and-islands streaks partition BY RULE, so N rules cost one
+    extra tiny shuffle, not N jobs. The hardcoded
+    ``sustained_alerts`` is this evaluator specialized to one rule
+    (equivalence is test-pinned)."""
+    sec = window_ms // 1000
+    base = (
+        events.groupBy(F.window("ts", f"{sec} seconds").alias("w"))
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+            F.expr("CAST(floor(percentile(value, 0.95) * 100 + 0.5) AS BIGINT)")
+            .alias("p95_value_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_total", "n_errors", "p95_value_cents")
+    )
+    span = base.agg(
+        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+    )
+    grid = span.select(
+        F.explode(
+            F.expr(f"sequence(lo, hi, interval {sec} seconds)")
+        ).alias("window_start")
+    )
+    frame = (
+        grid.join(base, "window_start", "left")
+        .withColumn("n_total", F.coalesce("n_total", F.lit(0)).cast("long"))
+        .withColumn("n_errors", F.coalesce("n_errors", F.lit(0)).cast("long"))
+        .withColumn(
+            "error_ppm",
+            F.when(
+                F.col("n_total") > 0,
+                F.expr("(n_errors * 1000000) div n_total"),
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        .withColumn(
+            "p95_value_cents", F.coalesce("p95_value_cents", F.lit(0)).cast("long")
+        )
+    )
+    per_rule = []
+    for r in rules:
+        value = F.expr(r["metric"]).cast("long")
+        cond = (
+            value >= F.lit(int(r["threshold"]))
+            if r.get("op", ">=") == ">="
+            else value <= F.lit(int(r["threshold"]))
+        )
+        per_rule.append(
+            frame.select(
+                F.lit(r["name"]).alias("rule"),
+                "window_start",
+                value.alias("value"),
+                F.lit(int(r["for_windows"])).alias("for_windows"),
+            ).filter(cond)
+        )
+    breached = per_rule[0]
+    for f in per_rule[1:]:
+        breached = breached.unionByName(f)
+    w_rank = Window.partitionBy("rule").orderBy("window_start")
+    islanded = breached.withColumn(
+        "island",
+        F.unix_millis("window_start")
+        - F.row_number().over(w_rank).cast("long") * F.lit(window_ms).cast("long"),
+    )
+    w_streak = (
+        Window.partitionBy("rule", "island")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        islanded.withColumn("streak", F.count("*").over(w_streak).cast("long"))
+        .filter(F.col("streak") >= F.col("for_windows"))
+        .select("rule", "window_start", "value", "streak")
     )
 
 

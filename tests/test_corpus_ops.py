@@ -357,3 +357,129 @@ def test_zorder_expression_matches_reference(spark, u, m):
         f"SELECT {_z_expr(' div ')} AS z FROM (SELECT {u} AS u, {m} AS m)"
     ).collect()[0]["z"]
     assert got == want
+
+
+def test_ivf_trained_centroids_probe(spark):
+    """E3+E11 wiring: centroids trained by one Lloyd step (assign to
+    seed cells, recenter by per-dimension mean) feed the IVF probe path
+    directly. The probe must return a well-formed dense top-k ranking
+    that shares members with the exact brute-force answer — cell
+    geometry changes recall, never the result-shape contract."""
+    from pyspark.sql import functions as F
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import similarity
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    v = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    seeds = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    d2 = (
+        "aggregate(transform(sequence(1, size(e)), "
+        "i -> (e[i-1] - c[i-1]) * (e[i-1] - c[i-1])), 0D, (a, x) -> a + x)"
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "e", "cid", F.expr(d2).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min_by(F.struct("cid", "e"), F.struct("d2", "cid")).alias("s"))
+        .select(F.col("s.cid").alias("cid"), F.col("s.e").alias("e"))
+    )
+    cents = (
+        assigned.select("cid", F.posexplode("e").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), x -> x.m)"
+            ).alias("cv")
+        )
+    )
+    got = similarity.ivf_topk_trained(
+        emb, cents, query_vec_id=0, k=10, nprobe=2
+    ).collect()
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == list(
+        range(1, 11)
+    )
+    assert all(r["vec_id"] != 0 for r in got)
+    assert all(-10000 <= r["cosine_x10k"] <= 10000 for r in got)
+    exact = {
+        r["vec_id"]
+        for r in similarity.brute_force_topk(emb, query_vec_id=0, k=10).collect()
+    }
+    overlap = len(exact & {r["vec_id"] for r in got})
+    assert overlap >= 1, "trained probe found none of the true top-10"
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fp(spark):
+    """Declarative Bloom filter: every inserted key probes present
+    (zero false negatives — the training-data-safety direction), and
+    the false-positive rate on disjoint probes stays near the
+    (1 - e^(-kn/m))^k design bound."""
+    from pyspark.sql import functions as F
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import bloom
+
+    inserted = spark.range(0, 2000).select(
+        F.concat(F.lit("in_"), F.col("id")).alias("key")
+    )
+    bf = bloom.build_filter(inserted, "key")
+    # bitmap is fixed-size regardless of input
+    assert bf.count() <= bloom.DEFAULT_BITS // 64
+
+    present = bloom.might_contain(inserted, bf, "key")
+    assert present.filter(~F.col("bloom_hit")).count() == 0  # no FN
+
+    absent = spark.range(0, 2000).select(
+        F.concat(F.lit("out_"), F.col("id")).alias("key")
+    )
+    fp = bloom.might_contain(absent, bf, "key").filter(F.col("bloom_hit")).count()
+    # k=4, n=2000, m=65536 -> theoretical ~0.24%; allow 5x headroom
+    assert fp <= 2000 * 0.012, fp
+
+
+def test_bloom_decontamination_is_superset_of_exact(spark):
+    """E7 scale path: the Bloom pass flags every doc the exact gram
+    join flags (superset — contaminated docs can never slip through),
+    and with an adequately sized filter the overshoot is tiny."""
+    from pyspark.sql import functions as F
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import bloom
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+            )
+        ).alias("gram"),
+    )
+    train = grams.filter(F.col("doc_id") % 2 == 0)
+    evald = grams.filter(F.col("doc_id") % 2 == 1)
+
+    exact = {
+        r["doc_id"]
+        for r in evald.join(
+            train.select("gram").distinct(), "gram", "left_semi"
+        ).select("doc_id").distinct().collect()
+    }
+    # size the filter by the sizing rule: doc-level flagging is an
+    # ANY-gram test, so the bitmap must target a tiny PER-GRAM rate
+    n_train_grams = train.select("gram").distinct().count()
+    n_bits = bloom.suggested_bits(n_train_grams, per_key_fp=1e-4)
+    flagged = {
+        r["doc_id"]
+        for r in bloom.contaminated_doc_ids(train, evald, n_bits=n_bits).collect()
+    }
+    assert exact <= flagged  # superset: no contaminated doc escapes
+    n_eval = evald.select("doc_id").distinct().count()
+    assert len(flagged) - len(exact) <= max(5, n_eval // 10), (
+        len(flagged), len(exact), n_eval,
+    )

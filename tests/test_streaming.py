@@ -319,3 +319,68 @@ def test_tombstone_gc_drops_expired_without_resurrection(spark):
         r["user_id"]: int(r["value"]) for r in merge.live_state(final).collect()
     }
     assert got == {2: 21}  # key 1 deleted, not resurrected
+
+
+def test_rules_as_data_evaluator_matches_specialized_operator(spark):
+    """W7 generalized: the rules-as-data evaluator restricted to the
+    error-rate rule must reproduce sustained_alerts exactly, and an
+    absence rule must fire on a crafted event gap (the liveness
+    semantics the hardcoded operator cannot express)."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import alerts
+
+    events = load_table(spark, SF_SMOKE, "events")
+    rules = [
+        {
+            "name": "error_rate",
+            "metric": "error_ppm",
+            "op": ">=",
+            "threshold": 1,
+            "for_windows": alerts.DEFAULT_FOR_WINDOWS,
+        },
+        {
+            "name": "liveness",
+            "metric": "n_total",
+            "op": "<=",
+            "threshold": 0,
+            "for_windows": 2,
+        },
+    ]
+    got = alerts.evaluate_rules(events, rules)
+    specialized = {
+        (r["window_start"], r["error_ppm"], r["streak"])
+        for r in alerts.sustained_alerts(events, threshold_ppm=1).collect()
+    }
+    generic = {
+        (r["window_start"], r["value"], r["streak"])
+        for r in got.filter(F.col("rule") == "error_rate").collect()
+    }
+    assert generic == specialized
+
+    # liveness ground truth, recomputed independently in python:
+    # every grid window with zero events whose silent streak >= 2
+    wms = alerts.WINDOW_MS
+    occupied = {
+        r[0]
+        for r in events.select(
+            (F.unix_millis("ts") - F.unix_millis("ts") % wms).alias("w")
+        )
+        .distinct()
+        .collect()
+    }
+    lo, hi = min(occupied), max(occupied)
+    expected = set()
+    streak = 0
+    for w in range(lo, hi + wms, wms):
+        streak = streak + 1 if w not in occupied else 0
+        if streak >= 2:
+            expected.add(w)
+    fired = {
+        int(r["window_start"].timestamp() * 1000)
+        for r in got.filter(F.col("rule") == "liveness").collect()
+    }
+    assert fired == expected
+    assert all(
+        r["value"] == 0
+        for r in got.filter(F.col("rule") == "liveness").collect()
+    )
