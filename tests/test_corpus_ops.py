@@ -483,3 +483,51 @@ def test_bloom_decontamination_is_superset_of_exact(spark):
     assert len(flagged) - len(exact) <= max(5, n_eval // 10), (
         len(flagged), len(exact), n_eval,
     )
+
+
+def test_weighted_mix_binding_source_math(spark):
+    """E9 generalized: kept composition tracks the target weights with
+    the binding source taken nearly whole, nothing upsampled, and the
+    whole pass deterministic across runs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import mixture
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    counts = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    srcs = sorted(counts)
+    assert len(srcs) >= 2
+    # weight the SMALLEST source heaviest so it binds
+    smallest = min(srcs, key=lambda s: counts[s])
+    weights = {s: (0.5 if s == smallest else 0.5 / (len(srcs) - 1)) for s in srcs}
+
+    thr = {
+        r["source"]: (r["n"], r["n_target"])
+        for r in mixture.weighted_keep_thresholds(
+            docs.groupBy("source").agg(F.count("*").alias("n")), weights
+        ).collect()
+    }
+    # python reference for the binding-source math
+    t_total = min(counts[s] * 1_000_000 // int(round(weights[s] * 1e6)) for s in srcs)
+    for s in srcs:
+        expect = min(
+            t_total * int(round(weights[s] * 1e6)) // 1_000_000, counts[s]
+        )
+        assert thr[s] == (counts[s], expect), (s, thr[s], expect)
+    # the binding source is kept (nearly) whole
+    assert thr[smallest][1] >= counts[smallest] - 1
+
+    kept = mixture.weighted_mix(docs, weights)
+    got = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s in srcs:
+        target = thr[s][1]
+        tol = max(5, int(5 * math.sqrt(max(target, 1))))
+        assert abs(got.get(s, 0) - target) <= tol, (s, got.get(s, 0), target)
+        assert got.get(s, 0) <= counts[s]  # never upsampled
+    # deterministic: the same call yields the identical kept set
+    ids1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in mixture.weighted_mix(docs, weights).select("doc_id").collect()}
+    assert ids1 == ids2
