@@ -92,33 +92,40 @@ def might_contain(
     k: int = DEFAULT_HASHES,
 ) -> DataFrame:
     """Append ``bloom_hit`` (boolean) to ``probe``: true iff every one
-    of the key's k bits is set. The word table is broadcast (it is
-    n_bits/64 rows by construction); the probe side stays partitioned —
-    membership is a map-side gain, not a shuffle."""
-    with_pos = probe.withColumn(
-        "_bpos", _positions(F.col(key_col), n_bits, k)
-    ).withColumn("_probe_row", F.monotonically_increasing_id())
-    exploded = with_pos.select(
-        "_probe_row", F.explode("_bpos").alias("pos")
-    ).withColumn("word_idx", F.expr("pos div 64").cast("long"))
-    checked = (
-        exploded.join(F.broadcast(bloom), "word_idx", "left")
-        .withColumn(
-            "bit_set",
-            F.when(
-                F.expr(
-                    "word IS NOT NULL AND "
-                    "(shiftright(word, CAST(pos % 64 AS INT)) & 1L) = 1L"
-                ),
-                1,
-            ).otherwise(0),
+    of the key's k bits is set. One broadcast left join per hash
+    function (k total) — the word table is n_bits/64 rows by
+    construction, so each join is map-side; the probe side never
+    shuffles and row multiplicity/order is untouched. Every join key
+    is a pure function of the probe's own column, so the result is
+    deterministic under task retries (no synthetic row ids)."""
+    out = probe
+    bit_tests = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(n_bits)).cast(
+            "long"
         )
-        .groupBy("_probe_row")
-        .agg((F.min("bit_set") == 1).alias("bloom_hit"))
-    )
-    return (
-        with_pos.join(checked, "_probe_row")
-        .drop("_bpos", "_probe_row")
+        out = out.withColumn(f"_bp{i}", pos)
+        words = F.broadcast(
+            bloom.select(
+                F.col("word_idx").alias(f"_bwi{i}"),
+                F.col("word").alias(f"_bw{i}"),
+            )
+        )
+        out = out.join(
+            words, F.expr(f"_bp{i} div 64") == F.col(f"_bwi{i}"), "left"
+        )
+        bit_tests.append(
+            F.expr(
+                f"_bw{i} IS NOT NULL AND "
+                f"(shiftright(_bw{i}, CAST(_bp{i} % 64 AS INT)) & 1L) = 1L"
+            )
+        )
+    hit = bit_tests[0]
+    for t in bit_tests[1:]:
+        hit = hit & t
+    out = out.withColumn("bloom_hit", hit)
+    return out.drop(
+        *[c for i in range(k) for c in (f"_bp{i}", f"_bwi{i}", f"_bw{i}")]
     )
 
 

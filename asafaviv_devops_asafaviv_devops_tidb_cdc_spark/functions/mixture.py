@@ -85,13 +85,30 @@ def weighted_mix(
     """The kept subset of ``docs`` with composition ~ ``weights``.
     Membership = salted sha256 prefix under the per-source threshold —
     a doc's fate depends only on (salt, id), never on partitioning or
-    execution order."""
+    execution order. The output schema equals the input schema (the
+    internal 'source' rename is undone before returning). Raises
+    ValueError when a weighted source has no rows: such a source makes
+    the binding-constraint T degenerate (its n_s/w_s is 0 only if it
+    appears in counts at all — absent it silently vanishes from the
+    min, skewing realized composition away from the target), so absence
+    is a caller error, not a samplable state."""
     counts = docs.groupBy(source_col).agg(F.count("*").alias("n"))
+    present = {
+        r["source"]
+        for r in counts.withColumnRenamed(source_col, "source")
+        .select("source")
+        .collect()
+    }
+    missing = sorted(s for s, w in weights.items() if w > 0 and s not in present)
+    if missing:
+        raise ValueError(
+            f"weighted_mix: weighted sources with no rows: {missing}"
+        )
     thr = weighted_keep_thresholds(
         counts.withColumnRenamed(source_col, "source"), weights
     )
     keyed = docs.withColumnRenamed(source_col, "source") if source_col != "source" else docs
-    return (
+    kept = (
         keyed.join(F.broadcast(thr.select("source", "thr_hex")), "source")
         .filter(
             F.substring(
@@ -103,3 +120,6 @@ def weighted_mix(
         )
         .drop("thr_hex")
     )
+    if source_col != "source":
+        kept = kept.withColumnRenamed("source", source_col)
+    return kept.select(*docs.columns)

@@ -759,16 +759,19 @@ def q_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     value vs a SCALAR-subquery threshold over the same aggregate
     (parts holding > 1.5x the mean value share — scale-free, unlike
     Q11's literal fraction, so the shape yields rows at any SF). The
-    per-part aggregate is computed ONCE: the single-row (count, total)
-    reduction of it broadcasts back via cross join, and the threshold
-    compares as an integer cross-multiply (cents x count x 2 >
-    total x 3) — exact at any partition order, where a float mean
-    could flip boundary rows between engines."""
+    per-part aggregate is computed ONCE — not via an explicit persist
+    (which would pin an unboundedly large cache for the session) but
+    by exchange reuse: both consumers sit on the identical groupBy
+    shuffle, so Catalyst plans one scan + one exchange and a
+    ReusedExchange for the second branch (plan-shape-pinned). The
+    single-row (count, total) reduction broadcasts back via cross
+    join, and the threshold compares as an integer cross-multiply
+    (cents x count x 2 > total x 3) — exact at any partition order,
+    where a float mean could flip boundary rows between engines."""
     pv = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(F.sum(cents("l_extendedprice")).cast("long").alias("value_cents"))
-        .persist()
     )
     tot = pv.agg(
         F.count("*").alias("np"), F.sum("value_cents").cast("long").alias("tv")

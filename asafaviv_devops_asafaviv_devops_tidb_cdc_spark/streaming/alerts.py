@@ -96,6 +96,11 @@ def evaluate_rules(
     extra tiny shuffle, not N jobs. The hardcoded
     ``sustained_alerts`` is this evaluator specialized to one rule
     (equivalence is test-pinned)."""
+    if not rules:  # rules are config/data: an empty file means "no
+        # alerts configured", not a crash
+        return events.sparkSession.createDataFrame(
+            [], "rule string, window_start timestamp, value long, streak long"
+        )
     sec = window_ms // 1000
     base = (
         events.groupBy(F.window("ts", f"{sec} seconds").alias("w"))

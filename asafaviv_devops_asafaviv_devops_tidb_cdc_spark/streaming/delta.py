@@ -70,9 +70,20 @@ def run_delta_stream(
 
 
 def _base_version(partials_dir: str) -> tuple[int, Path | None]:
-    """(version, path) of the newest committed base; (-1, None) if none."""
+    """(version, path) of the newest COMMITTED base; (-1, None) if none.
+
+    Committed means the rename in ``compact_partials`` completed: the
+    fold is staged under a ``_tmp`` name and renamed into place only
+    after the write job (and its ``_SUCCESS`` marker) finished, so a
+    crash mid-write leaves no ``base_v*`` dir at all. The ``_SUCCESS``
+    check is belt-and-braces against a base produced by an older writer
+    or a copy that raced the marker."""
     root = Path(partials_dir)
-    bases = sorted(p for p in root.iterdir() if p.name.startswith(_BASE_PREFIX))
+    bases = sorted(
+        p
+        for p in root.iterdir()
+        if p.name.startswith(_BASE_PREFIX) and (p / "_SUCCESS").exists()
+    )
     if not bases:
         return -1, None
     newest = bases[-1]
@@ -118,6 +129,13 @@ def compact_partials(spark: SparkSession, partials_dir: str) -> None:
     version, so interrupted cleanup leaves garbage, not wrong answers.
     Re-running compaction is idempotent. The same recipe at 100 TB —
     compaction is a background fold, never a correctness event."""
+    root = Path(partials_dir)
+    for p in root.iterdir():  # sweep crash debris: staged folds and
+        # uncommitted bases (no _SUCCESS) are garbage by construction
+        if p.name.startswith("_tmp_") or (
+            p.name.startswith(_BASE_PREFIX) and not (p / "_SUCCESS").exists()
+        ):
+            shutil.rmtree(p, ignore_errors=True)
     epochs = _epoch_dirs(partials_dir)
     old_ver, old_base = _base_version(partials_dir)
     new_ver = max((e for e, _ in epochs), default=old_ver)
@@ -131,9 +149,15 @@ def compact_partials(spark: SparkSession, partials_dir: str) -> None:
             F.sum("net_sum_micro").cast("long").alias("net_sum_micro"),
         )
     )
-    folded.write.mode("overwrite").parquet(
-        f"{partials_dir}/{_BASE_PREFIX}{new_ver:09d}"
-    )
+    # Stage the fold under a _tmp name, then rename into place: the
+    # rename is the atomic commit point. A crash during the write
+    # leaves only a _tmp dir (invisible to _base_version and cleaned
+    # up below on the next run), never a partial base that would make
+    # serving skip un-folded epochs.
+    tmp = Path(partials_dir) / f"_tmp_{_BASE_PREFIX}{new_ver:09d}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.write.mode("overwrite").parquet(str(tmp))
+    tmp.rename(Path(partials_dir) / f"{_BASE_PREFIX}{new_ver:09d}")
     # post-commit cleanup: anything the new base covers
     for e, p in epochs:
         if e <= new_ver:

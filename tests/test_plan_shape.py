@@ -214,19 +214,16 @@ def test_disjunctive_revenue_pushes_or_bounds_to_both_scans(spark):
 
 
 def test_value_parts_scans_lineitem_once(spark):
-    """Q11 shape: the per-part aggregate is computed once (persisted
-    InMemoryRelation feeds both the filter side and the single-row
-    reduction); the scalar threshold rides a 1-row broadcast."""
-    import re
-
+    """Q11 shape: the per-part aggregate is computed once — both
+    consumers sit on the identical groupBy shuffle, so AQE plans a
+    ReusedExchange for the second branch at runtime (no session-lifetime
+    persist cache needed); the scalar threshold rides a 1-row
+    broadcast."""
     df = _df("q_value_parts", spark)
-    plan = checks.plan_string(df)
-    # every Scan parquet in the tree is the SAME node id — the cached
-    # per-part aggregate is shared, not recomputed per consumer
-    ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
-    assert len(ids) == 1, plan
-    assert "InMemoryRelation" in plan, plan
-    assert "BroadcastExchange" in plan, plan
+    df.collect()  # reuse is an execution-time (AQE) property
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan, plan
 
 
 def test_returned_items_broadcasts_dims_pushes_flag(spark):
