@@ -167,15 +167,18 @@ def ivf_topk_trained(
     )
 
 
-def _ivf_probe(
+def ivf_assignment(
     corpus: DataFrame,
     cents: DataFrame,
-    query_vec_id: int,
-    k: int,
-    nprobe: int,
-    id_col: str,
-    vec_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
+    """The IVF INDEX BUILD: assign every corpus vector to its nearest
+    centroid by cosine (ties to the smaller cid) -> (id, vec, cid).
+    One map pass over the corpus against broadcast centroids. At scale
+    this output is a materialized, cid-partitioned artifact
+    (sources/ann_store.py) — built once per corpus version, probed by
+    every query after — not something a serving query recomputes."""
     scored_cells = rebalance(corpus).crossJoin(F.broadcast(cents)).select(
         id_col,
         vec_col,
@@ -185,26 +188,77 @@ def _ivf_probe(
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("cid")
     )
-    assigned = (
+    return (
         scored_cells.withColumn("_rn", F.row_number().over(w_assign))
         .filter(F.col("_rn") == 1)
         .select(id_col, vec_col, "cid")
     )
-    probe_cells = (
-        assigned.filter(F.col(id_col) == query_vec_id)
-        .select(F.col(vec_col).alias("qv"))
-        .crossJoin(cents)
-        .select("cid", "qv", cosine("qv", "cv").alias("qcos"))
+
+
+def probe_cell_ids(
+    cents: DataFrame, qv_df: DataFrame, nprobe: int
+) -> list:
+    """The query's ``nprobe`` nearest cells, as a plain list of cell
+    ids. Deliberately a driver-side scalar action (nprobe ints from a
+    centroid-count-sized frame): a LITERAL cid filter is what lets the
+    cell-partitioned index prune at the scan (static PartitionFilters)
+    instead of reading every cell and filtering after — the serving
+    property the IVF layout exists for."""
+    rows = (
+        qv_df.crossJoin(cents)
+        .select("cid", cosine("qv", "cv").alias("qcos"))
         .orderBy(F.col("qcos").desc(), F.col("cid"))
         .limit(nprobe)
-        .select("cid", "qv")
+        .select("cid")
+        .collect()
     )
+    return [r["cid"] for r in rows]
+
+
+def ivf_probe_assigned(
+    assigned: DataFrame,
+    cents: DataFrame,
+    qv_df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF PROBE over a (possibly materialized) assignment: score
+    only the vectors in the query's ``nprobe`` nearest cells. The cid
+    filter is a literal IN-list, so a cid-partitioned index scan
+    prunes to the probed cells; the query vector rides a 1-row
+    broadcast."""
+    cids = probe_cell_ids(cents, qv_df, nprobe)
     scored = (
-        assigned.filter(F.col(id_col) != query_vec_id)
-        .join(F.broadcast(probe_cells), "cid")
+        assigned.filter(F.col("cid").isin(cids))
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qv_df))
         .select(id_col, cosine(vec_col, "qv").alias("cos_raw"))
     )
     return _topk_ranked(scored, id_col, k)
+
+
+def _ivf_probe(
+    corpus: DataFrame,
+    cents: DataFrame,
+    query_vec_id: int,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One-shot build + probe (no materialization) — the shape for an
+    ad-hoc query; serving paths go through sources/ann_store.py."""
+    assigned = ivf_assignment(corpus, cents, id_col, vec_col)
+    qv_df = (
+        corpus.filter(F.col(id_col) == query_vec_id)
+        .select(F.col(vec_col).alias("qv"))
+    )
+    return ivf_probe_assigned(
+        assigned, cents, qv_df, query_vec_id, k, nprobe, id_col, vec_col
+    )
 
 
 def cosine_pairs_pd(a_col: str, b_col: str):

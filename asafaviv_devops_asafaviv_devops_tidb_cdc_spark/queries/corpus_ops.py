@@ -491,7 +491,7 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import scd2 as S
 
     base = I.stream_workdir(sf_dir, "scd2")
-    src = I.write_envelope_files(spark, sf_dir, str(base / "src"), None, n_files=4)
+    src = I.envelope_files(spark, sf_dir, None, n_files=4)
     S.run_scd2_stream(spark, src, str(base / "state"), str(base / "ckpt"))
     return S.history(spark, str(base / "state")).select(
         "table_name",
@@ -624,7 +624,7 @@ def q_stream_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import stream_workdir
 
     base = stream_workdir(sf_dir, "delta")
-    src = I.write_envelope_files(spark, sf_dir, str(base / "src"), None, n_files=4)
+    src = I.envelope_files(spark, sf_dir, None, n_files=4)
     D.run_delta_stream(spark, src, str(base / "partials"), str(base / "ckpt"))
     return D.folded_totals(spark, str(base / "partials"))
 
@@ -765,13 +765,14 @@ def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster window — partitioned by cluster_id, so parallelism is
     #clusters; no global sort. At 100 TB the cluster table is tiny
     relative to the corpus and broadcast-joins back for the final
-    keep-filter at write time."""
-    from ..functions.dedup import neardup_clusters, ngram_jaccard_pairs
-    from .llm_pipeline import _neardup_corpus
+    keep-filter at write time. Cluster ids come from the materialized
+    artifact (sources/cluster_store.py) — one CC build per corpus
+    fingerprint serves this report, the listing, the size histogram
+    and the yield attribution."""
+    from ..sources.cluster_store import neardup_cluster_table, neardup_corpus
 
-    corpus = _neardup_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus)
-    clusters = neardup_clusters(pairs)
+    corpus = neardup_corpus(spark, sf_dir)
+    clusters = neardup_cluster_table(spark, sf_dir)
     ranked = clusters.join(
         corpus.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
     ).withColumn(
@@ -920,13 +921,14 @@ def q_dedup_yield_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     mostly duplicates gets down-weighted at acquisition, not at
     filtering. The doubled-corpus synthetic ids map back to their
     original doc (id % 1e6) for the source lookup; the lookup side is
-    dictionary-sized and broadcasts."""
-    from ..functions.dedup import neardup_clusters, ngram_jaccard_pairs
-    from .llm_pipeline import _neardup_corpus
+    dictionary-sized and broadcasts. Cluster ids come from the
+    materialized artifact (sources/cluster_store.py), not a per-report
+    CC rebuild."""
+    from ..sources.cluster_store import neardup_cluster_table
 
-    corpus = _neardup_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus)
-    clusters = neardup_clusters(pairs).withColumnRenamed("doc_id", "member_id")
+    clusters = neardup_cluster_table(spark, sf_dir).withColumnRenamed(
+        "doc_id", "member_id"
+    )
     src = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("orig_id"), "source"
     )
@@ -949,3 +951,184 @@ def q_dedup_yield_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_dedup_yield_by_source"] = _dedup_yield_oracle()
+
+
+# ---------------------------------------------------------------------------
+# E9 weighted form — target-ratio corpus mixture (round 5 driver proof)
+# ---------------------------------------------------------------------------
+
+# target shares for the mixture: ratios only, deliberately not summing
+# to 1; sources outside the dict are dropped (weight 0)
+WMIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_WMIX_VALUES = ", ".join(
+    f"('{s}', {int(round(w * 1_000_000))})" for s, w in WMIX_WEIGHTS.items()
+)
+
+
+@register(
+    "q_weighted_mix",
+    oracle=f"""
+WITH w(source, w_ppm) AS (VALUES {_WMIX_VALUES}),
+n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+j AS (SELECT n.source, n.n, w.w_ppm FROM n JOIN w USING (source)),
+t AS (SELECT MIN(n * 1000000 // w_ppm) AS t_total FROM j),
+thr AS (
+  SELECT source, n,
+         least(t_total * w_ppm // 1000000, n) AS n_target,
+         lower(lpad(hex(least(least(t_total * w_ppm // 1000000, n)
+                              * 268435456 // n, 268435455)), 7, '0')) AS thr_hex
+  FROM j, t
+),
+kept AS (
+  SELECT d.source,
+         substr(sha256('wmix1_' || CAST(d.doc_id AS VARCHAR)), 1, 7)
+           < t.thr_hex AS keep
+  FROM documents d JOIN thr t USING (source)
+)
+SELECT t.source, CAST(t.n AS BIGINT) AS n,
+       CAST(t.n_target AS BIGINT) AS n_target,
+       CAST(k.n_kept AS BIGINT) AS n_kept
+FROM thr t
+JOIN (SELECT source, SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+      FROM kept GROUP BY 1) k USING (source)
+""",
+)
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 weighted form — downsample sources toward TARGET RATIOS
+    (functions/mixture.py): the largest feasible corpus with
+    composition exactly proportional to the weights is bounded by the
+    BINDING source (T = min_s n_s/w_s, all in integer ppm); every
+    other source downsamples to T*w_s by the salted sha-prefix
+    threshold. Output = per-source (available, target, kept) counts;
+    the oracle re-derives the binding-constraint math and the
+    hash-Bernoulli membership independently, so both the threshold
+    arithmetic AND every per-doc keep decision are hash-checked.
+    Scale: one tiny count agg + 4-row broadcast + map-only filter —
+    one scan at any corpus size."""
+    from ..functions import mixture as M
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    thr = M.weighted_keep_thresholds(counts, WMIX_WEIGHTS)
+    kept = (
+        M.weighted_mix(docs, WMIX_WEIGHTS)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return thr.select("source", "n", "n_target").join(kept, "source")
+
+
+# ---------------------------------------------------------------------------
+# E7 scale path — Bloom-filter decontamination (round 5 driver proof)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_bloom_decontaminate",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS t,
+         substr(sha256('split1_' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+           AS is_train
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_train,
+         unnest(list_transform(range(1, len(t) - 3),
+                               i -> array_to_string(t[i:i+4], ' '))) AS gram
+  FROM d WHERE len(t) >= 5
+),
+eg AS (SELECT DISTINCT doc_id, gram FROM g WHERE NOT is_train),
+tg AS (SELECT DISTINCT gram FROM g WHERE is_train)
+SELECT DISTINCT eg.doc_id, TRUE AS bloom_hit
+FROM eg JOIN tg USING (gram)
+""",
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 at 100 TB — decontamination through the declarative Bloom
+    filter (functions/bloom.py): the train side's unbounded gram set
+    collapses into a fixed-size (word_idx, word) bitmap sized by
+    ``suggested_bits`` for a 1e-4 per-key FP target; the eval side
+    probes it with k map-side broadcast joins — NO shuffle on the gram
+    key anywhere on the eval path (plan-pinned in
+    tests/test_plan_shape.py), which is the property that makes the
+    pass affordable when the train corpus no longer fits a join.
+
+    The driver-checked claim is the SAFETY guarantee: every doc the
+    EXACT overlap join finds contaminated must be bloom-flagged (no
+    false negatives). Output = the exact contaminated doc set with its
+    bloom verdict; the oracle asserts bloom_hit TRUE for all of them,
+    so a single missed doc hash-fails the gate. The FP *bound* (the
+    other direction — how many clean docs get dropped) is pytest-pinned
+    since it is distributional, not exact."""
+    from ..functions import bloom as B
+
+    docs = _docs(spark, sf_dir)
+    is_train = (
+        F.substring(
+            F.sha2(F.concat(F.lit("split1_"), F.col("doc_id").cast("string")), 256),
+            1,
+            4,
+        )
+        < "e666"
+    )
+    d = docs.select(
+        "doc_id", F.split("text", " ").alias("t"), is_train.alias("is_train")
+    ).filter(F.size("t") >= 5)
+    g = d.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 4), "
+                "i -> concat_ws(' ', slice(t, i, 5)))"
+            )
+        ).alias("gram"),
+    )
+    train_grams = g.filter("is_train").select("gram").distinct()
+    eval_grams = g.filter(~F.col("is_train")).select("doc_id", "gram")
+    n_train = train_grams.count()  # scalar driver action: sizes the bitmap
+    n_bits = B.suggested_bits(n_train, per_key_fp=1e-4)
+    flagged = B.contaminated_doc_ids(
+        train_grams, eval_grams, n_bits=n_bits
+    ).withColumnRenamed("doc_id", "flagged_id")
+    exact = (
+        eval_grams.distinct()
+        .join(train_grams, "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return exact.join(
+        flagged, exact.doc_id == flagged.flagged_id, "left"
+    ).select("doc_id", F.col("flagged_id").isNotNull().alias("bloom_hit"))
+
+
+# ---------------------------------------------------------------------------
+# A10 compaction — delta-partials fold (round 5 driver proof)
+# ---------------------------------------------------------------------------
+
+@register("q_compact_partials", oracle=None)
+def q_compact_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 maintenance — the crash-safe partials compaction
+    (streaming/delta.py::compact_partials) driven end to end: run the
+    retraction-fold stream (4 epoch partials), compact them into a
+    versioned base (staged write + atomic rename = the commit point),
+    compact AGAIN (must no-op), then serve. The served totals must
+    hash-match the BATCH q_delta_agg oracle — totals preservation
+    through compaction, checked at the gate, not just in pytest. At
+    100 TB compaction is what bounds the serving read at O(groups +
+    batches-since-compaction); correctness must therefore survive it
+    byte-exactly."""
+    from ..streaming import delta as D
+    from ..streaming import ingest as I
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "delta_compact")
+    src = I.envelope_files(spark, sf_dir, None, n_files=4)
+    D.run_delta_stream(spark, src, str(base / "partials"), str(base / "ckpt"))
+    D.compact_partials(spark, str(base / "partials"))
+    D.compact_partials(spark, str(base / "partials"))  # idempotent no-op
+    return D.folded_totals(spark, str(base / "partials"))
+
+
+ORACLES["q_compact_partials"] = ORACLES["q_delta_agg"]

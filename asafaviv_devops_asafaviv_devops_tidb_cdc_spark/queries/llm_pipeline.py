@@ -152,17 +152,9 @@ array_to_string(list_transform(range(1, 65), d ->
 
 
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    return docs.unionByName(
-        docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-    ).unionByName(
-        docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zzz zzz zzz")).alias("text"),
-        )
-    )
+    from ..sources.cluster_store import neardup_corpus
+
+    return neardup_corpus(spark, sf_dir)
 
 
 @register(
@@ -303,9 +295,12 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/dedup.py::neardup_clusters); cluster_id = min doc id.
     The DuckDB oracle computes the same components with a recursive
     CTE — an iterative Spark algorithm checked against a closed-form
-    SQL fixpoint."""
-    pairs = ngram_jaccard_pairs(_neardup_corpus(spark, sf_dir))
-    return neardup_clusters(pairs)
+    SQL fixpoint. Served from the per-fingerprint cluster ARTIFACT
+    (sources/cluster_store.py): the CC builds once per corpus version,
+    every consumer scans the materialized (doc_id, cluster_id) table."""
+    from ..sources.cluster_store import neardup_cluster_table
+
+    return neardup_cluster_table(spark, sf_dir)
 
 
 @register(
@@ -342,9 +337,12 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (size-1 per cluster). This is the report that decides whether
     near-dup dedup is worth a corpus pass at all — the distribution's
     head (pairs) vs tail (boilerplate mega-clusters) drives the
-    blocking and salting choices upstream."""
-    pairs = ngram_jaccard_pairs(_neardup_corpus(spark, sf_dir))
-    clusters = neardup_clusters(pairs)
+    blocking and salting choices upstream. Reads the materialized
+    cluster artifact (sources/cluster_store.py) instead of re-running
+    pairs + CC per report."""
+    from ..sources.cluster_store import neardup_cluster_table
+
+    clusters = neardup_cluster_table(spark, sf_dir)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )
@@ -550,12 +548,15 @@ FROM ranked WHERE rank <= 10
 
 @register("q_ivf_topk", oracle=_ivf_oracle_sql())
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 scale path — IVF approximate top-k: deterministic centroids
-    (every 50th vector), nearest-cell assignment via broadcast, search
-    restricted to the query's 2 nearest cells. See
-    functions/similarity.py::ivf_topk for the 100 TB posture."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, query_vec_id=0, k=10, centroid_mod=50, nprobe=2)
+    """E3 scale path — IVF approximate top-k served from the
+    MATERIALIZED index (sources/ann_store.py): centroids (every 50th
+    vector) and the cid-partitioned cell assignment build once per
+    corpus fingerprint; the probe scans only the query's 2 nearest
+    cells (literal-cid PartitionFilters, plan-pinned). The one-shot
+    build+probe shape lives in functions/similarity.py::ivf_topk."""
+    from ..sources.ann_store import ivf_query
+
+    return ivf_query(spark, sf_dir, query_vec_id=0, k=10, nprobe=2, variant="mod50")
 
 
 @register(
@@ -574,11 +575,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     path against the exact brute-force top-k, as one query. This is the
     metric that decides nprobe/centroid count on a real corpus — an
     approximate index you can't measure is an index you can't trust.
-    Both sides reuse the production operators; the join is 10x10 rows."""
+    Both sides reuse the production operators (the approx side probes
+    the materialized mod50 index); the join is 10x10 rows."""
+    from ..sources.ann_store import ivf_query
+
     emb = load_table(spark, sf_dir, "embeddings")
     exact = similarity.brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
-    approx = similarity.ivf_topk(
-        emb, query_vec_id=0, k=10, centroid_mod=50, nprobe=2
+    approx = ivf_query(
+        spark, sf_dir, query_vec_id=0, k=10, nprobe=2, variant="mod50"
     ).select("vec_id")
     return (
         exact.join(approx, "vec_id")
@@ -1523,4 +1527,103 @@ def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_ppm"), "doc_id")
         .limit(20)
+    )
+
+
+def _ivf_trained_oracle_sql() -> str:
+    def lsum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"({lsum(a, b)}) / sqrt(({lsum(a, a)}) * ({lsum(b, b)}))"
+
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 8),
+dist AS (
+  SELECT v.vec_id, cent0.cid,
+         list_aggregate(list_transform(range(1, len(v.e) + 1),
+           i -> CAST(floor((v.e[i] - cent0.c[i]) * (v.e[i] - cent0.c[i])
+                           * 1e12 + 0.5) AS BIGINT)), 'sum') AS d2_pico
+  FROM v, cent0
+),
+assigned AS (
+  SELECT vec_id, cid
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2_pico, cid) AS rn
+        FROM dist)
+  WHERE rn = 1
+),
+ex AS (
+  SELECT a.cid,
+         unnest(list_transform(range(1, len(v.e) + 1),
+           i -> {{'dim': i, 'val': CAST(floor(v.e[i] * 1000000 + 0.5)
+                                        AS BIGINT)}})) AS u
+  FROM assigned a JOIN v USING (vec_id)
+),
+means AS (
+  SELECT cid, u.dim AS dim,
+         CAST(floor(CAST(SUM(u.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS mean_micro
+  FROM ex GROUP BY 1, 2
+),
+cents AS (
+  SELECT cid,
+         list(CAST(mean_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+              ORDER BY dim) AS cv
+  FROM means GROUP BY 1
+),
+assign2 AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {cos('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+  FROM embeddings e, cents c
+),
+cells AS (SELECT vec_id, embedding, cid FROM assign2 WHERE rn = 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {cos('q.qv', 'c.cv')} DESC, c.cid
+  LIMIT 2
+),
+scored AS (
+  SELECT s.vec_id, {cos('s.embedding', 'q.qv')} AS cos_raw
+  FROM cells s, probe p, q
+  WHERE s.cid = p.cid AND s.vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id, cos_raw,
+         row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT vec_id,
+       CAST(floor(cos_raw * 10000 + 0.5) AS BIGINT) AS cosine_x10k,
+       rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register("q_ivf_topk_trained", oracle=_ivf_trained_oracle_sql())
+def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 + E11 — IVF top-k over TRAINED centroids: one k-means Lloyd
+    step (assign to the first-8 seed cells by exact integer-picounit
+    distance, recenter by exact integer-microunit per-dimension means —
+    the same arithmetic as q_kmeans_iter, so centroid vectors are
+    bit-identical in any engine) produces the coarse quantizer;
+    ``functions/similarity.py::ivf_topk_trained`` probes the query's 2
+    nearest trained cells. Trained cells follow the data distribution,
+    so the same nprobe budget recovers more of the true neighborhood
+    than the modulo-seeded q_ivf_topk. Served from the MATERIALIZED
+    lloyd8 index (sources/ann_store.py::ivf_index — centroid training
+    and the cid-partitioned cell assignment run once per corpus
+    fingerprint); the probe scans only the 2 probed cells
+    (literal-cid PartitionFilters, plan-pinned)."""
+    from ..sources.ann_store import ivf_query
+
+    return ivf_query(
+        spark, sf_dir, query_vec_id=0, k=10, nprobe=2, variant="lloyd8"
     )

@@ -108,3 +108,70 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("m").cast("long").alias("m_max"),
         )
     )
+
+
+_FMT_AGG_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro,
+       CAST(SUM(length(props)) AS BIGINT) AS sum_props_len,
+       CAST(epoch_ms(MIN(ts)) AS BIGINT) AS min_ts_ms,
+       CAST(epoch_ms(MAX(ts)) AS BIGINT) AS max_ts_ms
+FROM events GROUP BY 1
+"""
+
+
+@register(
+    "q_events_format_parity",
+    oracle=f"""
+WITH agg AS ({_FMT_AGG_SQL}),
+fmts(fmt) AS (VALUES ('parquet'), ('json'), ('csv'))
+SELECT f.fmt, a.* FROM fmts f CROSS JOIN agg a
+""",
+)
+def q_events_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 format transparency, driver-proven: the parquet events
+    fixture is re-landed as JSON-lines and CSV
+    (``sources/formats.py::dump_events``), every format is read back
+    through its own reader, and an identical per-event-type content
+    fingerprint (counts, id/user sums, exact integer value micros,
+    props byte length, epoch-ms ts range) is computed per format. The
+    oracle is the PARQUET aggregate replicated across the three format
+    labels, so a single row diverging in any reader — a timestamp
+    parsed through the wrong zone, a quote-mangled props string, a
+    float widened by CSV inference — hash-fails the gate. Scale
+    posture: format is a property of the scan node only; the dump is a
+    one-pass re-land of the smallest fixture table and each read is a
+    map-only scan + 6-value agg."""
+    from ..sources import formats
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "formats")
+    paths = {
+        "parquet": f"{sf_dir}/events.parquet",
+        "json": formats.dump_events(spark, sf_dir, str(base), "json"),
+        "csv": formats.dump_events(spark, sf_dir, str(base), "csv"),
+    }
+    outs = []
+    for fmt, path in paths.items():
+        ev = formats.read_events(spark, path, fmt)
+        outs.append(
+            ev.groupBy("event_type").agg(
+                F.count("*").alias("n"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+                F.sum("user_id").cast("long").alias("sum_user_id"),
+                F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("long"))
+                .cast("long")
+                .alias("sum_value_micro"),
+                F.sum(F.length("props")).cast("long").alias("sum_props_len"),
+                F.unix_millis(F.min("ts")).cast("long").alias("min_ts_ms"),
+                F.unix_millis(F.max("ts")).cast("long").alias("max_ts_ms"),
+            ).select(F.lit(fmt).alias("fmt"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

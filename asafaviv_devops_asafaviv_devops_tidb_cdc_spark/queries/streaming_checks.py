@@ -63,7 +63,7 @@ def _stream_workdir(sf_dir: str, tag: str) -> Path:
 
 def _run_stream(spark: SparkSession, sf_dir: str, tag: str, dup_mod: int | None) -> DataFrame:
     base = _stream_workdir(sf_dir, tag)
-    src = ingest.write_envelope_files(spark, sf_dir, str(base / "src"), dup_mod)
+    src = ingest.envelope_files(spark, sf_dir, dup_mod)
     ingest.run_ingest(spark, src, str(base / "sink"), str(base / "ckpt"))
     return spark.read.parquet(str(base / "sink"))
 
@@ -91,7 +91,7 @@ def q_stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _stream_workdir(sf_dir, "merge")
     # 2 out-of-order micro-batches exercise the merge/tombstone path;
     # tests/test_streaming.py runs the 4-batch variant
-    src = ingest.write_envelope_files(spark, sf_dir, str(base / "src"), None, n_files=4)
+    src = ingest.envelope_files(spark, sf_dir, None, n_files=4)
     merge.run_replay_stream(
         spark, src, str(base / "state"), str(base / "ckpt"), max_files_per_trigger=2
     )
@@ -322,3 +322,89 @@ def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_ppm",
         "streak",
     )
+
+
+# The rules-as-data battery: the whole of the reference's alerts.yml
+# expressed as three data rows — a sustained-threshold rule (the
+# error-rate alert, monitoring/alerts.yml:6-14), an absence rule (the
+# pipeline-stalled alert, alerts.yml:16-24, as n_total <= 0 over the
+# zero-filled window grid), and a gauge-level rule over the windowed
+# p95. evaluate_rules turns N such rows into ONE windowed aggregation
+# + one rule-partitioned streak shuffle.
+ALERT_RULES = [
+    {
+        "name": "sustained_errors",
+        "metric": "error_ppm",
+        "op": ">=",
+        "threshold": alerts.DEFAULT_THRESHOLD_PPM,
+        "for_windows": alerts.DEFAULT_FOR_WINDOWS,
+    },
+    {"name": "stalled", "metric": "n_total", "op": "<=", "threshold": 0,
+     "for_windows": 2},
+    {"name": "value_spike", "metric": "p95_value_cents", "op": ">=",
+     "threshold": 20000, "for_windows": 2},
+]
+
+
+@register(
+    "q_alert_rules_eval",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(epoch_ms(ts) // {_W} * {_W} AS BIGINT) AS window_ms,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+         CAST(floor(quantile_cont(value, 0.95) * 100 + 0.5) AS BIGINT)
+           AS p95_value_cents
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(window_ms) // {_W} AS wmin, MAX(window_ms) // {_W} AS wmax FROM b),
+grid AS (SELECT unnest(range(wmin, wmax + 1)) * {_W} AS window_ms FROM bounds),
+frame AS (
+  SELECT g.window_ms,
+         COALESCE(b.n_total, 0) AS n_total,
+         CASE WHEN COALESCE(b.n_total, 0) > 0
+              THEN b.n_errors * 1000000 // b.n_total ELSE 0 END AS error_ppm,
+         COALESCE(b.p95_value_cents, 0) AS p95_value_cents
+  FROM grid g LEFT JOIN b USING (window_ms)
+),
+breached AS (
+  SELECT 'sustained_errors' AS rule, window_ms,
+         CAST(error_ppm AS BIGINT) AS value,
+         {alerts.DEFAULT_FOR_WINDOWS} AS for_windows
+  FROM frame WHERE error_ppm >= {alerts.DEFAULT_THRESHOLD_PPM}
+  UNION ALL
+  SELECT 'stalled', window_ms, CAST(n_total AS BIGINT), 2
+  FROM frame WHERE n_total <= 0
+  UNION ALL
+  SELECT 'value_spike', window_ms, CAST(p95_value_cents AS BIGINT), 2
+  FROM frame WHERE p95_value_cents >= 20000
+),
+islanded AS (
+  SELECT rule, window_ms, value, for_windows,
+         window_ms - row_number() OVER (PARTITION BY rule ORDER BY window_ms)
+           * {_W} AS island
+  FROM breached
+)
+SELECT rule, epoch_ms(window_ms) AS window_start, value,
+       CAST(COUNT(*) OVER (PARTITION BY rule, island ORDER BY window_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS streak
+FROM islanded
+QUALIFY streak >= for_windows
+""",
+)
+def q_alert_rules_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 rules-as-data — the whole alerts.yml evaluated as a rule
+    LIST (streaming/alerts.py::evaluate_rules): one windowed
+    aggregation computes the shared basis (counts, error ppm, exact
+    p95 cents) over a zero-filled window grid; each rule is a select
+    over that frame; streaks are gaps-and-islands partitioned by rule.
+    N rules therefore cost one agg + one tiny streak shuffle — not N
+    jobs — which is what lets a 100 TB deployment evaluate a whole
+    alert book per window. The oracle re-derives all three rule
+    families (sustained threshold, absence, gauge level) independently
+    in SQL; the hardcoded q_alert_sustained equals rule #1 by
+    construction (equivalence additionally test-pinned)."""
+    ev = load_table(spark, sf_dir, "events")
+    return alerts.evaluate_rules(ev, ALERT_RULES)

@@ -42,89 +42,74 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-4 window (the close-out round): the driver oracle-checks a
-    # 50-query prefix of the registered order. Rounds 1-3 left exactly
-    # 9 queries never driver-checked and 2 checked only rows-only
-    # before their oracles existed — they go first, making every
-    # registered query ever-verified once this window lands.
-    "q_udaf_median",
-    "q_udtf_explode",
-    "q_zorder_layout",
-    "q_stream_alerts",
-    "q_stream_doc_dedup",
-    "q_vocab_growth",
-    "q_embedding_norm_hist",
-    "q_dedup_yield_by_source",
-    "q_frame_sample",
-    "q_stream_ingest_counts",
-    "q_stream_window_counts",
-    # oracle upgrades + impl rewrites this round: first/fresh hash
-    # verdicts for the planted-copy near-dup oracle, the new HLL
-    # error-bound query, the r3 multimodal-features oracle (never
-    # windowed), the blocked all-pairs cosine, and the bucketed
-    # partition-pruned streaming merge
-    "q_embedding_neardup",
-    "q_hll_error_bound",
-    "q_multimodal_features",
-    "q_cosine_pairs",
-    "q_stream_cdc_replay",
-    # drift re-verification: every oracle-backed query whose last green
-    # verdict is round 1 — the event-sink rewrite and the cents sweep
-    # landed underneath all of them since
-    "q_ops_by_table_op",
-    "q_status_counts",
-    "q_validate_events",
-    "q_parse_envelope",
-    "q_explode_rows",
-    "q_normalize",
-    # F5 upgraded to a hash-verified counter-mode generator this round —
-    # its first oracle verdict takes the slot q_sha2 held (sha2
-    # semantics re-verify transitively via the windowed q_dedup_exact,
-    # whose survivor keys are sha2(text))
-    "q_batch_insert_gen",
-    "q_string_ops",
-    "q_anti_orphans",
-    "q_semi_active",
-    "q_ratio_join",
-    "q_unique_check",
-    "q_asof_join",
-    "q_range_join",
-    "q_skew_salted_join",
-    "q_latency_histogram",
-    "q_totals_last",
-    "q_sums_filtered",
-    "q_rollup_ops",
-    "q_cube_ops",
-    "q_windowed_distinct",
-    "q_rate_5m",
-    "q_error_ratio",
-    "q_quantiles",
-    "q_alert_liveness",
-    "q_prom_quantile",
-    "q_rate_per_op",
-    "q_increase_1h",
-    "q_date_histogram",
-    "q_topk_recent",
-    "q_order_priority",
-    # 47 queries above; the next three (new classic-warehouse shapes
-    # added this round: Q16 distinct-supplier report, Q19 disjunctive
-    # pushdown join, Q11 scalar-subquery value share) complete the
-    # 50-query window — keeping every registered query ever-verified.
-    # Entries after them are oldest-r02 flagship chains, next in line
-    # if the driver widens the window.
-    "q_supplier_parts",
-    "q_disjunctive_revenue",
-    "q_value_parts",
-    "q_dedup_exact",
-    "q_minhash_neardup",
-    "q_cdc_replay",
+    # Round-5 window: the driver oracle-checks a 50-query prefix of the
+    # registered order. Head = the six round-4/5 capabilities that have
+    # library code + pytest but no driver verdict yet (format-parity
+    # ingest, rules-as-data alerts, Bloom decontamination, weighted
+    # mixture, trained-centroid IVF, delta-partials compaction) — the
+    # round-4 verdict's top item. The rest of the window is the
+    # r2-stale cohort: every query whose latest driver verdict is
+    # round 2, i.e. two rounds of rewrites old (event sink, blocked
+    # cosine, bucketed state, and this round's CC/IVF artifact +
+    # shared envelope source landed underneath them). Flagship chains
+    # first. q_sha2 re-verifies transitively (q_dedup_exact survivor
+    # keys are sha2(text)); q_hll_distinct is rows-only by
+    # construction — both sit past the window edge by design.
+    "q_events_format_parity",
+    "q_alert_rules_eval",
+    "q_bloom_decontaminate",
+    "q_weighted_mix",
+    "q_ivf_topk_trained",
+    "q_compact_partials",
+    # r2-stale: flagship composites + the paths rewritten this round
     "q_pipeline_e2e",
+    "q_neardup_clusters",
+    "q_cdc_replay",
+    "q_dedup_exact",
     "q_cosine_topk",
     "q_ivf_topk",
-    "q_lang_id",
-    "q_stream_dedupe",
-    "q_snapshot_diff",
+    "q_minhash_neardup",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_simhash_neardup",
     "q_session_windows",
+    "q_snapshot_diff",
+    "q_alert_sustained",
+    "q_hll_distinct",
+    # r2-stale: relational / warehouse block
+    "q_join_fk",
+    "q_join_star",
+    "q_local_supplier_volume",
+    "q_pricing_summary",
+    "q_promo_share",
+    "q_returned_items",
+    "q_ship_priority",
+    "q_top_supplier",
+    "q_filter_cmp",
+    "q_arith_update",
+    "q_except_deleted",
+    "q_union_variants",
+    "q_ops_pivot",
+    "q_running_total",
+    "q_old_image",
+    "q_typed_cast",
+    # r2-stale: logs + text/multimodal block
+    "q_log_ingest",
+    "q_log_error_rate",
+    "q_lang_id",
+    "q_token_count",
+    "q_quality_score",
+    "q_repetition_ratio",
+    "q_text_stats",
+    "q_scrub_text",
+    "q_fingerprint",
+    "q_split_assign",
+    "q_stratified_sample",
+    "q_lsh_buckets",
+    "q_multimodal_meta",
+    "q_media_chunks",
+    "q_props_json",
+    "q_sha2",
 ]
 
 _loaded = False

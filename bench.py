@@ -70,6 +70,21 @@ def main() -> None:
         # shows up as GC drag attributed to whichever query runs next)
         spark.catalog.clearCache()
 
+    # Second pass over the streaming queries: the first (cold) run pays
+    # one-time costs a long-lived deployment amortizes — checkpoint dir
+    # creation, state-store init, the shared envelope-source build. The
+    # warm numbers are the per-drain cost a production stream actually
+    # pays per trigger; recording both keeps cold-start regressions
+    # visible without letting them mask steady-state ones.
+    stream_warm: dict[str, float] = {}
+    for name in sorted(timings):
+        if not (name.startswith("q_stream_") or name == "q_compact_partials"):
+            continue
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).count()
+        stream_warm[name] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+
     # ONE JSON line. The driver records only the LAST 2000 characters of
     # stdout and parses from that truncated tail, so the line MUST fit
     # within 2000 bytes or it can never parse (BENCH_r01/r02 both show
@@ -85,6 +100,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "queries": timings,
+        "stream_warm": stream_warm,
     }
     try:
         Path(REPO, "BENCH_SELF.json").write_text(

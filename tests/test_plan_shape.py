@@ -460,3 +460,40 @@ def test_boilerplate_gram_frame_reused_from_cache(spark):
     df = _df("q_boilerplate_grams", spark)
     plan = checks.plan_string(df)
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_bloom_probe_side_is_shuffle_free(spark):
+    """E7 scale posture: Bloom membership is a MAP-SIDE gain — with the
+    word table given (materialized/broadcast), the probe plan contains
+    k broadcast joins and ZERO shuffle exchanges, no synthetic row ids,
+    and preserves probe row multiplicity. This is the property that
+    makes Bloom decontamination affordable at 100 TB: the eval corpus
+    never shuffles on the gram key."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import bloom as B
+
+    probe = spark.range(0, 1000).selectExpr(
+        "concat('gram_', CAST(id % 300 AS STRING)) AS gram", "id AS doc_id"
+    )
+    words = spark.createDataFrame(
+        [(i, (1 << 63) - 1) for i in range(B.DEFAULT_BITS // 64)],
+        "word_idx long, word long",
+    )
+    out = B.might_contain(probe, words, "gram")
+    plan = checks.plan_string(out)
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+    assert checks.count_nodes(out, "BroadcastHashJoin") == B.DEFAULT_HASHES, plan
+    # row multiplicity untouched: duplicate grams stay duplicate rows
+    assert out.count() == 1000
+
+
+def test_ivf_probe_prunes_to_probed_cells(spark):
+    """E3 serving posture: the materialized IVF assignment is
+    cid-partitioned and the probe carries a literal cid IN-list, so
+    the index scan reads ONLY the nprobe probed cells
+    (PartitionFilters on cid) — never the whole corpus."""
+    import re
+
+    df = _df("q_ivf_topk", spark)
+    plan = checks.plan_string(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1), plan
