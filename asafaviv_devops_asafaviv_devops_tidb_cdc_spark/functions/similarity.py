@@ -474,3 +474,55 @@ def batch_topk(
             "rank",
         )
     )
+
+
+def batch_ivf_probe(
+    assigned: DataFrame,
+    cents: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-BATCH probe of a materialized IVF index: N query vectors
+    resolve their probe cells in one tiny broadcast pass, the UNION of
+    probed cells (<= N x nprobe literal ids, one scalar collect) prunes
+    the cid-partitioned index scan, and candidates score + rank with a
+    per-query partitioned window. ONE index scan serves the whole
+    batch — the production ANN serving shape at any corpus size."""
+    qcells = queries_df.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cid", cosine("qv", "cv").alias("qcos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cid")
+    )
+    probe = (
+        qcells.withColumn("_prn", F.row_number().over(wq))
+        .filter(F.col("_prn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    cids = sorted(
+        r["cid"] for r in probe.select("cid").distinct().collect()
+    )
+    scored = (
+        assigned.filter(F.col("cid").isin(cids))
+        .join(F.broadcast(probe), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, cosine(vec_col, "qv").alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.floor(F.col("cos_raw") * 10000 + 0.5)
+            .cast("long")
+            .alias("cosine_x10k"),
+            "rank",
+        )
+    )

@@ -781,3 +781,151 @@ def q_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value_cents") * F.col("np") * 2 > F.col("tv") * 3)
         .select(F.col("l_partkey").alias("partkey"), "value_cents")
     )
+
+
+@register(
+    "q_nation_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+       CAST(SUM({rev_units_sql('l.l_extendedprice', 'l.l_discount')}
+                - CAST(l.l_quantity AS BIGINT)
+                  * CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) * 10)
+            AS BIGINT) AS profit_units
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_type = 'PROMO'
+GROUP BY 1, 2
+""",
+)
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by (supplier nation, ship
+    year): the fact table meets THREE dimensions, every one broadcast
+    (part is pre-filtered to the PROMO line before the join, so the
+    build side shrinks at the scan), and profit accumulates as
+    revenue-units minus a unit-cost term (10% of retail per unit,
+    i.e. retail_cents x 10 in 1e-4-dollar units) — all exact BIGINT
+    arithmetic, so the sum is partition-order-proof. The planner
+    property Q9 exercises: join ORDER (dims first, never
+    fact x fact) and pushdown of the dim filter below the join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    profit = revenue_units() - F.col("l_quantity").cast("long") * cents(
+        "p_retailprice"
+    ) * F.lit(10)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(F.sum(profit).cast("long").alias("profit_units"))
+    )
+
+
+@register(
+    "q_late_shipments",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+)
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — late-shipment priority audit: one fact-fact
+    equi-join with a NON-equi residual (shipped more than 60 days
+    after the order date), then the Q12 CASE-sum splitting counts into
+    high/low priority classes. The planner properties: the date
+    comparison stays a residual on the join (never a BNLJ), and the
+    two conditional sums compute in ONE aggregation pass over the
+    joined rows — not two queries."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_blocking_suppliers",
+    oracle="""
+WITH fl AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT l1.l_suppkey AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM fl l1
+WHERE EXISTS (SELECT 1 FROM fl l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM fl l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY 1
+ORDER BY numwait DESC, suppkey
+LIMIT 20
+""",
+)
+def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who shipped LAST on multi-supplier
+    finalized orders (the 'kept everyone waiting' audit): a self-SEMI
+    join (another supplier exists on the order) composed with a
+    self-ANTI join (no other supplier shipped strictly later). The
+    planner properties Q21 exercises: two correlated EXISTS over the
+    same fact resolve as semi/anti hash joins on the order key — never
+    nested-loop re-scans — and the probe side is scanned once per
+    join, with the orders filter pushed below everything. Top-20 is
+    TakeOrderedAndProject."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    fl = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    l2 = fl.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = fl.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waited = fl.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        waited.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "suppkey")
+        .limit(20)
+    )

@@ -1627,3 +1627,73 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_query(
         spark, sf_dir, query_vec_id=0, k=10, nprobe=2, variant="lloyd8"
     )
+
+
+def _batch_ivf_oracle_sql() -> str:
+    def lsum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"({lsum(a, b)}) / sqrt(({lsum(a, a)}) * ({lsum(b, b)}))"
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {cos('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+  FROM embeddings e, cents c
+),
+cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+probe AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos('q.qv', 'c.cv')} DESC, c.cid) AS prn
+    FROM q, cents c)
+  WHERE prn <= 2
+),
+scored AS (
+  SELECT p.query_id, s.vec_id, {cos('s.embedding', 'p.qv')} AS cos_raw
+  FROM cells s JOIN probe p ON s.cid = p.cid
+  WHERE s.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id,
+       CAST(floor(cos_raw * 10000 + 0.5) AS BIGINT) AS cosine_x10k,
+       rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q_ann_batch_ivf", oracle=_batch_ivf_oracle_sql())
+def q_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — query-batch APPROXIMATE ANN over the materialized IVF
+    index: five query vectors resolve probe cells in one broadcast
+    pass; the union of probed cells prunes ONE cid-partitioned index
+    scan serving the whole batch; per-query partitioned top-k windows
+    rank in parallel (functions/similarity.py::batch_ivf_probe).
+    Complements q_ann_batch (exact full-scan batch) with the serving
+    shape a 100 TB vector table actually runs per request batch."""
+    from ..sources.ann_store import ivf_index
+
+    cents, assigned = ivf_index(spark, sf_dir, "mod50")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return similarity.batch_ivf_probe(assigned, cents, queries_df, k=5, nprobe=2)

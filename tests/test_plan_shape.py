@@ -497,3 +497,25 @@ def test_ivf_probe_prunes_to_probed_cells(spark):
     plan = checks.plan_string(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cid" in m.group(1), plan
+
+
+def test_nation_profit_broadcasts_dims_pushes_type(spark):
+    """Q9 shape: all three dims broadcast; the product-line filter
+    pushes into the part scan, below the join."""
+    df = _df("q_nation_profit", spark)
+    assert checks.count_nodes(df, "BroadcastHashJoin") >= 3
+    assert not checks.has_cartesian(df)
+    pushed = checks.pushed_filters(df)
+    assert any("p_type" in p for p in pushed), pushed
+
+
+def test_blocking_suppliers_semi_anti_no_bnlj(spark):
+    """Q21 shape: both EXISTS resolve as hash semi/anti joins on the
+    order key (the inequality rides as a residual) — never a
+    nested-loop or cartesian re-scan of the fact."""
+    df = _df("q_blocking_suppliers", spark)
+    plan = checks.plan_string(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert not checks.has_cartesian(df)
+    assert "TakeOrderedAndProject" in plan, plan
