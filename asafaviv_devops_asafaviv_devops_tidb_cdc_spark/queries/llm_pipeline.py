@@ -1697,3 +1697,90 @@ def q_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return similarity.batch_ivf_probe(assigned, cents, queries_df, k=5, nprobe=2)
+
+
+@register(
+    "q_neardup_recall",
+    oracle=f"WITH corpus AS ({_CORPUS_BODY}),\n"
+    + """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(0, len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [text] END AS s,
+         CASE WHEN len(t) >= 3 THEN
+           list_aggregate(list_transform(range(0, len(t) - 2),
+             i -> sha256(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])), 'min')
+         ELSE sha256(text) END AS fp
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id, k,
+         list_aggregate(list_transform(s, x -> sha256(CAST(k AS VARCHAR) || x)),
+                        'min') AS h
+  FROM sh, (SELECT unnest(range(4)) AS k)
+),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.k = b.k AND a.h = b.h AND a.doc_id < b.doc_id
+),
+mh AS (
+  SELECT c.doc_a, c.doc_b
+  FROM mh_cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                 JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE len(list_intersect(sa.s, sb.s)) * 1000000
+        // (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 500000
+),
+ng AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1000000
+        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 500000
+),
+u AS (SELECT doc_a, doc_b FROM mh UNION SELECT doc_a, doc_b FROM ng)
+SELECT CAST((SELECT COUNT(*) FROM mh) AS BIGINT) AS n_minhash,
+       CAST((SELECT COUNT(*) FROM ng) AS BIGINT) AS n_ngram,
+       CAST((SELECT COUNT(*) FROM (SELECT * FROM mh INTERSECT SELECT * FROM ng))
+            AS BIGINT) AS n_both,
+       CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_union,
+       CAST((SELECT COUNT(*) FROM mh) * 1000000 // (SELECT COUNT(*) FROM u)
+            AS BIGINT) AS minhash_recall_ppm,
+       CAST((SELECT COUNT(*) FROM ng) * 1000000 // (SELECT COUNT(*) FROM u)
+            AS BIGINT) AS ngram_recall_ppm
+""",
+)
+def q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — near-dup BLOCKING quality self-validation (the q_ann_recall
+    of the dedup family): both pair detectors share the same exact
+    integer-ppm Jaccard verify, so any disagreement between
+    MinHash-LSH banding and one-permutation-fingerprint blocking is
+    pure candidate-generation recall. Run over the planted corpus,
+    the report gives per-scheme recall against the union of verified
+    pairs — the number that decides band count / fingerprint width
+    before a full corpus pass at 100 TB (an un-measured blocking
+    scheme silently drops duplicate mass). One row, all counts exact."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    mh = neardup_pairs(corpus).select("doc_a", "doc_b")
+    ng = ngram_jaccard_pairs(corpus).select("doc_a", "doc_b")
+    both = mh.intersect(ng)
+    union = mh.union(ng).distinct()
+    return (
+        mh.agg(F.count("*").alias("n_minhash"))
+        .crossJoin(ng.agg(F.count("*").alias("n_ngram")))
+        .crossJoin(both.agg(F.count("*").alias("n_both")))
+        .crossJoin(union.agg(F.count("*").alias("n_union")))
+        .select(
+            "n_minhash",
+            "n_ngram",
+            "n_both",
+            "n_union",
+            F.expr("n_minhash * 1000000 div n_union")
+            .cast("long")
+            .alias("minhash_recall_ppm"),
+            F.expr("n_ngram * 1000000 div n_union")
+            .cast("long")
+            .alias("ngram_recall_ppm"),
+        )
+    )
