@@ -910,3 +910,68 @@ def q_ops_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matrix.unpivot(
         ["table_name"], ["insert", "update", "delete"], "operation", "n"
     )
+
+
+@register(
+    "q_approx_quantile_bound",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(floor(quantile_cont(value, 0.95) * 100 + 0.5) AS BIGINT)
+         AS exact_p95_cents,
+       CAST(1 AS BIGINT) AS within_rank_bound
+FROM events
+GROUP BY 1
+""",
+)
+def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 scale path, verdict form — `percentile_approx`'s rank-error
+    guarantee asserted IN-ENGINE (the q_hll_error_bound recipe for
+    quantiles): at accuracy=1000 the sketch returns an element whose
+    RANK is within n/1000 of the 0.95 target rank. Exact p95 on 100 TB
+    means a full sort per group; the sketch is the production path,
+    and this query is what makes it trustworthy — emit 1 iff
+    count(<= approx) covers the target rank within tolerance, while
+    the hash-checked columns are the group's exact p95 (so the oracle
+    still pins real values, not just the verdict bit). Plan: one agg
+    computes approx + exact per group; the rank check re-counts
+    against the 5-row broadcast of approx values — two scans total,
+    no sort."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+        F.expr("percentile_approx(value, 0.95, 1000)").alias("approx_p95"),
+    )
+    ranked = (
+        ev.join(
+            F.broadcast(agg.select("event_type", "approx_p95")), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("approx_p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_le"),
+            F.sum(F.when(F.col("value") < F.col("approx_p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lt"),
+        )
+    )
+    # rank tolerance: target rank 0.95*n, eps = n/1000 (+1 slack for
+    # the discrete-rank floor at tiny n)
+    return (
+        agg.join(ranked, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.floor(F.col("exact_p95") * 100 + 0.5)
+            .cast("long")
+            .alias("exact_p95_cents"),
+            (
+                (F.col("n_le") * 1000 >= F.col("n") * 950 - F.col("n") - 1000)
+                & (F.col("n_lt") * 1000 <= F.col("n") * 950 + F.col("n") + 1000)
+            )
+            .cast("long")
+            .alias("within_rank_bound"),
+        )
+    )
