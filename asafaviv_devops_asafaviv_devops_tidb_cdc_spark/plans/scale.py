@@ -112,3 +112,36 @@ def cosine_blocks(corpus_bytes: int, executor_task_memory_bytes: int) -> int:
     only ever needs to be as large as memory demands."""
     need = (4 * corpus_bytes) // max(executor_task_memory_bytes, 1) + 1
     return int(max(need, 2))
+
+
+def streaming_conf(state_bytes: int, total_cores: int) -> dict[str, str]:
+    """Spark conf for the stateful-streaming layer at scale.
+
+    The default (HDFS-backed, in-memory map) state store holds every
+    store's working set on-heap — at 100 TB-class state that is the
+    first thing to fall over. RocksDB (bundled with Spark) spills
+    state to local disk with bounded memory, and CHANGELOG
+    checkpointing ships per-batch deltas instead of full SST snapshots
+    — commit cost tracks batch size, not state size (the same
+    bounded-by-touched-data property the bucketed parquet fold gives
+    the foreachBatch maintainers). Shuffle partitions are sized DOWN
+    to the state volume: each partition is one state store instance
+    paying a per-batch commit, so thousands of near-empty stores are
+    pure fixed overhead (measured ~2x on the replay harness — see
+    streaming/ingest.py::scoped_shuffle_partitions)."""
+    parts = int(
+        min(
+            max(state_bytes // TARGET_SHUFFLE_PARTITION_BYTES + 1, total_cores),
+            MAX_SHUFFLE_PARTITIONS,
+        )
+    )
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
+        "spark.sql.shuffle.partitions": str(parts),
+    }

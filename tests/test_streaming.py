@@ -384,3 +384,54 @@ def test_rules_as_data_evaluator_matches_specialized_operator(spark):
         r["value"] == 0
         for r in got.filter(F.col("rule") == "liveness").collect()
     )
+
+
+def test_stateful_stream_under_rocksdb_provider(spark, tmp_path):
+    """The 100 TB state posture (plans/scale.py::streaming_conf): the
+    same watermarked stateful query produces the identical result set
+    under the RocksDB state store provider as under the default
+    provider — provider choice is an ops decision, never a semantics
+    one. Runs a real availableNow dropDuplicates stream twice."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.plans import scale
+
+    conf = scale.streaming_conf(1 << 30, 8)
+    assert "RocksDBStateStoreProvider" in conf[
+        "spark.sql.streaming.stateStore.providerClass"
+    ]
+
+    src = str(tmp_path / "src")
+    spark.range(0, 1000).selectExpr(
+        "id % 100 AS k", "CAST(id AS STRING) AS payload"
+    ).repartition(4).write.mode("overwrite").json(src)
+
+    def run(provider: str | None, tag: str):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            stream = spark.readStream.schema("k long, payload string").option(
+                "maxFilesPerTrigger", 1
+            ).json(src)
+            out = str(tmp_path / f"sink_{tag}")
+            q = (
+                stream.dropDuplicates(["k"])
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                r["k"] for r in spark.read.parquet(out).select("k").collect()
+            }
+        finally:
+            if old is not None:
+                spark.conf.set(key, old)
+            elif provider:
+                spark.conf.unset(key)
+
+    default_keys = run(None, "default")
+    rocksdb_keys = run(conf["spark.sql.streaming.stateStore.providerClass"], "rocks")
+    assert rocksdb_keys == default_keys == set(range(100))
