@@ -145,3 +145,17 @@ def streaming_conf(state_bytes: int, total_cores: int) -> dict[str, str]:
         ),
         "spark.sql.shuffle.partitions": str(parts),
     }
+
+
+def ivf_cells(n_vectors: int, nprobe: int = 4) -> int:
+    """Cell count for the IVF index (sources/ann_store.py). Per-query
+    work = centroid scoring (~cells rows) + probed-cell scan
+    (~nprobe x n/cells rows); the sum is minimized at
+    cells = sqrt(nprobe x n) — the sqrt-scaling every IVF deployment
+    converges on. Capped so the centroid table stays a comfortable
+    broadcast and the cell directories stay within metadata limits."""
+    import math
+
+    if n_vectors <= 0:
+        return 1
+    return int(min(max(math.isqrt(nprobe * n_vectors), 1), 100_000))

@@ -1087,8 +1087,17 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train_grams = g.filter("is_train").select("gram").distinct()
     eval_grams = g.filter(~F.col("is_train")).select("doc_id", "gram")
-    n_train = train_grams.count()  # scalar driver action: sizes the bitmap
-    n_bits = B.suggested_bits(n_train, per_key_fp=1e-4)
+    # bitmap sizing needs only an UPPER bound on distinct train grams
+    # (oversizing merely lowers FP), so count total train gram slots
+    # with a map-only scan of documents — no explode, no distinct
+    # shuffle spent on a sizing scalar
+    n_train_bound = (
+        d.filter("is_train")
+        .agg(F.sum(F.size("t") - 4).cast("long"))
+        .collect()[0][0]
+        or 0
+    )
+    n_bits = B.suggested_bits(n_train_bound, per_key_fp=1e-4)
     flagged = B.contaminated_doc_ids(
         train_grams, eval_grams, n_bits=n_bits
     ).withColumnRenamed("doc_id", "flagged_id")

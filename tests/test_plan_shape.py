@@ -151,6 +151,16 @@ def test_scale_conf_formulas():
     # blocks (4x dense-int64 inflation); floor of 2 blocks always
     assert scale.cosine_blocks(64 * scale.GIB, 2 * scale.GIB) == 129
     assert scale.cosine_blocks(1 * scale.MIB, 2 * scale.GIB) == 2
+    # IVF: 1M vectors probed 4-deep -> sqrt(4e6) = 2000 cells; tiny
+    # corpora floor at 1, huge ones cap at the metadata ceiling
+    assert scale.ivf_cells(1_000_000, 4) == 2000
+    assert scale.ivf_cells(0) == 1
+    assert scale.ivf_cells(10**13, 16) == 100_000
+    # RocksDB streaming conf: partitions track state volume with a
+    # cores floor
+    sconf = scale.streaming_conf(100 * scale.GIB, 64)
+    assert "RocksDB" in sconf["spark.sql.streaming.stateStore.providerClass"]
+    assert int(sconf["spark.sql.shuffle.partitions"]) == 513
 
 
 def test_embedding_norm_hist_single_shuffle(spark):
