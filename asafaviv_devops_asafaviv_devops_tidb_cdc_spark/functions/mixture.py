@@ -81,6 +81,7 @@ def weighted_mix(
     source_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "wmix1_",
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
     """The kept subset of ``docs`` with composition ~ ``weights``.
     Membership = salted sha256 prefix under the per-source threshold —
@@ -91,22 +92,32 @@ def weighted_mix(
     the binding-constraint T degenerate (its n_s/w_s is 0 only if it
     appears in counts at all — absent it silently vanishes from the
     min, skewing realized composition away from the target), so absence
-    is a caller error, not a samplable state."""
-    counts = docs.groupBy(source_col).agg(F.count("*").alias("n"))
-    present = {
-        r["source"]
-        for r in counts.withColumnRenamed(source_col, "source")
-        .select("source")
-        .collect()
-    }
-    missing = sorted(s for s, w in weights.items() if w > 0 and s not in present)
-    if missing:
-        raise ValueError(
-            f"weighted_mix: weighted sources with no rows: {missing}"
+    is a caller error, not a samplable state.
+
+    ``thresholds``: pass a precomputed ``weighted_keep_thresholds``
+    frame to share its (tiny) counts aggregation with other consumers
+    — a caller that also reports the thresholds would otherwise scan
+    the corpus twice for the same per-source counts."""
+    if thresholds is not None:
+        thr = thresholds
+    else:
+        counts = docs.groupBy(source_col).agg(F.count("*").alias("n"))
+        present = {
+            r["source"]
+            for r in counts.withColumnRenamed(source_col, "source")
+            .select("source")
+            .collect()
+        }
+        missing = sorted(
+            s for s, w in weights.items() if w > 0 and s not in present
         )
-    thr = weighted_keep_thresholds(
-        counts.withColumnRenamed(source_col, "source"), weights
-    )
+        if missing:
+            raise ValueError(
+                f"weighted_mix: weighted sources with no rows: {missing}"
+            )
+        thr = weighted_keep_thresholds(
+            counts.withColumnRenamed(source_col, "source"), weights
+        )
     keyed = docs.withColumnRenamed(source_col, "source") if source_col != "source" else docs
     kept = (
         keyed.join(F.broadcast(thr.select("source", "thr_hex")), "source")

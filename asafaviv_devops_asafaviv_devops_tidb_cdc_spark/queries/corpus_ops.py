@@ -1010,8 +1010,10 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     counts = docs.groupBy("source").agg(F.count("*").alias("n"))
     thr = M.weighted_keep_thresholds(counts, WMIX_WEIGHTS)
+    # the threshold frame is shared (thresholds=thr), so the corpus is
+    # scanned exactly twice: once for counts, once for the keep filter
     kept = (
-        M.weighted_mix(docs, WMIX_WEIGHTS)
+        M.weighted_mix(docs, WMIX_WEIGHTS, thresholds=thr)
         .groupBy("source")
         .agg(F.count("*").cast("long").alias("n_kept"))
     )

@@ -271,3 +271,100 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(cum).cast("long").alias("vocab_cum"),
     )
+
+
+# Declarative DQ constraint suite over the star schema (rules as data,
+# functions/dq.py). Mixed by design: checks that must pass (0
+# violations) prove the clean path; checks with known-nonzero counts
+# (multi-line orders, high quantities, non-browse event types) prove
+# the COUNTING, so a broken evaluator cannot hide behind all-zeros.
+DQ_CHECKS = [
+    {"id": "nn_l_orderkey", "table": "lineitem", "kind": "not_null",
+     "column": "l_orderkey"},
+    {"id": "av_returnflag", "table": "lineitem", "kind": "accepted_values",
+     "column": "l_returnflag", "values": ["A", "N", "R"]},
+    {"id": "rng_quantity_25", "table": "lineitem", "kind": "range",
+     "column": "l_quantity", "lo": 1, "hi": 25},
+    {"id": "av_event_type", "table": "events", "kind": "accepted_values",
+     "column": "event_type", "values": ["click", "view", "purchase"]},
+    {"id": "rng_o_total", "table": "orders", "kind": "range",
+     "column": "o_totalprice", "lo": 0, "hi": 1e9},
+    {"id": "uq_o_orderkey", "table": "orders", "kind": "unique",
+     "columns": ["o_orderkey"]},
+    {"id": "uq_line_per_order", "table": "lineitem", "kind": "unique",
+     "columns": ["l_orderkey"]},
+    {"id": "fk_line_order", "table": "lineitem", "kind": "foreign_key",
+     "column": "l_orderkey", "parent_table": "orders",
+     "parent_column": "o_orderkey"},
+    {"id": "fk_order_cust", "table": "orders", "kind": "foreign_key",
+     "column": "o_custkey", "parent_table": "customer",
+     "parent_column": "c_custkey"},
+]
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+SELECT 'nn_l_orderkey' AS check_id, 'lineitem' AS table_name,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations FROM lineitem
+UNION ALL
+SELECT 'av_returnflag', 'lineitem',
+       CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                       OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'rng_quantity_25', 'lineitem',
+       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 25
+                       OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'av_event_type', 'events',
+       CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase')
+                       OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'rng_o_total', 'orders',
+       CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000000
+                       OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'uq_o_orderkey', 'orders',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'uq_line_per_order', 'lineitem',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+UNION ALL
+SELECT 'fk_line_order', 'lineitem',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'fk_order_cust', 'orders',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders d LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON d.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+""",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance — a declarative DATA-QUALITY constraint suite
+    (functions/dq.py): the whole rule list compiles into the minimum
+    pass count — all row-level rules on a table fold into ONE
+    conditional-sum aggregation over ONE scan (3 lineitem rules = 1
+    lineitem scan), uniqueness is one keyed agg per key set,
+    referential integrity one anti-join per edge with the parent side
+    reduced to distinct keys. The oracle re-derives every rule as
+    standalone SQL, so both the folding and each count are
+    hash-checked. This is the Deequ-shaped operator every 100 TB
+    training-data pipeline runs before shipping a corpus snapshot."""
+    from ..functions.dq import evaluate_checks
+
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "events")
+    }
+    return evaluate_checks(tables, DQ_CHECKS)

@@ -529,3 +529,23 @@ def test_blocking_suppliers_semi_anti_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert not checks.has_cartesian(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dq_row_checks_fold_into_one_scan(spark):
+    """DQ compilation: all row-level rules on a table fold into ONE
+    conditional-sum aggregation over ONE scan — rule count must not
+    multiply scans."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.dq import evaluate_checks
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.profiling import DQ_CHECKS
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+
+    row_rules = [c for c in DQ_CHECKS if c["table"] == "lineitem"
+                 and c["kind"] in ("not_null", "accepted_values", "range")]
+    assert len(row_rules) == 3
+    out = evaluate_checks(
+        {"lineitem": load_table(spark, SF_SMOKE, "lineitem")}, row_rules
+    )
+    assert checks.count_nodes(out, "Scan parquet") == 1, checks.plan_string(out)
+    got = {r["check_id"]: r["violations"] for r in out.collect()}
+    assert got["nn_l_orderkey"] == 0 and got["av_returnflag"] == 0
+    assert got["rng_quantity_25"] > 0  # known-nonzero: counting is real
