@@ -244,8 +244,12 @@ WHERE len(list_intersect(sa, sb)) * 1000000
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 — n-gram Jaccard near-dup with one-permutation-fingerprint
     blocking (single equi-join on the min-shingle-hash; cheapest
-    blocking scheme) and exact integer-ppm Jaccard verify."""
-    return ngram_jaccard_pairs(_neardup_corpus(spark, sf_dir))
+    blocking scheme) and exact integer-ppm Jaccard verify. Served from
+    the materialized pair artifact (sources/cluster_store.py) the CC
+    build and the recall report also consume."""
+    from ..sources.cluster_store import ngram_pair_table
+
+    return ngram_pair_table(spark, sf_dir)
 
 
 _NGRAM_PAIRS_CTES = """
@@ -1761,9 +1765,11 @@ def q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — the number that decides band count / fingerprint width
     before a full corpus pass at 100 TB (an un-measured blocking
     scheme silently drops duplicate mass). One row, all counts exact."""
+    from ..sources.cluster_store import ngram_pair_table
+
     corpus = _neardup_corpus(spark, sf_dir)
     mh = neardup_pairs(corpus).select("doc_a", "doc_b")
-    ng = ngram_jaccard_pairs(corpus).select("doc_a", "doc_b")
+    ng = ngram_pair_table(spark, sf_dir).select("doc_a", "doc_b")
     both = mh.intersect(ng)
     union = mh.union(ng).distinct()
     return (

@@ -25,6 +25,7 @@ from .tables import load_table
 
 # bump when the corpus construction, pair params, or CC output changes
 _CC_VERSION = "neardup-cc-v1"
+_PAIRS_VERSION = "neardup-pairs-v1"
 
 
 def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,19 +46,34 @@ def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def neardup_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id) for every clustered doc — built once per
-    documents.parquet fingerprint, served as a parquet scan after."""
+def ngram_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard_ppm) verified near-dup pairs over the
+    planted corpus — the stage every downstream dedup consumer starts
+    from (the pair listing query, the CC build, the blocking-recall
+    report), built once per documents fingerprint."""
     # lazy import: functions.dedup imports sources.tables, so a
     # module-level import here would be circular
-    from ..functions.dedup import neardup_clusters, ngram_jaccard_pairs
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    fp = input_fingerprint(sf_dir, "documents", _PAIRS_VERSION)
+    return materialized(
+        spark,
+        "neardup_pairs",
+        fp,
+        lambda: ngram_jaccard_pairs(neardup_corpus(spark, sf_dir)),
+    )
+
+
+def neardup_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every clustered doc — built once per
+    documents.parquet fingerprint (from the materialized pair table),
+    served as a parquet scan after."""
+    from ..functions.dedup import neardup_clusters
 
     fp = input_fingerprint(sf_dir, "documents", _CC_VERSION)
     return materialized(
         spark,
         "neardup_clusters",
         fp,
-        lambda: neardup_clusters(
-            ngram_jaccard_pairs(neardup_corpus(spark, sf_dir))
-        ),
+        lambda: neardup_clusters(ngram_pair_table(spark, sf_dir)),
     )
