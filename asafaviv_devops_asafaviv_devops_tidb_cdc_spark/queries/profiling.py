@@ -10,6 +10,7 @@ DataFrame code (one shuffle each) with DuckDB oracles.
 
 from __future__ import annotations
 
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
@@ -368,3 +369,63 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("lineitem", "orders", "customer", "events")
     }
     return evaluate_checks(tables, DQ_CHECKS)
+
+
+STREAM_DQ_CHECKS = [
+    {"id": "av_event_type", "table": "events", "kind": "accepted_values",
+     "column": "event_type", "values": ["click", "view", "purchase"]},
+    {"id": "rng_value", "table": "events", "kind": "range",
+     "column": "value", "lo": 0, "hi": 250},
+    {"id": "nn_props", "table": "events", "kind": "not_null",
+     "column": "props"},
+]
+
+
+@register(
+    "q_stream_dq",
+    oracle="""
+SELECT 'av_event_type' AS check_id,
+       CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase')
+                       OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations
+FROM events
+UNION ALL
+SELECT 'rng_value',
+       CAST(SUM(CASE WHEN value < 0 OR value > 250
+                       OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'nn_props',
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+""",
+)
+def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance stream form — row-level DQ checks maintained by a
+    REAL Structured Streaming query (streaming/dq.py): each
+    micro-batch folds its violation counts into an idempotent epoch
+    partial; serving sums the partials. Row-level violations are
+    sum-decomposable, so the STREAMED totals hash-match the batch SQL
+    oracle exactly — stream/batch equivalence for the DQ family (the
+    monitor a 100 TB ingest runs to catch a poisoned source within one
+    micro-batch instead of at the nightly scan). Non-decomposable
+    kinds (unique/FK) are refused by the stream evaluator by design."""
+    from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import dq as SDQ
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "dq")
+    ev = load_table(spark, sf_dir, "events")
+    # the stream's file source is the normalized events table, landed
+    # once per fingerprint (same sharing contract as envelope_files)
+    src = materialized_path(
+        "events_normalized",
+        input_fingerprint(sf_dir, "events", "dq-src-v1"),
+        lambda dest: ev.write.mode("overwrite").parquet(dest),
+    )
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields)
+    SDQ.run_dq_stream(
+        spark, src, schema, STREAM_DQ_CHECKS,
+        str(base / "partials"), str(base / "ckpt"),
+    )
+    return SDQ.folded_violations(spark, str(base / "partials"))
