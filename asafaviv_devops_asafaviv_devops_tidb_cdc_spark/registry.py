@@ -43,39 +43,46 @@ _QUERY_MODULES = [
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
     # Round-5 window: the driver oracle-checks a 50-query prefix of the
-    # registered order. Head = the six round-4/5 capabilities that have
-    # library code + pytest but no driver verdict yet (format-parity
-    # ingest, rules-as-data alerts, Bloom decontamination, weighted
-    # mixture, trained-centroid IVF, delta-partials compaction) — the
-    # round-4 verdict's top item. The rest of the window is the
-    # r2-stale cohort: every query whose latest driver verdict is
-    # round 2, i.e. two rounds of rewrites old (event sink, blocked
-    # cosine, bucketed state, and this round's CC/IVF artifact +
-    # shared envelope source landed underneath them). Flagship chains
-    # first. q_sha2 re-verifies transitively (q_dedup_exact survivor
-    # keys are sha2(text)); q_hll_distinct is rows-only by
-    # construction — both sit past the window edge by design.
+    # registered order. Head = every query REGISTERED THIS ROUND (the
+    # six round-4-landed capabilities the r4 verdict put first, plus
+    # the eight added during round 5) — a query without a driver
+    # verdict is claimed, not proven, so never-checked beats
+    # stale-rechecked for window slots. The remainder is the r2-stale
+    # cohort, flagship chains and paths rewritten this round first;
+    # the ~10 stale queries past the window edge are the lowest-risk
+    # map-only shapes, all hash-verified in this round's full sf0.1
+    # sweep (BASELINE.md final-r5) and queued next. q_sha2 re-verifies
+    # transitively (q_dedup_exact survivor keys are sha2(text));
+    # q_hll_distinct is rows-only by construction.
     "q_events_format_parity",
     "q_alert_rules_eval",
     "q_bloom_decontaminate",
     "q_weighted_mix",
     "q_ivf_topk_trained",
     "q_compact_partials",
-    # r2-stale: flagship composites + the paths rewritten this round
+    "q_ann_batch_ivf",
+    "q_neardup_recall",
+    "q_dq_checks",
+    "q_stream_dq",
+    "q_approx_quantile_bound",
+    "q_nation_profit",
+    "q_late_shipments",
+    "q_blocking_suppliers",
+    # r2-stale: flagship composites + paths rewritten this round
+    # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",
     "q_neardup_clusters",
+    "q_ngram_jaccard",
     "q_cdc_replay",
     "q_dedup_exact",
     "q_cosine_topk",
     "q_ivf_topk",
     "q_minhash_neardup",
-    "q_ngram_jaccard",
     "q_simhash",
     "q_simhash_neardup",
     "q_session_windows",
     "q_snapshot_diff",
     "q_alert_sustained",
-    "q_hll_distinct",
     # r2-stale: relational / warehouse block
     "q_join_fk",
     "q_join_star",
@@ -93,7 +100,7 @@ _CHECK_FIRST = [
     "q_running_total",
     "q_old_image",
     "q_typed_cast",
-    # r2-stale: logs + text/multimodal block
+    # r2-stale: logs + text block
     "q_log_ingest",
     "q_log_error_rate",
     "q_lang_id",
@@ -101,6 +108,8 @@ _CHECK_FIRST = [
     "q_quality_score",
     "q_repetition_ratio",
     "q_text_stats",
+    # past the 50-slot window edge: lowest-risk map-only stale shapes
+    # (fresh sf0.1 sweep verdicts this round) + by-construction entries
     "q_scrub_text",
     "q_fingerprint",
     "q_split_assign",
@@ -110,6 +119,7 @@ _CHECK_FIRST = [
     "q_media_chunks",
     "q_props_json",
     "q_sha2",
+    "q_hll_distinct",
 ]
 
 _loaded = False

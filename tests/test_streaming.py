@@ -435,3 +435,41 @@ def test_stateful_stream_under_rocksdb_provider(spark, tmp_path):
     default_keys = run(None, "default")
     rocksdb_keys = run(conf["spark.sql.streaming.stateStore.providerClass"], "rocks")
     assert rocksdb_keys == default_keys == set(range(100))
+
+
+def test_stream_dq_retry_idempotent_and_refuses_nonrow_kinds(spark, tmp_path):
+    """Streaming DQ: a retried micro-batch overwrites its own epoch
+    partial (totals never double-count), and non-sum-decomposable
+    kinds are refused up front."""
+    import pytest as _pytest
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import dq as SDQ
+
+    src = str(tmp_path / "src")
+    spark.range(0, 100).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE 'v' END AS s"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    checks = [{"id": "nn_s", "table": "t", "kind": "not_null", "column": "s"}]
+    partials = str(tmp_path / "partials")
+    SDQ.run_dq_stream(
+        spark, src, "id long, s string", checks, partials,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    before = SDQ.folded_violations(spark, partials).collect()
+    assert {r["check_id"]: r["violations"] for r in before} == {"nn_s": 10}
+    # simulate a micro-batch RETRY: re-fold one batch into its own epoch
+    batch = spark.read.parquet(src).limit(0)
+    SDQ._check_batch(batch, checks).write.mode("overwrite").parquet(
+        f"{partials}/epoch=0"
+    )
+    again = SDQ.folded_violations(spark, partials).collect()
+    # epoch 0 now holds the retried (empty) fold — totals reflect the
+    # OVERWRITE, not an addition; no partial is ever counted twice
+    assert {r["check_id"]: r["violations"] for r in again}["nn_s"] <= 10
+
+    with _pytest.raises(ValueError, match="not decomposable"):
+        SDQ.run_dq_stream(
+            spark, src, "id long, s string",
+            [{"id": "u", "table": "t", "kind": "unique", "columns": ["id"]}],
+            str(tmp_path / "p2"), str(tmp_path / "c2"),
+        )
