@@ -1790,3 +1790,128 @@ def q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ngram_recall_ppm"),
         )
     )
+
+
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id,
+         unnest(range(0, (length(text) - 1) // {CHUNK_STRIDE} + 1)) AS chunk_idx
+  FROM documents
+)
+SELECT c.doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(length(substr(d.text, CAST(c.chunk_idx * {CHUNK_STRIDE} + 1 AS INTEGER),
+                          {CHUNK_LEN})) AS BIGINT) AS chunk_len,
+       substr(sha256(substr(d.text, CAST(c.chunk_idx * {CHUNK_STRIDE} + 1 AS INTEGER),
+                            {CHUNK_LEN})), 1, 8) AS chunk_sha8
+FROM c JOIN documents d USING (doc_id)
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/RAG prep — overlapping document chunking: fixed 200-char
+    windows at a 150-char stride (the standard long-document
+    split for context-window-bounded training and retrieval corpora).
+    Pure codegen map: a ``sequence()`` per doc explodes to chunk
+    starts, ``substring`` cuts each window, and the chunk CONTENT is
+    pinned by a sha256 prefix — so the oracle hash-checks every chunk
+    boundary and byte, not just counts. Zero shuffles; at 100 TB this
+    is a map-only pass whose output feeds the pack/dedup stages."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, CAST((length(text) - 1) div {CHUNK_STRIDE} AS INT))")
+        ).alias("chunk_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr(
+            f"substring(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_LEN})"
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.substring(F.sha2(F.col("chunk"), 256), 1, 8).alias("chunk_sha8"),
+    )
+
+
+VOCAB_TOP_K = 500
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(DISTINCT doc_id) AS df
+    FROM toks GROUP BY 1
+    ORDER BY df DESC, term
+    LIMIT {VOCAB_TOP_K}
+  )
+),
+cov AS (
+  SELECT t.doc_id, t.source,
+         COUNT(*) AS n_toks,
+         SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(n_in * 10 // n_toks AS BIGINT) AS cov_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_in) AS BIGINT) AS tokens_covered
+FROM cov
+GROUP BY 1, 2
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — tokenizer-vocabulary coverage report: build the top-500
+    document-frequency vocabulary, then histogram each source's docs
+    by the decile of their tokens covered — the census that predicts
+    UNK rates before committing a tokenizer to a corpus mix. Plan:
+    one explode pass feeds (a) the df top-k (Zipf-bounded shuffle,
+    TakeOrderedAndProject) and (b) the per-doc coverage join, with the
+    vocab side BROADCAST (top-k is fixed-size by construction — the
+    scale property that makes coverage a map-side gain at 100 TB);
+    integer-decile math keeps the bucket edges engine-exact."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(VOCAB_TOP_K)
+        .select("term")
+    )
+    cov = (
+        toks.join(
+            F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left"
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.coalesce(F.col("_in"), F.lit(0))).alias("n_in"),
+        )
+    )
+    return cov.groupBy(
+        "source",
+        F.expr("n_in * 10 div n_toks").cast("long").alias("cov_decile"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_in").cast("long").alias("tokens_covered"),
+    )
