@@ -1915,3 +1915,34 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("long").alias("total_tokens"),
         F.sum("n_in").cast("long").alias("tokens_covered"),
     )
+
+
+@register("q_ivf_incremental", oracle=_ivf_oracle_sql())
+def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — INCREMENTAL index maintenance: the corpus arrives in three
+    installments (base + two append batches) and each folds into the
+    cell-bucketed index through the same partition-pruned copy-on-write
+    state machinery as the CDC MERGE (sources/ann_store.py::
+    incremental_index over streaming/merge.py::apply_bucketed_fold) —
+    only buckets the batch's cells hash into rewrite. Because cell
+    assignment is a pure per-vector function of the frozen centroids,
+    the grown index is EXACTLY the full-rebuild index: the probe over
+    it hash-matches the same static IVF oracle as q_ivf_topk. This is
+    what lets a 100 TB vector table grow per-ingest instead of
+    re-assigning the corpus per refresh."""
+    from ..sources.ann_store import _cents_mod, incremental_index
+    from ..streaming.ingest import stream_workdir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _cents_mod(spark, sf_dir)  # quantizer trained once, frozen
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    deltas = [
+        emb.filter(F.col("vec_id") % 3 == 1),
+        emb.filter(F.col("vec_id") % 3 == 2),
+    ]
+    state_dir = str(stream_workdir(sf_dir, "ivf_inc") / "state")
+    index = incremental_index(spark, base, deltas, cents, state_dir)
+    qv_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return similarity.ivf_probe_assigned(index, cents, qv_df, 0, k=10, nprobe=2)

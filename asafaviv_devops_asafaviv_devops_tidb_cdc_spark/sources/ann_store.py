@@ -142,3 +142,55 @@ def ivf_query(
     return similarity.ivf_probe_assigned(
         assigned, cents, qv_df, query_vec_id, k, nprobe
     )
+
+
+def incremental_index(
+    spark: SparkSession,
+    base_corpus: DataFrame,
+    deltas: list[DataFrame],
+    cents: DataFrame,
+    state_dir: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """APPEND-ONLY incremental IVF maintenance: the cell assignment is
+    a pure per-vector function of the (frozen) centroids, so new
+    vectors fold into the index without touching existing entries —
+    the dominant corpus-growth case. Reuses the CDC merge path's
+    hash-bucketed copy-on-write state (streaming/merge.py::
+    apply_bucketed_fold, bucketed BY CELL id): each delta batch
+    assigns against the broadcast centroids and rewrites only the
+    buckets its cells hash into; every other bucket's files stay
+    byte-identical. The result is EXACTLY the full-rebuild index
+    (incremental == batch, hash-checkable), which is the property that
+    lets a 100 TB vector table grow per-ingest instead of re-assigning
+    the corpus per refresh.
+
+    Re-embedded (updated) vectors change cells and therefore need a
+    tombstone in the OLD cell — that path is deliberately out of
+    scope here: updates invalidate the corpus fingerprint, and the
+    artifact store answers fingerprint changes with a rebuild."""
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    from ..functions import similarity
+    from ..streaming.merge import apply_bucketed_fold, read_state
+
+    _shutil.rmtree(_Path(state_dir), ignore_errors=True)
+
+    def fold(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+        # append-only: the batch arrives pre-assigned; existing rows
+        # carry over verbatim (cells never re-score)
+        return batch if existing is None else existing.unionByName(batch)
+
+    for epoch, batch in enumerate([base_corpus, *deltas]):
+        assigned = similarity.ivf_assignment(batch, cents)
+        apply_bucketed_fold(
+            spark,
+            assigned,
+            state_dir,
+            epoch,
+            lambda: F.pmod(F.xxhash64(F.col("cid")), F.lit(n_buckets)).cast("int"),
+            fold,
+            n_buckets=n_buckets,
+        )
+    return read_state(spark, state_dir)
