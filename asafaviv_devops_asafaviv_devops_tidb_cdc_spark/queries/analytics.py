@@ -929,3 +929,228 @@ def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "suppkey")
         .limit(20)
     )
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_cents
+  FROM lineitem
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+         CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+         sp.cost_cents
+  FROM supply sp
+  JOIN part p ON p.p_partkey = sp.l_partkey
+  JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_type = 'PROMO' AND p.p_size <= 10 AND r.r_name = 'EUROPE'
+)
+SELECT p_partkey AS partkey, p_name AS part_name, s_suppkey AS suppkey,
+       s_name AS supp_name, n_name AS nation, acctbal_cents, cost_cents
+FROM (SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                   ORDER BY cost_cents, s_suppkey) AS rn
+      FROM cand)
+WHERE rn = 1
+""",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — minimum-cost supplier per part within a region
+    (the correlated-MIN subquery classic), adapted to the driver schema
+    (no partsupp table): the supply relation derives from lineitem as
+    the cheapest observed lot price per (part, supplier) in exact
+    cents. Physical strategy: ONE fact shuffle builds the compact
+    supply aggregate; part / supplier / nation / region are all
+    broadcast (the part filter prunes the build side at its scan); the
+    correlated MIN resolves as a single ``min(struct(...))`` per-part
+    aggregation over the already-compact candidate frame — no second
+    fact scan, no window sort, ties broken by suppkey via lexicographic
+    struct order. Reference surface: sql/schema.sql:30-31 declares the
+    FK web this navigates."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supply = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents("l_extendedprice")).alias("cost_cents")
+    )
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            cents("s_acctbal").alias("acctbal_cents"),
+        )
+    )
+    cand = supply.join(
+        F.broadcast(p), supply.l_partkey == p.p_partkey
+    ).join(F.broadcast(eur), supply.l_suppkey == F.col("s_suppkey"))
+    best = cand.groupBy(F.col("p_partkey").alias("partkey")).agg(
+        F.min(
+            F.struct(
+                "cost_cents",
+                F.col("s_suppkey").alias("suppkey"),
+                F.col("s_name").alias("supp_name"),
+                F.col("n_name").alias("nation"),
+                "acctbal_cents",
+                F.col("p_name").alias("part_name"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "partkey",
+        F.col("b.part_name").alias("part_name"),
+        F.col("b.suppkey").alias("suppkey"),
+        F.col("b.supp_name").alias("supp_name"),
+        F.col("b.nation").alias("nation"),
+        F.col("b.acctbal_cents").alias("acctbal_cents"),
+        F.col("b.cost_cents").alias("cost_cents"),
+    )
+
+
+@register(
+    "q_excess_suppliers",
+    oracle="""
+WITH qty AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sp
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red %'
+    AND l.l_shipdate >= DATE '1995-01-01'
+    AND l.l_shipdate < DATE '1996-01-01'
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT l_suppkey,
+         qty_sp,
+         SUM(qty_sp) OVER (PARTITION BY l_partkey) AS qty_total
+  FROM qty
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name, n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+FROM flagged f
+JOIN supplier s ON s.s_suppkey = f.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE f.qty_sp * 5 > f.qty_total AND r.r_name = 'ASIA'
+GROUP BY 1, 2, 3
+""",
+)
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers holding an outsized share of a
+    part's flow (the nested IN-subquery chain), adapted to the driver
+    schema: for 'red'-named parts shipped in 1995, flag (part,
+    supplier) pairs whose shipped quantity exceeds 20 % of the part's
+    total, then report flagged ASIA-region suppliers. Physical
+    strategy: the part-name filter broadcasts into the fact scan
+    (semi-ish prune before the agg), ONE fact shuffle builds the
+    (part, supplier) quantity aggregate, the per-part total is a
+    window over that already-compact frame (no second fact pass — the
+    Q20 subquery collapses into the window), and the 20 % threshold is
+    an exact integer cross-multiply (qty*5 > total) so no division can
+    ulp-flip a boundary pair. Supplier/nation/region broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    from pyspark.sql import Window
+
+    qty = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_sp"))
+    )
+    flagged = qty.withColumn(
+        "qty_total", F.sum("qty_sp").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("qty_sp") * 5 > F.col("qty_total"))
+    asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        flagged.join(F.broadcast(asia), flagged.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.count("*").alias("n_excess_parts"))
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH first_order AS (
+  SELECT o_custkey,
+         strftime(MIN(o_orderdate), '%Y-%m') AS cohort_month,
+         CAST(year(MIN(o_orderdate)) * 12 + month(MIN(o_orderdate)) AS BIGINT)
+           AS cohort_ym
+  FROM orders
+  GROUP BY 1
+)
+SELECT f.cohort_month,
+       CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.cohort_ym
+            AS INTEGER) AS months_since,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN first_order f ON f.o_custkey = o.o_custkey
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix — the classic warehouse growth report:
+    customers cohorted by first-order month, activity counted per
+    (cohort, months-since-cohort). Physical strategy: the first-order
+    frame is customer-cardinality (one map-side-combinable fact agg);
+    it re-meets orders in an equi-join ON THE SAME custkey the agg
+    just shuffled on, so AQE co-partitions the two sides without a
+    third exchange; month arithmetic is pure integers (year*12+month)
+    — no interval/months_between semantics that differ between
+    engines. At 100 TB both sides of the join are hash-partitioned by
+    custkey and the distinct-count is per-group exact (the cohort key
+    space is tiny: months x offsets)."""
+    o = _t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("cohort_month"),
+        (
+            F.year(F.min("o_orderdate")) * 12 + F.month(F.min("o_orderdate"))
+        )
+        .cast("long")
+        .alias("cohort_ym"),
+    )
+    oo = o.select(
+        F.col("o_custkey").alias("custkey"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("order_ym"),
+    )
+    return (
+        oo.join(first, oo.custkey == first.o_custkey)
+        .groupBy(
+            "cohort_month",
+            (F.col("order_ym") - F.col("cohort_ym")).cast("int").alias(
+                "months_since"
+            ),
+        )
+        .agg(
+            F.countDistinct("custkey").alias("active_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )

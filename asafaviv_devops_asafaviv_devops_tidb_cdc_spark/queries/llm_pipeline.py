@@ -1765,10 +1765,9 @@ def q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — the number that decides band count / fingerprint width
     before a full corpus pass at 100 TB (an un-measured blocking
     scheme silently drops duplicate mass). One row, all counts exact."""
-    from ..sources.cluster_store import ngram_pair_table
+    from ..sources.cluster_store import minhash_pair_table, ngram_pair_table
 
-    corpus = _neardup_corpus(spark, sf_dir)
-    mh = neardup_pairs(corpus).select("doc_a", "doc_b")
+    mh = minhash_pair_table(spark, sf_dir).select("doc_a", "doc_b")
     ng = ngram_pair_table(spark, sf_dir).select("doc_a", "doc_b")
     both = mh.intersect(ng)
     union = mh.union(ng).distinct()
@@ -1946,3 +1945,63 @@ def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv")
     )
     return similarity.ivf_probe_assigned(index, cents, qv_df, 0, k=10, nprobe=2)
+
+
+@register(
+    "q_embedding_gram",
+    oracle="""
+WITH u AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS uv
+  FROM embeddings
+)
+SELECT CAST(i - 1 AS BIGINT) AS i,
+       CAST(j - 1 AS BIGINT) AS j,
+       CAST(SUM(uv[i] * uv[j]) AS BIGINT) AS gram_units,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM u,
+     (SELECT unnest(range(1, 65)) AS i) a,
+     (SELECT unnest(range(1, 65)) AS j) b
+WHERE j >= i
+GROUP BY 1, 2
+""",
+)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4c — the Gram matrix X^T X of the embedding corpus (upper
+    triangle), THE distributed input to PCA / whitening / low-rank
+    probes: at any corpus size the d x d result is driver-trivial
+    (d=64 -> 2080 cells), so the eigendecomposition that follows is
+    never a cluster problem — only this sum is. Physical strategy:
+    per-row pair expansion happens INSIDE codegen (nested transform ->
+    one explode; no self-join, no second scan of the table) and the
+    single shuffle carries at most 2080 keys x partial sums thanks to
+    map-side combine — the plan's shuffle volume is O(d^2 x
+    partitions), independent of row count. Components quantize to
+    exact integer micro-units first (the q_embedding_stats rule:
+    integer accumulation is partition-order-free; float matmuls are
+    not)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(
+                  transform(embedding,
+                            x -> cast(floor(cast(x as double) * 1000000 + 0.5)
+                                      as bigint)),
+                  (xi, i) -> transform(
+                    slice(transform(embedding,
+                              x -> cast(floor(cast(x as double) * 1000000 + 0.5)
+                                        as bigint)),
+                          i + 1, size(embedding) - i),
+                    (xj, j) -> struct(cast(i as bigint) as i,
+                                      cast(i + j as bigint) as j,
+                                      xi * xj as p))))
+                """
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    return cells.groupBy("i", "j").agg(
+        F.sum("p").cast("long").alias("gram_units"),
+        F.count("*").alias("n"),
+    )

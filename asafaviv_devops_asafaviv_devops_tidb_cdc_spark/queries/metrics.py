@@ -975,3 +975,152 @@ def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_rank_bound"),
         )
     )
+
+
+@register(
+    "q_funnel_stages",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY 1
+),
+stages AS (
+  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+  UNION ALL
+  SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+)
+SELECT stage, n_users,
+       CAST(COALESCE(n_users * 1000000 //
+                     lag(n_users) OVER (ORDER BY stage), 1000000)
+            AS BIGINT) AS conv_ppm
+FROM stages
+""",
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (view -> click -> purchase) — the product
+    analytics staple the reference's Grafana layer approximates with
+    per-type counters (dashboard json:314) but cannot sequence. Each
+    stage is 'earliest qualifying event strictly AFTER the user
+    completed the previous stage', so a click before any view does not
+    count. Physical strategy: each stage frame is user-cardinality
+    (one conditional fact agg), and every stage join is an equi-join
+    on the SAME user_id the previous agg shuffled on — co-partitioned,
+    no broadcast of fact-derived data, three total shuffles regardless
+    of event volume. Conversion is exact integer ppm via floor-div;
+    the 3-row window is driver-trivial."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stages = (
+        v.agg(F.lit("1_view").alias("stage"), F.count("*").alias("n_users"))
+        .unionByName(
+            c.agg(F.lit("2_click").alias("stage"), F.count("*").alias("n_users"))
+        )
+        .unionByName(
+            p.agg(
+                F.lit("3_purchase").alias("stage"), F.count("*").alias("n_users")
+            )
+        )
+    )
+    w = Window.orderBy("stage")
+    return stages.select(
+        "stage",
+        "n_users",
+        F.coalesce(
+            F.floor(
+                F.col("n_users") * 1000000 / F.lag("n_users").over(w)
+            ).cast("long"),
+            F.lit(1000000),
+        ).alias("conv_ppm"),
+    )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+         CAST(epoch_ms(ts) AS BIGINT) AS t_ms,
+         CAST(epoch_ms(lead(ts) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id)) AS BIGINT)
+           AS next_ms
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(next_ms - t_ms) AS BIGINT) AS weight_ms,
+       CAST(SUM(value_cents * (next_ms - t_ms)) AS BIGINT) AS num_units,
+       CAST(SUM(value_cents * (next_ms - t_ms)) * 1000
+            // SUM(next_ms - t_ms) AS BIGINT) AS twa_millicents
+FROM seq
+WHERE next_ms IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series — PromQL's ``avg_over_time``
+    done RIGHT for irregularly-sampled gauges: each sample holds until
+    the next one, so its weight is the millisecond gap to the
+    successor (sample-and-hold integration), not 1/n. One window pass
+    (partitioned by series, ordered by (ts, event_id) — the id
+    tie-break makes the total order engine-independent), then a plain
+    agg: numerator accumulates exact cents x ms integers, the final
+    average is ONE floor-division to milli-cents. No floats anywhere.
+    At 100 TB the window shuffles once on the series key; partitions
+    are per-series independent."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
+        F.unix_millis("ts").alias("t_ms"),
+        F.unix_millis(F.lead("ts").over(w)).alias("next_ms"),
+    ).filter(F.col("next_ms").isNotNull())
+    dt = F.col("next_ms") - F.col("t_ms")
+    agg = seq.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(dt).cast("long").alias("weight_ms"),
+        F.sum(F.col("value_cents") * dt).cast("long").alias("num_units"),
+    )
+    # integer `div` (not a double divide + floor): num_units*1000 can
+    # exceed 2^53 at scale, where IEEE division would ulp-flip the floor
+    return agg.withColumn(
+        "twa_millicents",
+        F.expr("(num_units * 1000) div weight_ms").cast("long"),
+    )

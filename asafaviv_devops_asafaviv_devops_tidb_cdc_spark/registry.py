@@ -68,6 +68,15 @@ _CHECK_FIRST = [
     "q_nation_profit",
     "q_late_shipments",
     "q_blocking_suppliers",
+    "q_doc_chunks",
+    "q_vocab_coverage",
+    "q_ivf_incremental",
+    "q_min_cost_supplier",
+    "q_excess_suppliers",
+    "q_cohort_retention",
+    "q_funnel_stages",
+    "q_time_weighted_avg",
+    "q_embedding_gram",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",

@@ -26,6 +26,7 @@ from .tables import load_table
 # bump when the corpus construction, pair params, or CC output changes
 _CC_VERSION = "neardup-cc-v1"
 _PAIRS_VERSION = "neardup-pairs-v1"
+_MH_PAIRS_VERSION = "neardup-minhash-pairs-v1"
 
 
 def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,6 +62,25 @@ def ngram_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neardup_pairs",
         fp,
         lambda: ngram_jaccard_pairs(neardup_corpus(spark, sf_dir)),
+    )
+
+
+def minhash_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard_ppm) MinHash-LSH verified pairs over the
+    SAME planted corpus — the second blocking scheme's pair set,
+    materialized once so the blocking-recall report compares two
+    artifact scans instead of re-running the full signature+band+verify
+    pipeline per invocation. Build path identical to the inline
+    derivation (functions/dedup.py::neardup_pairs), so consumer hashes
+    cannot change."""
+    from ..functions.dedup import neardup_pairs
+
+    fp = input_fingerprint(sf_dir, "documents", _MH_PAIRS_VERSION)
+    return materialized(
+        spark,
+        "neardup_minhash_pairs",
+        fp,
+        lambda: neardup_pairs(neardup_corpus(spark, sf_dir)),
     )
 
 

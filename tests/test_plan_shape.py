@@ -549,3 +549,55 @@ def test_dq_row_checks_fold_into_one_scan(spark):
     got = {r["check_id"]: r["violations"] for r in out.collect()}
     assert got["nn_l_orderkey"] == 0 and got["av_returnflag"] == 0
     assert got["rng_quantity_25"] > 0  # known-nonzero: counting is real
+
+
+def test_min_cost_supplier_broadcasts_dims_single_fact_agg(spark):
+    df = _df("q_min_cost_supplier", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+    # the part filter must reach the part scan, not post-join
+    pushed = checks.pushed_filters(df)
+    assert any("p_type" in p for p in pushed), pushed
+    # fact scan reads only the supply-aggregate inputs
+    cols = checks.scan_columns(df, "lineitem")
+    assert cols == {"l_partkey", "l_suppkey", "l_extendedprice"}, cols
+
+
+def test_excess_suppliers_semi_prune_no_second_fact_pass(spark):
+    df = _df("q_excess_suppliers", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+    # exactly one scan of the fact table: the Q20 subquery collapses
+    # into a window over the compact aggregate, never a re-scan
+    plan = checks.plan_string(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    pushed = checks.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_cohort_retention_no_broadcast_of_fact_derived_frame(spark):
+    # both join sides derive from orders keyed by custkey — the join
+    # must be a co-partitioned hash/merge join, never a cartesian
+    df = _df("q_cohort_retention", spark)
+    assert not checks.has_cartesian(df)
+
+
+def test_funnel_stage_joins_no_cartesian(spark):
+    assert not checks.has_cartesian(_df("q_funnel_stages", spark))
+
+
+def test_embedding_gram_is_map_side_expand_single_shuffle(spark):
+    df = _df("q_embedding_gram", spark)
+    plan = checks.plan_string(df)
+    # pair expansion is a codegen Generate (explode), not a self-join
+    assert "Join" not in plan, plan
+    # one agg shuffle on the (i, j) key; map-side partial agg bounds it
+    assert checks.count_nodes(df, "Exchange") == 1, plan
+    cols = checks.scan_columns(df, "embeddings")
+    assert cols == {"embedding"}, cols
+
+
+def test_time_weighted_avg_single_series_shuffle(spark):
+    df = _df("q_time_weighted_avg", spark)
+    plan = checks.plan_string(df)
+    assert "Join" not in plan, plan
