@@ -1534,16 +1534,26 @@ def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_trained_oracle_sql() -> str:
-    def lsum(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(range(1, 65), "
-            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-        )
+def _duck_lsum(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
 
-    def cos(a: str, b: str) -> str:
-        return f"({lsum(a, b)}) / sqrt(({lsum(a, a)}) * ({lsum(b, b)}))"
 
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"({_duck_lsum(a, b)}) / "
+        f"sqrt(({_duck_lsum(a, a)}) * ({_duck_lsum(b, b)}))"
+    )
+
+
+def _lloyd_cells_prefix_sql() -> str:
+    """Shared DuckDB re-derivation of the lloyd8 index (one exact
+    integer Lloyd step -> trained centroids ``cents`` + cell
+    assignment ``cells``) — the CTE prefix both trained-IVF consumers
+    (top-k probe, semantic dedup) build on."""
+    cos = _duck_cos
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 cent0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 8),
@@ -1587,7 +1597,16 @@ assign2 AS (
            ORDER BY {cos('e.embedding', 'c.cv')} DESC, c.cid) AS rn
   FROM embeddings e, cents c
 ),
-cells AS (SELECT vec_id, embedding, cid FROM assign2 WHERE rn = 1),
+cells AS (SELECT vec_id, embedding, cid FROM assign2 WHERE rn = 1)"""
+
+
+def _ivf_trained_oracle_sql() -> str:
+    lsum = _duck_lsum
+
+    def cos(a: str, b: str) -> str:
+        return f"({lsum(a, b)}) / sqrt(({lsum(a, a)}) * ({lsum(b, b)}))"
+
+    return f"""{_lloyd_cells_prefix_sql()},
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 probe AS (
   SELECT c.cid FROM cents c, q
@@ -1972,36 +1991,111 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes: at any corpus size the d x d result is driver-trivial
     (d=64 -> 2080 cells), so the eigendecomposition that follows is
     never a cluster problem — only this sum is. Physical strategy:
-    per-row pair expansion happens INSIDE codegen (nested transform ->
-    one explode; no self-join, no second scan of the table) and the
-    single shuffle carries at most 2080 keys x partial sums thanks to
-    map-side combine — the plan's shuffle volume is O(d^2 x
-    partitions), independent of row count. Components quantize to
-    exact integer micro-units first (the q_embedding_stats rule:
-    integer accumulation is partition-order-free; float matmuls are
-    not)."""
+    each Arrow batch collapses to its d^2/2 partial products via ONE
+    vectorized int64 ``U.T @ U`` (mapInPandas — the map-side combine
+    done in numpy; an interpreted HOF doing d^2/2 lambda calls per row
+    measured ~10x slower, and a self-join would scan the table twice),
+    so the single shuffle carries O(d^2 x batches) rows regardless of
+    corpus size. Components quantize to exact integer micro-units
+    first (the q_embedding_stats rule: integer accumulation is
+    partition-order-free; float matmuls are not)."""
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = emb.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(
-                  transform(embedding,
-                            x -> cast(floor(cast(x as double) * 1000000 + 0.5)
-                                      as bigint)),
-                  (xi, i) -> transform(
-                    slice(transform(embedding,
-                              x -> cast(floor(cast(x as double) * 1000000 + 0.5)
-                                        as bigint)),
-                          i + 1, size(embedding) - i),
-                    (xj, j) -> struct(cast(i as bigint) as i,
-                                      cast(i + j as bigint) as j,
-                                      xi * xj as p))))
-                """
+
+    def batch_gram(batches):
+        # one int64 U.T @ U per Arrow batch = the map-side combine,
+        # done in vectorized numpy instead of d^2/2 interpreted lambda
+        # calls per row; each batch collapses to <= d^2/2 partial rows
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.floor(
+                np.stack(pdf["embedding"].values).astype(np.float64) * 1_000_000
+                + 0.5
+            ).astype(np.int64)
+            g = u.T @ u  # exact: |u| <= ~4e6, d=64, n<=batch -> < 2^63
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int64"),
+                    "j": ju.astype("int64"),
+                    "p": g[iu, ju],
+                    "rows": np.full(len(iu), len(pdf), dtype="int64"),
+                }
             )
-        ).alias("c")
-    ).select("c.i", "c.j", "c.p")
+
+    cells = emb.select("embedding").mapInPandas(
+        batch_gram, "i long, j long, p long, rows long"
+    )
     return cells.groupBy("i", "j").agg(
         F.sum("p").cast("long").alias("gram_units"),
-        F.count("*").alias("n"),
+        F.sum("rows").cast("long").alias("n"),
+    )
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    cos = _duck_cos
+    return f"""{_lloyd_cells_prefix_sql()},
+scored AS (
+  SELECT s.cid, s.vec_id, {cos('s.embedding', 'c.cv')} AS ccos
+  FROM cells s JOIN cents c USING (cid)
+),
+sizes AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM scored GROUP BY 1
+),
+rep AS (
+  SELECT cid, vec_id, ccos,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY ccos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT r.cid, r.vec_id AS rep_vec_id, z.n_members,
+       z.n_members - 1 AS n_dropped,
+       CAST(floor(r.ccos * 10000 + 0.5) AS BIGINT) AS rep_cos_x10k
+FROM rep r JOIN sizes z USING (cid)
+WHERE r.rn = 1
+"""
+
+
+@register("q_semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 + E11 — SEMANTIC dedup: collapse each embedding-space
+    cluster to one representative (the vector most central to its
+    trained cell — max cosine to the Lloyd centroid, ties to the
+    smaller id) and account for what the collapse drops. This is the
+    coarse-dedup stage production corpora run when near-identical
+    MEANING (not near-identical bytes — that is MinHash's job) should
+    not be over-represented in a training mix. Physical strategy: the
+    cell assignment comes from the MATERIALIZED lloyd8 index
+    (sources/ann_store.py — built once per corpus fingerprint, never
+    inside the query), centroids broadcast, and the representative
+    pick is a single ``max(struct(cos, -id))`` aggregation — cluster
+    count keys, no per-cluster window sort. At 100 TB the only
+    corpus-sized work is one map pass + one agg shuffle on cid."""
+    from ..functions.similarity import cosine
+    from ..sources.ann_store import ivf_index
+
+    cents, assigned = ivf_index(spark, sf_dir, "lloyd8")
+    scored = assigned.join(F.broadcast(cents), "cid").select(
+        "cid", "vec_id", cosine("embedding", "cv").alias("ccos")
+    )
+    per_cell = scored.groupBy("cid").agg(
+        F.max(
+            F.struct(
+                F.col("ccos"), (-F.col("vec_id")).alias("neg_id"), "vec_id"
+            )
+        ).alias("m"),
+        F.count("*").alias("n_members"),
+    )
+    return per_cell.select(
+        "cid",
+        F.col("m.vec_id").alias("rep_vec_id"),
+        "n_members",
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        F.floor(F.col("m.ccos") * 10000 + 0.5).cast("long").alias(
+            "rep_cos_x10k"
+        ),
     )

@@ -77,6 +77,7 @@ _CHECK_FIRST = [
     "q_funnel_stages",
     "q_time_weighted_avg",
     "q_embedding_gram",
+    "q_semantic_dedup",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",

@@ -78,6 +78,22 @@ HEADLINE = {
         "pair-key shuffle into FlatMapGroupsInPandas int64 matmuls; "
         "nothing materializes on the driver (r4)"
     ),
+    "q_min_cost_supplier": (
+        "TPC-H Q2 shape — one fact agg builds the supply relation, "
+        "all dims broadcast, correlated MIN as min(struct) per part (r5)"
+    ),
+    "q_excess_suppliers": (
+        "TPC-H Q20 shape — single fact pass; the nested subquery "
+        "collapses into a window over the compact (part,supp) agg (r5)"
+    ),
+    "q_embedding_gram": (
+        "Gram matrix X^T X — codegen pair expansion, ONE shuffle of "
+        "<= d^2 keys via map-side combine; no self-join (r5)"
+    ),
+    "q_semantic_dedup": (
+        "semantic dedup — materialized lloyd8 index scan, broadcast "
+        "centroids, representative via max(struct) agg (r5)"
+    ),
 }
 
 

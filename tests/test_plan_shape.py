@@ -601,3 +601,13 @@ def test_time_weighted_avg_single_series_shuffle(spark):
     df = _df("q_time_weighted_avg", spark)
     plan = checks.plan_string(df)
     assert "Join" not in plan, plan
+
+
+def test_semantic_dedup_broadcasts_centroids_no_window_sort(spark):
+    df = _df("q_semantic_dedup", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+    # representative pick is max(struct(...)) per cell — a hash agg,
+    # never a per-cluster window sort over the corpus
+    plan = checks.plan_string(df)
+    assert "Window" not in plan, plan
