@@ -1143,3 +1143,71 @@ def q_compact_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_compact_partials"] = ORACLES["q_delta_agg"]
+
+
+# ---------------------------------------------------------------------------
+# A10b — incremental JOIN maintenance (the delta-join identity)
+# ---------------------------------------------------------------------------
+
+_DJ_EPOCHS = 3
+
+
+@register(
+    "q_delta_join",
+    oracle="""
+SELECT o.o_orderstatus AS orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_units
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def q_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10b — incremental materialized-JOIN maintenance: the delta
+    identity dJ_t = dO_t |><| L_{<=t}  UNION ALL  O_{<t} |><| dL_t
+    (each side's epoch-t arrivals join the OTHER side's accumulated
+    state; the split assigns the dOxdL cross term to exactly one leg,
+    so no pair is double-counted) — what Flink / Materialize do to
+    keep a join view fresh without replaying it, complementing
+    q_delta_agg's aggregate maintenance. Driven here over 3
+    deterministic arrival epochs per side (orderkey % 3 vs
+    linenumber % 3 — uncorrelated, so real cross-epoch pairs exist);
+    the union of the 6 delta legs must aggregate to EXACTLY the
+    direct join's answer, which is what the oracle pins. At 100 TB
+    each leg is an equi-join on the same orderkey both state tables
+    are bucketed by (co-partitioned, no re-shuffle of state), and
+    per-epoch work is proportional to the DELTA, never the history:
+    the identity is the whole point — history joins history exactly
+    once, at arrival time."""
+    from ._money import revenue_units
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_orderkey") % _DJ_EPOCHS).alias("eo"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        revenue_units().alias("rev"),
+        (F.col("l_linenumber") % _DJ_EPOCHS).alias("el"),
+    )
+    legs = []
+    for t in range(_DJ_EPOCHS):
+        d_o = o.filter(F.col("eo") == t)
+        d_l = l.filter(F.col("el") == t)
+        l_upto = l.filter(F.col("el") <= t)
+        o_before = o.filter(F.col("eo") < t)
+        legs.append(d_o.join(l_upto, d_o.o_orderkey == l_upto.l_orderkey))
+        legs.append(o_before.join(d_l, o_before.o_orderkey == d_l.l_orderkey))
+    maintained = legs[0]
+    for leg in legs[1:]:
+        maintained = maintained.unionByName(leg)
+    return maintained.groupBy(
+        F.col("o_orderstatus").alias("orderstatus")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("rev").cast("long").alias("revenue_units"),
+    )

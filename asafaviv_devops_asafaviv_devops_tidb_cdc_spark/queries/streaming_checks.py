@@ -408,3 +408,59 @@ def q_alert_rules_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (equivalence additionally test-pinned)."""
     ev = load_table(spark, sf_dir, "events")
     return alerts.evaluate_rules(ev, ALERT_RULES)
+
+
+@register(
+    "q_stream_join_view",
+    oracle=_TYPED_CTE
+    + """,
+state AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY table_name, user_id
+      ORDER BY ts DESC, offset_ DESC, rownum DESC) AS rn
+    FROM typed
+  ) WHERE rn = 1 AND operation <> 'delete'
+),
+l AS (
+  SELECT user_id, row_id AS left_row_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS left_value_cents
+  FROM state WHERE table_name = 'click'
+),
+r AS (
+  SELECT user_id, row_id AS right_row_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS right_value_cents
+  FROM state WHERE table_name = 'purchase'
+)
+SELECT l.user_id, l.left_row_id, l.left_value_cents,
+       r.right_row_id, r.right_value_cents
+FROM l JOIN r USING (user_id)
+""",
+)
+def q_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10b stream form — a MAINTAINED JOIN VIEW: click-state |><|
+    purchase-state ON user_id, kept fresh per micro-batch by
+    co-bucketed partial refresh (streaming/join_view.py — side states
+    and the view all hash-bucket on the join key; a batch touching K
+    user-buckets reads exactly those state buckets and rewrites
+    exactly those view buckets, so per-batch I/O is bounded by batch
+    key spread, never accumulated state size). The returned frame IS
+    the materialized view; the oracle is the batch join of the two
+    final current states — stream-maintained join == batch join,
+    hash-proven at the gate. Updates/deletes need no retraction logic:
+    a refreshed bucket is a deterministic function of current side
+    state. Reference parity: the ES/Grafana layer re-joins per panel
+    refresh (dashboard json:62-85); this serves the join from state."""
+    from ..streaming import join_view as JV
+
+    base = _stream_workdir(sf_dir, "join_view")
+    src = ingest.envelope_files(spark, sf_dir, None, n_files=4)
+    JV.run_join_view_stream(
+        spark,
+        src,
+        str(base / "state"),
+        str(base / "view"),
+        str(base / "ckpt"),
+        max_files_per_trigger=2,
+    )
+    return JV.read_join_view(spark, str(base / "view"))

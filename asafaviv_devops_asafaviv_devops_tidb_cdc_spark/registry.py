@@ -78,6 +78,8 @@ _CHECK_FIRST = [
     "q_time_weighted_avg",
     "q_embedding_gram",
     "q_semantic_dedup",
+    "q_delta_join",
+    "q_stream_join_view",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",

@@ -241,10 +241,18 @@ def apply_merge_batch(
     order_by: Sequence[str] = STATE_ORDER,
     n_buckets: int = N_STATE_BUCKETS,
     tombstone_horizon_ms: int | None = None,
+    bucket_keys: Sequence[str] | None = None,
 ) -> None:
     """MERGE one micro-batch into the bucketed CDC state table:
     last-writer-wins fold with tombstone retention + replay-horizon
-    expiry, partition-pruned via ``apply_bucketed_fold``."""
+    expiry, partition-pruned via ``apply_bucketed_fold``.
+
+    ``bucket_keys`` (default: ``keys``) picks the bucketing columns
+    independently of the merge key — a state table co-bucketed with a
+    downstream consumer (e.g. a maintained join view bucketed on the
+    join key, streaming/join_view.py) lets that consumer read exactly
+    the state buckets it refreshes. Must be a subset of ``keys`` so a
+    key's rows always land in one bucket."""
 
     def fold(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
         # batch is persisted by apply_bucketed_fold, so the watermark
@@ -268,7 +276,7 @@ def apply_merge_batch(
         batch_df,
         state_dir,
         epoch_id,
-        lambda: bucket_of(keys, n_buckets),
+        lambda: bucket_of(bucket_keys or keys, n_buckets),
         fold,
         n_buckets=n_buckets,
     )

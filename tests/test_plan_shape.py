@@ -611,3 +611,10 @@ def test_semantic_dedup_broadcasts_centroids_no_window_sort(spark):
     # never a per-cluster window sort over the corpus
     plan = checks.plan_string(df)
     assert "Window" not in plan, plan
+
+
+def test_delta_join_legs_are_equi_joins_no_cartesian(spark):
+    df = _df("q_delta_join", spark)
+    assert not checks.has_cartesian(df)
+    plan = checks.plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan

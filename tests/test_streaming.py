@@ -473,3 +473,129 @@ def test_stream_dq_retry_idempotent_and_refuses_nonrow_kinds(spark, tmp_path):
             [{"id": "u", "table": "t", "kind": "unique", "columns": ["id"]}],
             str(tmp_path / "p2"), str(tmp_path / "c2"),
         )
+
+
+def _jv_batch(spark, rows):
+    """rows = [(table, user_id, op, row_id, value, ts_s, offset)] ->
+    typed-row frame with the join-view maintainer's schema."""
+    return spark.createDataFrame(
+        [
+            (t, u, op, r, float(v), ts, o, 0)
+            for (t, u, op, r, v, ts, o) in rows
+        ],
+        "table_name string, user_id long, operation string, row_id long, "
+        "value double, ts_s string, offset long, rownum int",
+    ).selectExpr(
+        "table_name",
+        "user_id",
+        "operation",
+        "row_id",
+        "value",
+        "cast(ts_s as timestamp) as ts",
+        "offset",
+        "rownum",
+    )
+
+
+def test_join_view_maintained_through_updates_and_deletes(spark):
+    """The maintained view must track inserts, updates AND deletes on
+    either side without retraction machinery — a refreshed bucket is a
+    pure function of current side state."""
+    import tempfile
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import join_view as JV
+
+    base = Path(tempfile.mkdtemp())
+    state, view = str(base / "state"), str(base / "view")
+
+    b1 = _jv_batch(
+        spark,
+        [("click", u, "insert", 100 + u, 10.0 + u, f"2024-01-01 00:00:{u:02d}", u) for u in range(6)]
+        + [("purchase", u, "insert", 200 + u, 50.0 + u, f"2024-01-01 00:00:{u:02d}", 50 + u) for u in (1, 3, 5)],
+    )
+    JV.apply_join_view_batch(spark, b1, state, view, epoch_id=1)
+    v1 = {r["user_id"]: r for r in JV.read_join_view(spark, view).collect()}
+    assert set(v1) == {1, 3, 5}
+    assert v1[3]["left_value_cents"] == 1300 and v1[3]["right_value_cents"] == 5300
+
+    # update the click side of user 3, delete the purchase of user 5,
+    # insert a purchase for user 0
+    b2 = _jv_batch(
+        spark,
+        [
+            ("click", 3, "update", 103, 99.0, "2024-01-01 00:01:00", 100),
+            ("purchase", 5, "delete", 205, 55.0, "2024-01-01 00:01:01", 101),
+            ("purchase", 0, "insert", 300, 77.0, "2024-01-01 00:01:02", 102),
+        ],
+    )
+    JV.apply_join_view_batch(spark, b2, state, view, epoch_id=2)
+    v2 = {r["user_id"]: r for r in JV.read_join_view(spark, view).collect()}
+    assert set(v2) == {0, 1, 3}, "delete must drop the pair, insert must add it"
+    assert v2[3]["left_value_cents"] == 9900, "update must propagate into the view"
+    assert v2[0]["right_value_cents"] == 7700
+
+
+def test_join_view_refresh_rewrites_only_touched_buckets(spark):
+    """A batch touching one user's bucket must leave every other VIEW
+    bucket byte-identical: the refresh is partition-pruned end to end
+    (state read AND view write)."""
+    import tempfile
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import join_view as JV
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import merge
+
+    base = Path(tempfile.mkdtemp())
+    state, view = str(base / "state"), str(base / "view")
+
+    b1 = _jv_batch(
+        spark,
+        [("click", u, "insert", u, 1.0, f"2024-01-01 00:00:{u:02d}", u) for u in range(12)]
+        + [("purchase", u, "insert", 50 + u, 2.0, f"2024-01-01 00:00:{u:02d}", 50 + u) for u in range(12)],
+    )
+    JV.apply_join_view_batch(spark, b1, state, view, epoch_id=1)
+    before = _bucket_files(view)
+    assert before
+
+    b2 = _jv_batch(spark, [("click", 7, "update", 7, 9.0, "2024-01-01 00:01:00", 999)])
+    b7 = b2.select(
+        merge.bucket_of(["user_id"], JV.VIEW_N_BUCKETS).alias("b")
+    ).collect()[0]["b"]
+    JV.apply_join_view_batch(spark, b2, state, view, epoch_id=2)
+    after = _bucket_files(view)
+
+    untouched_b = {p: c for p, c in before.items() if not p.startswith(f"b{b7:04d}/")}
+    untouched_a = {p: c for p, c in after.items() if not p.startswith(f"b{b7:04d}/")}
+    assert untouched_b == untouched_a
+    assert any(p.startswith(f"b{b7:04d}/v000000002") for p in after)
+    got = {r["user_id"]: r["left_value_cents"] for r in JV.read_join_view(spark, view).collect()}
+    assert got[7] == 900 and got[0] == 100
+
+
+def test_join_view_invariant_to_batch_boundaries(spark):
+    """Replaying the same rows in 1 batch vs 3 batches must converge to
+    the identical view (merge is total-ordered; refresh is a pure
+    function of state)."""
+    import tempfile
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import join_view as JV
+
+    rows = (
+        [("click", u, "insert", u, 5.0 + u, f"2024-01-01 00:00:{u:02d}", u) for u in range(8)]
+        + [("purchase", u, "insert", 80 + u, 6.0 + u, f"2024-01-01 00:00:{30+u:02d}", 80 + u) for u in range(0, 8, 2)]
+        + [("click", 2, "update", 2, 42.0, "2024-01-01 00:02:00", 200),
+           ("purchase", 4, "delete", 84, 10.0, "2024-01-01 00:02:01", 201)]
+    )
+
+    def run(chunks):
+        base = Path(tempfile.mkdtemp())
+        state, view = str(base / "state"), str(base / "view")
+        for i, chunk in enumerate(chunks, start=1):
+            JV.apply_join_view_batch(spark, _jv_batch(spark, chunk), state, view, epoch_id=i)
+        return sorted(
+            tuple(r) for r in JV.read_join_view(spark, view).collect()
+        )
+
+    one = run([rows])
+    # out-of-order split: the late update/delete epoch lands first
+    three = run([rows[10:], rows[:5], rows[5:10]])
+    assert one == three and len(one) > 0
