@@ -2099,3 +2099,130 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_cos_x10k"
         ),
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled 3-round BPE re-derivation. Merge application is
+    ``replace(seq, ' a b ', ' ab ')`` — non-overlapping left-to-right
+    over the ORIGINAL string, identical semantics in Spark and DuckDB
+    (in a run like 'a a a' the first pair merges, the overlap does
+    not — deterministic, engine-identical; canonical trainers differ
+    only inside such runs)."""
+    parts = [
+        """
+WITH w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0
+  GROUP BY 1
+),
+s0 AS (
+  SELECT word, freq,
+         ' ' || array_to_string(
+           list_transform(range(1, len(word) + 1), i -> word[i]), ' ')
+         || ' ' AS seq
+  FROM w
+)"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+sym{r} AS (
+  SELECT freq, string_split(trim(seq), ' ') AS sy FROM s{r - 1}
+),
+p{r} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(sy)),
+                                 i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM sym{r} WHERE len(sy) >= 2
+  )
+  GROUP BY 1
+),
+t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+s{r} AS (
+  SELECT s.word, s.freq,
+         replace(s.seq, ' ' || t.pair || ' ',
+                 ' ' || replace(t.pair, ' ', '') || ' ') AS seq
+  FROM s{r - 1} s, t{r} t
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, pair AS merged_pair, cnt AS pair_count FROM t{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n" + unions
+
+
+@register("q_bpe_merges", oracle=_bpe_oracle_sql())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4f — BPE vocabulary induction (the tokenizer-training prep
+    stage): learn the first 3 merge rules from the corpus. Each round
+    is ONE distributed aggregation — adjacent-symbol pair counts over
+    the distinct-WORD table weighted by corpus frequency (the trainer
+    never re-scans raw text: the word-frequency table is Zipf-bounded,
+    orders of magnitude smaller than the corpus, and is exactly what
+    real BPE trainers operate on) — followed by one driver scalar (the
+    argmax pair; BPE is inherently sequential per merge, so V merges =
+    V tiny scalar actions, each O(1) rows to the driver). Merge
+    application is a map-only ``replace`` over the padded symbol
+    string; ties break (count DESC, pair ASC) so the learned rules are
+    total-ordered. The oracle unrolls the identical 3 rounds in SQL.
+    Reference parity: none (north-star) — this is the operator that
+    turns q_bigram_counts' statistics into an actual vocabulary."""
+    docs = _docs(spark, sf_dir).select("text")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seqs = words.select(
+        "freq",
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), ' '), ' ')"
+        ).alias("seq"),
+    ).persist()
+    seqs.count()  # one build; 3 rounds + replaces read the cache
+    out = []
+    try:
+        for r in range(1, _BPE_ROUNDS + 1):
+            pairs = (
+                seqs.select(
+                    "freq", F.split(F.trim(F.col("seq")), " ").alias("sy")
+                )
+                .filter(F.size("sy") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(sy) - 2), "
+                            "i -> concat(sy[i], ' ', sy[i + 1]))"
+                        )
+                    ).alias("pair"),
+                )
+                .groupBy("pair")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+            )
+            top = pairs.orderBy(F.desc("cnt"), "pair").first()
+            out.append((r, top["pair"], top["cnt"]))
+            merged = top["pair"].replace(" ", "")
+            nxt = seqs.select(
+                "freq",
+                F.expr(
+                    f"replace(seq, ' {top['pair']} ', ' {merged} ')"
+                ).alias("seq"),
+            ).persist()
+            nxt.count()
+            seqs.unpersist()
+            seqs = nxt
+    finally:
+        seqs.unpersist()
+    return spark.createDataFrame(
+        out, "round int, merged_pair string, pair_count long"
+    )
