@@ -1154,3 +1154,82 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@register(
+    "q_sample_estimate_bound",
+    oracle=f"""
+WITH t AS (
+  SELECT {rev_units_sql()} AS rev,
+         CASE WHEN substr(sha256('est1_' || CAST(l_orderkey AS VARCHAR)
+                                 || '_' || CAST(l_linenumber AS VARCHAR)),
+                          1, 1) < '1'
+              THEN 1 ELSE 0 END AS in_sample
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(in_sample) AS BIGINT) AS n_sample,
+       CAST(SUM(rev) AS BIGINT) AS exact_units,
+       CAST(SUM(CASE WHEN in_sample = 1 THEN rev ELSE 0 END) * 16
+            AS BIGINT) AS est_units,
+       CAST(abs(SUM(CASE WHEN in_sample = 1 THEN rev ELSE 0 END) * 16
+                - SUM(rev)) * 1000000 // SUM(rev) AS BIGINT) AS err_ppm,
+       CAST(CASE WHEN abs(SUM(CASE WHEN in_sample = 1 THEN rev ELSE 0 END) * 16
+                          - SUM(rev)) * 1000000 // SUM(rev) < 20000
+                 THEN 1 ELSE 0 END AS BIGINT) AS within_2pct
+FROM t
+""",
+)
+def q_sample_estimate_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-estimator self-validation (the q_hll_error_bound /
+    q_ann_recall recipe applied to SAMPLING): estimate total revenue
+    from a deterministic 1/16 hash sample (salted-sha prefix of the
+    row key — retry-stable, engine-portable, no RNG state) and assert
+    IN-ENGINE that the scaled estimate lands within 2 % of the exact
+    total. ONE scan computes both sides (conditional sums — the exact
+    leg exists to judge the estimator; production runs only the sample
+    leg), so the verdict is hash-checkable: every count, the estimate,
+    the error in exact integer ppm, and the within-bound flag are
+    identical in any engine at any row order. This is the discipline
+    gate for the 100 TB move of answering dashboard aggregates from a
+    1/16 sample table."""
+    l = _t(spark, sf_dir, "lineitem")
+    in_sample = (
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit("est1_"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("_"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            1,
+        )
+        < "1"
+    ).cast("int")
+    agg = l.select(
+        revenue_units().alias("rev"), in_sample.alias("in_sample")
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.sum("in_sample").cast("long").alias("n_sample"),
+        F.sum("rev").cast("long").alias("exact_units"),
+        (F.sum(F.when(F.col("in_sample") == 1, F.col("rev")).otherwise(0)) * 16)
+        .cast("long")
+        .alias("est_units"),
+    )
+    return agg.select(
+        "n_total",
+        "n_sample",
+        "exact_units",
+        "est_units",
+        F.expr("abs(est_units - exact_units) * 1000000 div exact_units")
+        .cast("long")
+        .alias("err_ppm"),
+        F.expr(
+            "cast(abs(est_units - exact_units) * 1000000 div exact_units"
+            " < 20000 as bigint)"
+        ).alias("within_2pct"),
+    )

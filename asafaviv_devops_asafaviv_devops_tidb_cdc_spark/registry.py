@@ -81,6 +81,7 @@ _CHECK_FIRST = [
     "q_delta_join",
     "q_stream_join_view",
     "q_bpe_merges",
+    "q_sample_estimate_bound",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",
