@@ -464,3 +464,36 @@ def q_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=2,
     )
     return JV.read_join_view(spark, str(base / "view"))
+
+
+# the streamed funnel must agree with the batch q_funnel_stages oracle
+# (metrics registers before this module)
+@register("q_stream_funnel", oracle=ORACLES["q_funnel_stages"])
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 stream form — the ordered-event funnel as a REAL
+    applyInPandasWithState stream (streaming/funnel.py): per-user state
+    holds the funnel-type event HISTORY and recomputes (view, click,
+    purchase) stage times on every update, because the funnel's
+    strictly-after semantics are non-monotone — a late-arriving
+    earlier view can requalify an old click (the replay splits events
+    by event_id % 3, so micro-batches interleave in time and that path
+    actually runs). Last-emission-per-user is a pure function of final
+    state, so the streamed stage counts hash-match the batch SQL
+    oracle regardless of batch boundaries."""
+    import shutil
+
+    from ..streaming import funnel as FU
+
+    base = _stream_workdir(sf_dir, "funnel")
+    if base.exists():
+        shutil.rmtree(base)
+    events = load_table(spark, sf_dir, "events")
+    # 3 interleaved files = 3 out-of-order micro-batches
+    events.withColumn("_f", F.col("event_id") % 3).repartition(
+        3, "_f"
+    ).drop("_f").write.mode("overwrite").parquet(str(base / "src"))
+    name = f"funnel_{abs(hash(sf_dir)) % 10_000_000}"
+    emissions = FU.run_funnel_stream(
+        spark, str(base / "src"), events.schema, name
+    )
+    return FU.final_stage_counts(emissions)

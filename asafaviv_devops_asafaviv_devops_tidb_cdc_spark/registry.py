@@ -82,6 +82,7 @@ _CHECK_FIRST = [
     "q_stream_join_view",
     "q_bpe_merges",
     "q_sample_estimate_bound",
+    "q_stream_funnel",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",

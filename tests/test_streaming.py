@@ -599,3 +599,34 @@ def test_join_view_invariant_to_batch_boundaries(spark):
     # out-of-order split: the late update/delete epoch lands first
     three = run([rows[10:], rows[:5], rows[5:10]])
     assert one == three and len(one) > 0
+
+
+def test_funnel_state_requalifies_on_late_earlier_view():
+    """The funnel's strictly-after semantics are non-monotone: a late
+    EARLIER view must requalify an old click, and that a purchase. The
+    per-user history state makes the fold order-independent."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming.funnel import _stages
+
+    # click@10, purchase@20 arrive first: no view -> nothing qualifies
+    assert _stages([], [10], [20]) == (-1, -1, -1)
+    # late view@5 arrives: click@10 qualifies, then purchase@20
+    assert _stages([5], [10], [20]) == (5, 10, 20)
+    # view after the only click: click never qualifies
+    assert _stages([15], [10], [20]) == (15, -1, -1)
+    # a second, earlier view flips it back
+    assert _stages([15, 3], [10], [20]) == (3, 10, 20)
+
+
+def test_stream_funnel_matches_batch(spark):
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+
+    registry.load_all()
+    got = {
+        r["stage"]: (r["n_users"], r["conv_ppm"])
+        for r in registry.QUERIES["q_stream_funnel"](spark, SF_SMOKE).collect()
+    }
+    want = {
+        r["stage"]: (r["n_users"], r["conv_ppm"])
+        for r in registry.QUERIES["q_funnel_stages"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) == 3
