@@ -1124,3 +1124,86 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "twa_millicents",
         F.expr("(num_units * 1000) div weight_ms").cast("long"),
     )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+WITH w AS (
+  SELECT event_type,
+         CAST(epoch_ms(ts) // 60000 * 60000 AS BIGINT) AS window_ms,
+         CAST(COUNT(*) * 4 AS BIGINT) AS n4
+  FROM events
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type,
+         CAST(quantile_cont(n4, 0.5) AS BIGINT) AS med4
+  FROM w GROUP BY 1
+),
+dev AS (
+  SELECT w.event_type, w.window_ms, w.n4, m.med4,
+         abs(w.n4 - m.med4) AS dev4
+  FROM w JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         CAST(quantile_cont(dev4, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       epoch_ms(d.window_ms) AS window_start,
+       CAST(d.n4 // 4 AS BIGINT) AS n,
+       CAST(d.med4 AS BIGINT) AS med4,
+       CAST(m.mad4 AS BIGINT) AS mad4,
+       CAST(d.dev4 AS BIGINT) AS dev4
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.dev4 > 6 * m.mad4
+""",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection over the metric series — per-type
+    1-minute counts flagged where the deviation from the series MEDIAN
+    exceeds 6x the MEDIAN absolute deviation. MAD instead of stddev
+    because outliers shouldn't inflate their own detection threshold
+    (the reason observability stacks prefer robust statistics), and
+    the whole computation stays EXACT-INTEGER: counts enter in
+    quarter-units (n*4), so the interpolated median of integers is an
+    even integer and the median of the even deviations is an integer —
+    no float ever rounds, and both engines agree at any row order.
+    Physical shape: one windowed agg, two per-type medians over the
+    tiny (type, window) frame, broadcast joins back. At 100 TB the
+    windowed agg is the only corpus-sized stage; production would keep
+    the per-type medians as a periodically-refreshed artifact instead
+    of an exact per-query sort (the documented trade — exact medians
+    of a Zipf-ish window-count frame are sorts of a SMALL frame here,
+    approx-percentile at true scale)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_millis("ts") / 60000) * 60000).alias("window_ms"),
+        )
+        .agg((F.count("*") * 4).cast("long").alias("n4"))
+    )
+    med = w.groupBy("event_type").agg(
+        F.expr("cast(percentile(n4, 0.5) as bigint)").alias("med4")
+    )
+    dev = w.join(F.broadcast(med), "event_type").withColumn(
+        "dev4", F.abs(F.col("n4") - F.col("med4"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("cast(percentile(dev4, 0.5) as bigint)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev4") > 6 * F.col("mad4"))
+        .select(
+            "event_type",
+            F.timestamp_millis(F.col("window_ms")).alias("window_start"),
+            F.expr("n4 div 4").cast("long").alias("n"),
+            "med4",
+            "mad4",
+            "dev4",
+        )
+    )

@@ -83,6 +83,7 @@ _CHECK_FIRST = [
     "q_bpe_merges",
     "q_sample_estimate_bound",
     "q_stream_funnel",
+    "q_anomaly_mad",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",
