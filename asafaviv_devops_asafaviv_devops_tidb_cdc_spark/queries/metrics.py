@@ -1207,3 +1207,63 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dev4",
         )
     )
+
+
+@register(
+    "q_metrics_exposition",
+    oracle="""
+WITH gen AS (
+  SELECT event_id, event_type, event_id % 10 AS e,
+         (event_id % 101 = 0) AS corrupt, (event_id % 53 = 0) AS no_table
+  FROM events
+),
+success AS (SELECT * FROM gen WHERE NOT corrupt AND e <> 9),
+cdc_rows AS (
+  SELECT g.* FROM success g
+  UNION ALL
+  SELECT g.* FROM success g WHERE g.e = 5
+),
+counts AS (
+  SELECT CASE WHEN no_table THEN 'unknown' ELSE event_type END AS table_name,
+         CASE WHEN e = 7 THEN 'update' WHEN e = 8 THEN 'delete'
+              ELSE 'insert' END AS operation,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cdc_rows
+  GROUP BY 1, 2
+)
+SELECT 'tidb_cdc_operations_total{op="' || operation
+       || '",tablename="' || table_name || '"} '
+       || CAST(n AS VARCHAR) AS sample
+FROM counts
+""",
+)
+def q_metrics_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 driven end to end — the Prometheus text-exposition sample
+    lines for the A1 counter family, rendered by the REAL formatter
+    (streaming/metrics.py::to_prometheus_text — the byte contract the
+    reference's prom-client serves at index.js:387-398) and
+    hash-compared against a full SQL re-derivation of each line. The
+    per-series collect is series-cardinality (the /metrics page IS a
+    driver-rendered artifact — scrape payloads are KB-sized by design;
+    unbounded label cardinality is the same operational bug it is in
+    Prometheus itself); the counter aggregation underneath is the
+    distributed part."""
+    from ..streaming.metrics import to_prometheus_text
+
+    counts = (
+        _normalized(spark, sf_dir)
+        .groupBy("table_name", "operation")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    lines = []
+    for row in counts:
+        text = to_prometheus_text(
+            {"tidb_cdc_operations_total": row["n"]},
+            labels={"tablename": row["table_name"], "op": row["operation"]},
+        )
+        sample = [
+            ln for ln in text.splitlines() if not ln.startswith("#")
+        ][0]
+        lines.append((sample,))
+    return spark.createDataFrame(lines, "sample string")

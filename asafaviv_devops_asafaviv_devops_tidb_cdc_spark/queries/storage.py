@@ -175,3 +175,40 @@ def q_events_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "q_snapshot_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY 1
+""",
+)
+def q_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 driven end to end — backup/restore round-trip (reference
+    scripts/backup.sh:9-19 / restore.sh:18-24, whose restore verifies
+    NOTHING): snapshot the orders table to an immutable parquet +
+    row-count manifest, restore through the manifest check, and
+    aggregate FROM THE RESTORED copy; the oracle reads the original —
+    so any row lost or duplicated by the round-trip is a hash miss at
+    the gate, not just a pytest claim. The snapshot is a parallel
+    columnar write (no driver collect); restore is a plain parquet
+    scan with full pushdown, exactly what a 100 TB backup needs."""
+    from ..sources import load_table
+    from ..sources.snapshot import restore, snapshot
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "snapshot_rt")
+    dst = str(base / "orders_backup")
+    snapshot(load_table(spark, sf_dir, "orders"), dst)
+    restored = restore(spark, dst)
+    return restored.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )

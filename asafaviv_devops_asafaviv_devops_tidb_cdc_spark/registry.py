@@ -84,6 +84,8 @@ _CHECK_FIRST = [
     "q_sample_estimate_bound",
     "q_stream_funnel",
     "q_anomaly_mad",
+    "q_snapshot_roundtrip",
+    "q_metrics_exposition",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",
