@@ -212,3 +212,52 @@ def q_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@register(
+    "q_compaction_parity",
+    oracle="""
+SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_num,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY 1
+""",
+)
+def q_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction driven end to end — the maintenance job
+    every streaming sink needs (micro-batch appends produce
+    O(batches x partitions) files; planning cost grows with file
+    count, not data size). The query simulates a fragmented sink (a
+    many-task write into a day-partitioned layout), runs
+    ``layout.compact`` (temp-dir build + two-rename swap, hive
+    partitioning preserved so pruning survives), VERIFIES file count
+    strictly dropped, and aggregates FROM THE COMPACTED table while
+    the oracle reads the raw events — any row lost or duplicated by
+    the rewrite is a gate hash miss."""
+    from ..sources import load_table
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "compaction")
+    frag = str(base / "frag")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_num", (F.unix_millis("ts") / 86400000).cast("long")
+    )
+    # 24 tasks x day dirs = a deliberately fragmented sink
+    ev.repartition(24).write.mode("overwrite").partitionBy("day_num").parquet(
+        frag
+    )
+    n_before, n_after = layout.compact(spark, frag, target_mb=128)
+    assert n_after < n_before, (n_before, n_after)
+    return (
+        spark.read.parquet(frag)
+        .groupBy("day_num")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+        )
+        .select(F.col("day_num").cast("long").alias("day_num"), "n", "sum_value_cents")
+    )
