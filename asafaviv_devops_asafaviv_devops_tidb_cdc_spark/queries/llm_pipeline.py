@@ -2226,3 +2226,123 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, merged_pair string, pair_count long"
     )
+
+
+def _bpe_tokenize_oracle_sql() -> str:
+    # the 3-round training prefix, then: apply the learned merges to
+    # every word and report per-source token totals under the vocab
+    train = _bpe_oracle_sql()
+    prefix = train[: train.index("\nSELECT 1 AS round")]
+    return (
+        prefix
+        + """,
+wd AS (
+  SELECT d.source, w.word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split(d.text, ' ')) AS word) w
+  WHERE len(w.word) > 0
+  GROUP BY 1, 2
+),
+tokenized AS (
+  SELECT wd.source, wd.freq,
+         len(string_split(trim(s.seq), ' ')) AS n_tokens
+  FROM wd JOIN s3 s ON s.word = wd.word
+)
+SELECT source,
+       CAST(SUM(freq * n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(freq) AS BIGINT) AS total_words,
+       CAST(SUM(freq * n_tokens) * 1000 // SUM(freq) AS BIGINT)
+         AS milli_tokens_per_word
+FROM tokenized
+GROUP BY 1
+"""
+    )
+
+
+@register("q_bpe_tokenize", oracle=_bpe_tokenize_oracle_sql())
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4f apply side — tokenize the corpus UNDER the learned BPE
+    merges (train -> apply, the full tokenizer loop): re-learn the 3
+    merge rules (same path as q_bpe_merges), apply them to the
+    distinct-word table (3 map-only padded replaces — the corpus is
+    never re-scanned; the word table carries the frequencies), and
+    report per-source token totals + milli-tokens-per-word, the
+    fertility statistic that decides whether a vocabulary is worth its
+    size. All integers; one small join of the per-source word counts
+    against the tokenized word table (both word-keyed — co-partitioned
+    at scale)."""
+    docs = _docs(spark, sf_dir).select("source", "text")
+    wd = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    words = wd.groupBy("word").agg(F.sum("freq").alias("wfreq"))
+    seqs = words.select(
+        "word",
+        F.col("wfreq").alias("freq"),
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), ' '), ' ')"
+        ).alias("seq"),
+    ).persist()
+    seqs.count()
+    try:
+        for _ in range(_BPE_ROUNDS):
+            pairs = (
+                seqs.select(
+                    "freq", F.split(F.trim(F.col("seq")), " ").alias("sy")
+                )
+                .filter(F.size("sy") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(sy) - 2), "
+                            "i -> concat(sy[i], ' ', sy[i + 1]))"
+                        )
+                    ).alias("pair"),
+                )
+                .groupBy("pair")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+            )
+            top = pairs.orderBy(F.desc("cnt"), "pair").first()
+            merged = top["pair"].replace(" ", "")
+            nxt = seqs.select(
+                "word",
+                "freq",
+                F.expr(f"replace(seq, ' {top['pair']} ', ' {merged} ')").alias(
+                    "seq"
+                ),
+            ).persist()
+            nxt.count()
+            seqs.unpersist()
+            seqs = nxt
+        tokenized = seqs.select(
+            "word", F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_tokens")
+        )
+        out = (
+            wd.join(tokenized, "word")
+            .groupBy("source")
+            .agg(
+                F.sum(F.col("freq") * F.col("n_tokens"))
+                .cast("long")
+                .alias("total_tokens"),
+                F.sum("freq").cast("long").alias("total_words"),
+            )
+            .select(
+                "source",
+                "total_tokens",
+                "total_words",
+                F.expr("total_tokens * 1000 div total_words")
+                .cast("long")
+                .alias("milli_tokens_per_word"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before unpersisting seqs
+    finally:
+        seqs.unpersist()
+    return out

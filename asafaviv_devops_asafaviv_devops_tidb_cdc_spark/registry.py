@@ -87,6 +87,7 @@ _CHECK_FIRST = [
     "q_snapshot_roundtrip",
     "q_metrics_exposition",
     "q_compaction_parity",
+    "q_bpe_tokenize",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",
