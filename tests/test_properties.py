@@ -367,3 +367,72 @@ def test_bigram_counts_conserve_totals(spark, docs):
     )
     total = big.count()
     assert total == sum(len(d) - 1 for d in docs)
+
+
+# --- funnel state: order-independence of the non-monotone fold ------------
+
+_funnel_event = st.tuples(
+    st.sampled_from(["view", "click", "purchase"]),
+    st.integers(min_value=0, max_value=50),
+)
+
+
+@given(st.lists(_funnel_event, min_size=0, max_size=20), st.randoms())
+@settings(max_examples=200, deadline=None)
+def test_funnel_stages_are_arrival_order_independent(events, rng):
+    """The streaming funnel's per-user fold must give the same (v,c,p)
+    for ANY arrival order — the reason state keeps full per-type
+    history instead of greedy scalars."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming.funnel import _stages
+
+    def run(order):
+        vs = [t for e, t in order if e == "view"]
+        cs = [t for e, t in order if e == "click"]
+        ps = [t for e, t in order if e == "purchase"]
+        return _stages(vs, cs, ps)
+
+    shuffled = list(events)
+    rng.shuffle(shuffled)
+    assert run(events) == run(shuffled)
+    # ... and it matches the batch definition directly
+    v, c, p = run(events)
+    views = sorted(t for e, t in events if e == "view")
+    want_v = views[0] if views else -1
+    want_c = min((t for e, t in events if e == "click" and want_v != -1 and t > want_v), default=-1)
+    want_p = min((t for e, t in events if e == "purchase" and want_c != -1 and t > want_c), default=-1)
+    assert (v, c, p) == (want_v, want_c, want_p)
+
+
+# --- delta-join identity: epoch split never double-counts a pair ----------
+
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 5)), max_size=20),
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 5)), max_size=20),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_delta_join_identity_counts_each_pair_once(left, right, n_epochs):
+    """dJ_t = dL_t x R_<=t  UNION ALL  L_<t x dR_t over any epoch
+    assignment must enumerate exactly the pairs of the direct join."""
+    from collections import Counter
+
+    direct = Counter()
+    for i, (lk, le) in enumerate(left):
+        for j, (rk, re_) in enumerate(right):
+            if lk == rk:
+                direct[(i, j)] += 1
+    legs = Counter()
+    for t in range(n_epochs):
+        d_l = [(i, k) for i, (k, e) in enumerate(left) if e % n_epochs == t]
+        r_upto = [(j, k) for j, (k, e) in enumerate(right) if e % n_epochs <= t]
+        l_before = [(i, k) for i, (k, e) in enumerate(left) if e % n_epochs < t]
+        d_r = [(j, k) for j, (k, e) in enumerate(right) if e % n_epochs == t]
+        for i, lk in d_l:
+            for j, rk in r_upto:
+                if lk == rk:
+                    legs[(i, j)] += 1
+        for i, lk in l_before:
+            for j, rk in d_r:
+                if lk == rk:
+                    legs[(i, j)] += 1
+    assert legs == direct
