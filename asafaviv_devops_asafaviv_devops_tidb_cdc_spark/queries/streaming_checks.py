@@ -497,3 +497,132 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, str(base / "src"), events.schema, name
     )
     return FU.final_stage_counts(emissions)
+
+
+@register(
+    "q_stream_topk",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY n_events DESC, user_id
+LIMIT 10
+""",
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9/§2.9 — top-k heavy hitters computed by a REAL streaming
+    aggregation: per-user running counts maintained in streaming state
+    (update semantics; complete mode drains the full counter table for
+    the compare), top-10 taken from the final counters with a
+    deterministic tie-break. The streamed counters must equal the
+    batch groupBy exactly — counts are associative, so batch
+    boundaries cannot shift them; the oracle is the plain batch
+    top-k. Production serves the top-k from the update stream's sink
+    (the counter table is user-cardinality, the k-row readout is
+    TakeOrderedAndProject on it)."""
+    base = _stream_workdir(sf_dir, "topk")
+    import shutil
+
+    if base.exists():
+        shutil.rmtree(base)
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(str(base / "src"))
+    name = f"topk_{abs(hash(sf_dir)) % 10_000_000}"
+    with ingest.scoped_shuffle_partitions(
+        spark, ingest.STREAM_SHUFFLE_PARTITIONS
+    ):
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(base / "src"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+        .select("user_id", F.col("n_events").cast("long").alias("n_events"))
+    )
+
+
+@register(
+    "q_stream_late_drops",
+    oracle="""
+WITH e AS (SELECT event_id, epoch_ms(ts) AS t_ms, event_id % 3 AS b FROM events),
+bmax AS (SELECT b, MAX(t_ms) AS mx FROM e GROUP BY 1),
+wm AS (SELECT b, MAX(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 2 PRECEDING) - 300000 AS w_late FROM bmax),
+kept AS (
+  SELECT e.t_ms, e.t_ms // 60000 * 60000 AS ws
+  FROM e JOIN wm USING (b)
+  WHERE wm.w_late IS NULL OR e.t_ms // 60000 * 60000 + 60000 > wm.w_late
+),
+final AS (SELECT MAX(t_ms) - 300000 AS wf FROM e)
+SELECT epoch_ms(ws) AS window_start, CAST(COUNT(*) AS BIGINT) AS n
+FROM kept, final WHERE ws + 60000 <= wf
+GROUP BY 1
+""",
+)
+def q_stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 watermark semantics PROVEN, not declared — the engine's
+    late-data policy as a hash-checked contract. Events replay as 3
+    time-INTERLEAVED micro-batches (each spans the full range, so
+    after batch 0 the watermark jumps near the end and most of batches
+    1-2 is late); the append-mode windowed agg then exercises Spark's
+    SPLIT watermark (SPARK-24634): a batch's late rows filter against
+    the PREVIOUS batch's eviction watermark (so data arriving in the
+    same trigger that advanced the watermark is not retro-dropped),
+    while windows finalize against the CURRENT one. The oracle models
+    exactly that — per-batch running max, late filter lagged one
+    batch, final emission gate max-delay — and every emitted window's
+    count must hash-match, which it can only do if drop AND emit
+    boundaries are modeled to the millisecond. File mtimes pin the
+    batch order; one emission per window (dup emissions would break
+    the row count)."""
+    import os
+    import shutil
+
+    base = _stream_workdir(sf_dir, "late_drops")
+    if base.exists():
+        shutil.rmtree(base)
+    src = base / "src"
+    src.mkdir(parents=True)
+    events = load_table(spark, sf_dir, "events")
+    for k in range(3):
+        tmp = base / f"tmp{k}"
+        events.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        pf = next(iter(tmp.glob("*.parquet")))
+        dst = src / f"b{k}.parquet"
+        shutil.move(str(pf), str(dst))
+        os.utime(dst, (1000 + k, 1000 + k))
+    name = f"latedrops_{abs(hash(sf_dir)) % 10_000_000}"
+    with ingest.scoped_shuffle_partitions(
+        spark, ingest.STREAM_SHUFFLE_PARTITIONS
+    ):
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "5 minutes")
+            .groupBy(F.window("ts", "1 minute").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -88,6 +88,8 @@ _CHECK_FIRST = [
     "q_metrics_exposition",
     "q_compaction_parity",
     "q_bpe_tokenize",
+    "q_stream_topk",
+    "q_stream_late_drops",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",
