@@ -626,3 +626,38 @@ def q_stream_late_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("window_start"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+@register("q_stream_resume", oracle=ORACLES["q_ops_by_table_op"])
+def q_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 checkpoint-resume PROVEN at the gate: drain half the
+    envelope backlog, STOP, land the rest, and resume from the same
+    checkpoint — the sink must equal the single-run batch oracle
+    exactly (no replays: resumed offsets skip everything the first run
+    committed; no gaps: the new files are picked up). This is the
+    restart path a production consumer lives on — the reference
+    resumes from Kafka group offsets (index.js:350-352) with
+    at-least-once duplicates; the checkpoint upgrade makes restart
+    exactly-once, and this query is the proof."""
+    import shutil
+
+    base = _stream_workdir(sf_dir, "resume")
+    if base.exists():
+        shutil.rmtree(base)
+    src = base / "src"
+    src.mkdir(parents=True)
+    landing = Path(ingest.envelope_files(spark, sf_dir, None, n_files=4))
+    files = sorted(p for p in landing.iterdir() if not p.name.startswith("_"))
+    half = len(files) // 2
+    for p in files[:half]:
+        shutil.copy(p, src / p.name)
+    ingest.run_ingest(spark, str(src), str(base / "sink"), str(base / "ckpt"))
+    for p in files[half:]:
+        shutil.copy(p, src / p.name)
+    ingest.run_ingest(
+        spark, str(src), str(base / "sink"), str(base / "ckpt"), fresh=False
+    )
+    sink = spark.read.parquet(str(base / "sink"))
+    return sink.groupBy("table_name", "operation").agg(
+        F.count("*").alias("n")
+    )

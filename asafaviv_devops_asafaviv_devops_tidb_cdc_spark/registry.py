@@ -90,6 +90,7 @@ _CHECK_FIRST = [
     "q_bpe_tokenize",
     "q_stream_topk",
     "q_stream_late_drops",
+    "q_stream_resume",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",

@@ -229,13 +229,19 @@ def run_ingest(
     sink_dir: str,
     checkpoint_dir: str,
     dedupe: bool = True,
+    fresh: bool = True,
 ) -> None:
     """Drain the backlog through P1->P5 into a parquet sink partitioned
-    by destination table (partition pruning for per-table readers)."""
-    for d in (sink_dir, checkpoint_dir):
-        p = Path(d)
-        if p.exists():
-            shutil.rmtree(p)
+    by destination table (partition pruning for per-table readers).
+    ``fresh=False`` RESUMES from the existing checkpoint instead of
+    wiping — the restart path a production consumer lives on (the
+    reference's restart resumes from committed group offsets,
+    index.js:350-352; here the checkpoint is the offset store)."""
+    if fresh:
+        for d in (sink_dir, checkpoint_dir):
+            p = Path(d)
+            if p.exists():
+                shutil.rmtree(p)
     stream = read_envelope_stream(spark, source_dir)
     # spread the parse chain across cores — the file (or a single Kafka
     # partition) arrives as one task otherwise; raw strings are cheap to
