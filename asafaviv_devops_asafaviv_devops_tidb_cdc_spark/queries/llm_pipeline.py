@@ -2339,3 +2339,66 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("milli_tokens_per_word"),
         )
     )
+
+
+@register(
+    "q_neardup_source_matrix",
+    oracle=f"WITH corpus AS ({_CORPUS_BODY}),\n"
+    + """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(0, len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [text] END AS s,
+         CASE WHEN len(t) >= 3 THEN
+           list_aggregate(list_transform(range(0, len(t) - 2),
+             i -> sha256(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])), 'min')
+         ELSE sha256(text) END AS fp
+  FROM toks
+),
+ng AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1000000
+        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 500000
+),
+src AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(sa.source, sb.source) AS source_a,
+       GREATEST(sa.source, sb.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ng
+JOIN src sa ON sa.doc_id = ng.doc_a % 1000000
+JOIN src sb ON sb.doc_id = ng.doc_b % 1000000
+GROUP BY 1, 2
+""",
+)
+def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2f+ — the cross-SOURCE near-dup contamination matrix: verified
+    pair counts bucketed by unordered (source, source) — the
+    acquisition-diligence report that says which feeds duplicate which
+    (high off-diagonal mass = you are paying twice for the same data).
+    Serves from the MATERIALIZED pair artifact (one scan) with the
+    doc->source lookup broadcast; planted ids map to their base doc via
+    % 1e6, and the unordered pair key uses least/greatest so the
+    matrix is symmetric-collapsed identically in both engines."""
+    from ..sources.cluster_store import ngram_pair_table
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    pairs = ngram_pair_table(spark, sf_dir).select("doc_a", "doc_b")
+    sa = docs.select(
+        F.col("doc_id").alias("ida"), F.col("source").alias("src_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("idb"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), pairs.doc_a % 1000000 == F.col("ida"))
+        .join(F.broadcast(sb), pairs.doc_b % 1000000 == F.col("idb"))
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )

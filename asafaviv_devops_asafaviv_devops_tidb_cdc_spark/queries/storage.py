@@ -261,3 +261,49 @@ def q_compaction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("day_num").cast("long").alias("day_num"), "n", "sum_value_cents")
     )
+
+
+@register(
+    "q_retention_sweep",
+    oracle="""
+SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_num,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE epoch_ms(ts) // 86400000
+      > (SELECT MAX(epoch_ms(ts) // 86400000) FROM events) - 14
+GROUP BY 1
+""",
+)
+def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/TTL enforcement as a PARTITION-level operation — the
+    job that keeps a (date)-partitioned sink from growing forever
+    (the reference approximates retention with ES index lifecycle;
+    here it is directory arithmetic): write a day-partitioned copy,
+    DELETE whole partition directories older than the 14-day horizon
+    (never row-level scans — the horizon is resolved to a directory
+    list, so the sweep's cost is O(partitions), not O(rows)), and
+    aggregate the survivors; the oracle applies the same horizon as a
+    row predicate on the raw events. Any partition swept too eagerly
+    or left behind is a gate hash miss."""
+    import shutil
+
+    from ..sources import load_table
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "retention")
+    dst = base / "sink"
+    if base.exists():
+        shutil.rmtree(base)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_num", (F.unix_millis("ts") / 86400000).cast("long")
+    )
+    ev.write.mode("overwrite").partitionBy("day_num").parquet(str(dst))
+    max_day = ev.agg(F.max("day_num")).collect()[0][0]  # one scalar
+    horizon = max_day - 14
+    for d in dst.glob("day_num=*"):
+        if int(d.name.split("=", 1)[1]) <= horizon:
+            shutil.rmtree(d)
+    kept = spark.read.parquet(str(dst))
+    return kept.groupBy("day_num").agg(F.count("*").alias("n")).select(
+        F.col("day_num").cast("long").alias("day_num"), "n"
+    )

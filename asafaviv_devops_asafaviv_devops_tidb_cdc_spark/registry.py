@@ -91,6 +91,8 @@ _CHECK_FIRST = [
     "q_stream_topk",
     "q_stream_late_drops",
     "q_stream_resume",
+    "q_retention_sweep",
+    "q_neardup_source_matrix",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",
