@@ -307,3 +307,68 @@ def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("day_num").agg(F.count("*").alias("n")).select(
         F.col("day_num").cast("long").alias("day_num"), "n"
     )
+
+
+_BUCKETS = 8
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, keys):
+    """``name`` saved as a bucketed+sorted table (once per session and
+    testdata fingerprint) — the layout that lets repeated fact-fact
+    joins on the bucket key skip BOTH the exchange and the sort."""
+    from ..sources import load_table
+    from ..sources.artifact import _artifact_root, input_fingerprint
+
+    fp = input_fingerprint(sf_dir, name, f"bkt-v1-{_BUCKETS}")
+    tbl = f"{name}_bkt_{fp}"
+    if not spark.catalog.tableExists(tbl):
+        path = _artifact_root() / "bucketed" / tbl
+        (
+            load_table(spark, sf_dir, name)
+            .write.bucketBy(_BUCKETS, *keys)
+            .sortBy(*keys)
+            .option("path", str(path))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
+@register(
+    "q_bucketed_join",
+    oracle="""
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_units
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-layout — the co-located fact-fact join: orders and lineitem
+    saved as BUCKETED+SORTED tables on the join key (8 buckets,
+    built once per testdata fingerprint), so the join plan has ZERO
+    exchanges and zero sorts on either side — bucket i joins bucket i
+    where it sits (SelectedBucketsCount in the scan; plan-pinned in
+    tests/test_plan_shape.py). This is THE shuffle lever for a 100 TB
+    fact-fact join that runs every day: the one-time bucketed write
+    amortizes the exchange out of every subsequent join, exactly like
+    the co-bucketed streaming state (streaming/join_view.py) but for
+    the batch warehouse. Oracle = the same join on the raw tables."""
+    o = _bucketed_table(spark, sf_dir, "orders", ["o_orderkey"])
+    l = _bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"])
+    rev = (
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + 0.5).cast("long"))
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(rev).cast("long").alias("revenue_units"),
+        )
+    )

@@ -618,3 +618,14 @@ def test_delta_join_legs_are_equi_joins_no_cartesian(spark):
     assert not checks.has_cartesian(df)
     plan = checks.plan_string(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_join_has_no_exchange_under_the_join(spark):
+    """Both sides bucketed+sorted on the join key: the SMJ must read
+    buckets in place — no Exchange, no Sort under the join; the only
+    exchange in the plan belongs to the final aggregation."""
+    df = _df("q_bucketed_join", spark)
+    plan = checks.plan_string(df)
+    assert "SelectedBucketsCount" in plan, plan
+    # one exchange total (the groupBy) — none feeding the join
+    assert checks.count_nodes(df, "Exchange") == 1, plan
