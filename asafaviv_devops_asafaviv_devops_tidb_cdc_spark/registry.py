@@ -43,15 +43,15 @@ _QUERY_MODULES = [
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
     # Round-5 window: the driver oracle-checks a 50-query prefix of the
-    # registered order. Head = every query REGISTERED THIS ROUND (the
-    # six round-4-landed capabilities the r4 verdict put first, plus
-    # the eight added during round 5) — a query without a driver
-    # verdict is claimed, not proven, so never-checked beats
-    # stale-rechecked for window slots. The remainder is the r2-stale
-    # cohort, flagship chains and paths rewritten this round first;
-    # the ~10 stale queries past the window edge are the lowest-risk
-    # map-only shapes, all hash-verified in this round's full sf0.1
-    # sweep (BASELINE.md final-r5) and queued next. q_sha2 re-verifies
+    # registered order. Head = every query REGISTERED THIS ROUND (40 by
+    # round close: the six r4-landed capabilities the r4 verdict put
+    # first, then everything added during round 5) — a query without a
+    # driver verdict is claimed, not proven, so never-checked beats
+    # stale-rechecked for window slots. Slots 41-50 go to the most
+    # complex r2-stale flagships (composite chains + paths rewritten
+    # onto this round's artifacts); the remaining stale queries are all
+    # hash-verified in this round's full sf0.01/sf0.1 sweeps
+    # (BASELINE.md final-r5b) and queue for round 6. q_sha2 re-verifies
     # transitively (q_dedup_exact survivor keys are sha2(text));
     # q_hll_distinct is rows-only by construction.
     "q_events_format_parity",
