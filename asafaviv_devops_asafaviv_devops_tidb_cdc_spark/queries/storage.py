@@ -323,14 +323,29 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, keys):
     tbl = f"{name}_bkt_{fp}"
     if not spark.catalog.tableExists(tbl):
         path = _artifact_root() / "bucketed" / tbl
-        (
-            load_table(spark, sf_dir, name)
-            .write.bucketBy(_BUCKETS, *keys)
-            .sortBy(*keys)
-            .option("path", str(path))
-            .mode("overwrite")
-            .saveAsTable(tbl)
-        )
+        if (path / "_SUCCESS").exists():
+            # files already on disk from an earlier session: re-attach
+            # as an external bucketed table — a metadata-only commit,
+            # exactly what a metastore gives a long-lived warehouse
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in load_table(spark, sf_dir, name).schema.fields
+            )
+            key_list = ", ".join(keys)
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
+                f"INTO {_BUCKETS} BUCKETS LOCATION '{path}'"
+            )
+        else:
+            (
+                load_table(spark, sf_dir, name)
+                .write.bucketBy(_BUCKETS, *keys)
+                .sortBy(*keys)
+                .option("path", str(path))
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
     return spark.table(tbl)
 
 
