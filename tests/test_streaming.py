@@ -630,3 +630,25 @@ def test_stream_funnel_matches_batch(spark):
         for r in registry.QUERIES["q_funnel_stages"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_join_view_retry_idempotent(spark):
+    """foreachBatch may retry an epoch: re-applying the same batch with
+    the same epoch_id must leave state AND view byte-identical in
+    content (the copy-on-write fold overwrites its own version)."""
+    import tempfile
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import join_view as JV
+
+    base = Path(tempfile.mkdtemp())
+    state, view = str(base / "state"), str(base / "view")
+    b1 = _jv_batch(
+        spark,
+        [("click", u, "insert", u, 1.0 + u, f"2024-01-01 00:00:{u:02d}", u) for u in range(5)]
+        + [("purchase", u, "insert", 50 + u, 9.0, f"2024-01-01 00:00:{u:02d}", 50 + u) for u in (0, 2)],
+    )
+    JV.apply_join_view_batch(spark, b1, state, view, epoch_id=1)
+    first = sorted(tuple(r) for r in JV.read_join_view(spark, view).collect())
+    JV.apply_join_view_batch(spark, b1, state, view, epoch_id=1)  # retry
+    again = sorted(tuple(r) for r in JV.read_join_view(spark, view).collect())
+    assert first == again and len(first) == 2
