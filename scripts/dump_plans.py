@@ -94,6 +94,14 @@ HEADLINE = {
         "semantic dedup — materialized lloyd8 index scan, broadcast "
         "centroids, representative via max(struct) agg (r5)"
     ),
+    "q_bucketed_join": (
+        "bucketed+sorted fact-fact join — zero exchanges and zero "
+        "sorts under the join, SelectedBucketsCount in the scans (r5)"
+    ),
+    "q_anomaly_mad": (
+        "MAD anomaly detection — one corpus-sized windowed agg; the "
+        "median stages operate on the tiny (type, window) frame (r5)"
+    ),
 }
 
 
