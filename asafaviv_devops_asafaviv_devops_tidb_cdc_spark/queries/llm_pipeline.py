@@ -2402,3 +2402,91 @@ def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+_PQ_SUBSPACES = 8  # 64 dims -> 8 subvectors of 8
+_PQ_CENTS = 4  # codebook size per subspace (vec_ids 0..3's subvectors)
+
+
+@register(
+    "q_pq_encode",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ss AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
+cent AS (
+  SELECT v.vec_id AS cid, ss.s, v.e[ss.s * 8 + 1 : ss.s * 8 + 8] AS c
+  FROM v, ss WHERE v.vec_id < {_PQ_CENTS}
+),
+sub AS (
+  SELECT v.vec_id, ss.s, v.e[ss.s * 8 + 1 : ss.s * 8 + 8] AS sub
+  FROM v, ss
+),
+d AS (
+  SELECT sub.vec_id, sub.s, cent.cid,
+         list_sum(list_transform(range(1, 9),
+           i -> CAST(floor((sub.sub[i] - cent.c[i]) * (sub.sub[i] - cent.c[i])
+                           * 1e12 + 0.5) AS BIGINT))) AS d2_pico
+  FROM sub JOIN cent ON cent.s = sub.s
+),
+pick AS (
+  SELECT vec_id, s, cid, d2_pico,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY d2_pico, cid) AS rn
+  FROM d
+)
+SELECT CAST(s AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(SUM(d2_pico) AS BIGINT) AS sum_err_pico
+FROM pick WHERE rn = 1
+GROUP BY 1, 2
+""",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10b — PRODUCT quantization (the vector-DB compression standard
+    beyond q_vec_quantize's per-vector int8): 64 dims split into 8
+    subspaces, each encoded as its nearest codebook centroid (seeded
+    from the first 4 vectors' subvectors — RNG-free, like the mod50
+    IVF seeding), so a vector stores as 8 small codes. The report is
+    the codebook health check: per-(subspace, centroid) usage + total
+    reconstruction error in exact integer pico-units (a dead centroid
+    or one-cell collapse = a retrain signal). Physical shape: corpus x
+    subspace expansion is ONE codegen explode (8 slices per row), the
+    32-row codebook broadcasts, the argmin is min(struct) per
+    (vec, subspace) — map-side + two compact shuffles, no windows over
+    the corpus. Same exact-integer distance recipe as the Lloyd/IVF
+    family, so the assignment is engine-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    subs = v.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBSPACES - 1}), "
+                "s -> struct(s as s, slice(e, s * 8 + 1, 8) as sub))"
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.sub")
+    cents = subs.filter(F.col("vec_id") < _PQ_CENTS).select(
+        F.col("vec_id").alias("cid"), "s", F.col("sub").alias("c")
+    )
+    d2 = F.expr(
+        "aggregate(transform(sequence(1, 8), "
+        "i -> CAST(floor((sub[i-1] - c[i-1]) * (sub[i-1] - c[i-1]) * 1e12 + 0.5)"
+        " AS BIGINT)), 0L, (acc, x) -> acc + x)"
+    )
+    scored = subs.join(F.broadcast(cents), "s").select(
+        "vec_id", "s", "cid", d2.alias("d2_pico")
+    )
+    picked = scored.groupBy("vec_id", "s").agg(
+        F.min(F.struct("d2_pico", "cid")).alias("m")
+    )
+    return picked.groupBy(
+        F.col("s").cast("long").alias("subspace"),
+        F.col("m.cid").cast("long").alias("cid"),
+    ).agg(
+        F.count("*").alias("n_assigned"),
+        F.sum("m.d2_pico").cast("long").alias("sum_err_pico"),
+    )

@@ -94,6 +94,7 @@ _CHECK_FIRST = [
     "q_retention_sweep",
     "q_neardup_source_matrix",
     "q_bucketed_join",
+    "q_pq_encode",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",
