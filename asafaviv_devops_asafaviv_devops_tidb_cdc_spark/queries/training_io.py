@@ -1,0 +1,481 @@
+"""Training-data export + census operators (round 5, late block).
+
+Closes the gap between "filtered corpus" and "bytes a trainer mounts":
+the deterministic global shuffle + shard layout + manifest every
+training run consumes, curriculum staging, epoch-aware source mixing
+(upsampling — the complement of functions/mixture.py's down-weighting),
+asymmetric containment dedup (quote/inclusion detection, the case
+symmetric Jaccard misses), and a two-pass Misra-Gries heavy-hitter
+census (the bounded-memory frequent-items primitive; same
+sketch-prunes-exact-verifies posture as functions/bloom.py).
+
+Cross-engine determinism follows the house rules (queries/_money.py,
+SURVEY §5.2): no rand() — salted sha256 prefixes; no floats in compared
+aggregates — integer ppm/byte units; `div` floor-division only over
+non-negative integers.
+
+Reference parity note: the reference engine (node-consumer/index.js)
+ships rows; it has no corpus-export layer. These operators are part of
+the mandated north-star extension surface (SURVEY §2.11), not ports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import text as TX
+from ..functions.dedup import _with_shingles
+from ..registry import register
+from ..sources import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# E14 — training shard writer + manifest
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_shard_manifest",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         CAST(strlen(text) AS BIGINT) AS nb,
+         sha256('shuf1_' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents)
+SELECT substr(h, 1, 1) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       MIN(h) AS first_key,
+       MAX(h) AS last_key
+FROM s
+GROUP BY 1
+""",
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 — training-shard export: deterministic global shuffle +
+    shard layout + manifest. Shuffle key = salted sha256(doc_id) (a
+    pure function of the id: re-runs, retries and resharding reproduce
+    the same order — rand() would not); shard = first hex nibble (16
+    shards), intra-shard read order = ascending key. The write is ONE
+    hash-partitioned exchange + a local sort per shard — at 100 TB
+    there is no global sort anywhere, and trainers stream shard files
+    in name order to get the full deterministic permutation. The
+    manifest (doc/byte counts, id checksum, first/last key per shard)
+    is aggregated FROM THE WRITTEN FILES, not the input — it certifies
+    the landing the way a trainer's data loader would checksum it; the
+    oracle recomputes the same census from the raw table, so a doc
+    dropped or duplicated by the writer is a gate hash miss."""
+    import shutil
+
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "train_shards")
+    dst = base / "sink"
+    if base.exists():
+        shutil.rmtree(base)
+    h = F.sha2(F.concat(F.lit("shuf1_"), F.col("doc_id").cast("string")), 256)
+    staged = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            h.alias("h"),
+        )
+        .withColumn("shard", F.substring("h", 1, 1))
+    )
+    (
+        staged.repartition("shard")
+        .sortWithinPartitions("h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(str(dst))
+    )
+    written = spark.read.parquet(str(dst))
+    return written.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.min("h").alias("first_key"),
+        F.max("h").alias("last_key"),
+    ).select(
+        F.col("shard").cast("string").alias("shard"),
+        "n_docs",
+        "n_bytes",
+        "sum_doc_id",
+        "first_key",
+        "last_key",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E15 — curriculum staging (distributed exact ntile)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_curriculum",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST((length(text) - (len(string_split(text, ' ')) - 1)) * 100
+              // len(string_split(text, ' ')) AS BIGINT) AS d
+  FROM documents),
+t AS (SELECT *, ntile(4) OVER (ORDER BY d, doc_id) AS stage FROM m)
+SELECT CAST(stage AS INTEGER) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(d) AS d_min,
+       MAX(d) AS d_max
+FROM t
+GROUP BY 1
+""",
+)
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 — curriculum staging: docs ranked easy->hard by mean token
+    length (x100, exact integer — the difficulty proxy) and cut into 4
+    equal training stages with EXACT ntile semantics, computed
+    distributively. A bare ntile() window has no PARTITION BY, which
+    Catalyst executes on a single task — the classic window-function
+    scale trap. Instead: (1) a difficulty histogram (bounded distinct
+    values — tiny), (2) a prefix-sum over that tiny frame gives each
+    difficulty value its global rank offset, (3) each doc's exact
+    global rank = broadcast offset + row_number within its difficulty
+    (a window PARTITIONED on difficulty — fully parallel), (4) ntile's
+    tile formula applied to the rank. Identical output to the oracle's
+    plain ntile, but every per-doc stage is a partitioned window + a
+    broadcast join at 100 TB."""
+    m = TX.with_quality_metrics(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        F.col("mean_token_len_x100").alias("d"),
+    )
+    hist = m.groupBy("d").agg(F.count("*").alias("cnt"))
+    wh = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wh), F.lit(0))
+    ).select("d", "cum_before")
+    tot = m.agg(F.count("*").alias("n_total"))
+    ranked = (
+        m.join(F.broadcast(offsets), "d")
+        .withColumn(
+            "rank",
+            F.col("cum_before")
+            + F.row_number().over(Window.partitionBy("d").orderBy("doc_id")),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    # ntile(4): first (n % 4) tiles hold ceil(n/4) rows, the rest floor
+    stage = F.expr(
+        """
+        CASE WHEN rank <= (n_total % 4) * (n_total div 4 + 1)
+             THEN (rank - 1) div (n_total div 4 + 1) + 1
+             ELSE (n_total % 4)
+                  + (rank - (n_total % 4) * (n_total div 4 + 1) - 1)
+                    div (n_total div 4) + 1
+        END
+        """
+    )
+    return (
+        ranked.withColumn("stage", stage.cast("int"))
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E16 — Misra-Gries heavy hitters (two-pass: bounded sketch -> exact verify)
+# ---------------------------------------------------------------------------
+
+_MG_CAPACITY = 64  # per-partition counters; guarantees share > 1/65 retained
+
+
+def _mg_candidates(items: DataFrame) -> DataFrame:
+    """Per-partition Misra-Gries summaries (capacity 64). Python is the
+    right tool here: MG keeps algorithmic state (a bounded counter map
+    folded across Arrow batches) that no SQL aggregate expresses
+    without a full-domain shuffle — and the whole point is to never
+    shuffle the item domain. Vectorized: each batch contributes a
+    value_counts() (C-speed), merged into the summary with the MG
+    merge rule (sum, then subtract the (k+1)-th largest and drop
+    non-positives). Output is <= 64 rows per partition regardless of
+    input size — the driver-side candidate set is bounded by
+    construction, like streaming/merge.py's touched-bucket list."""
+
+    def mg(batches):
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > _MG_CAPACITY:
+                cut = counters.nlargest(_MG_CAPACITY + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"item": counters.index.astype(str)})
+
+    return items.mapInPandas(mg, "item string")
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+WITH it AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
+              ELSE 'cold_' || CAST(event_id % 1000 AS VARCHAR) END AS item
+  FROM events),
+c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_occ FROM it GROUP BY 1),
+t AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS n_total FROM c)
+SELECT item, n_occ,
+       CAST(n_occ * 1000000 // n_total AS BIGINT) AS share_ppm
+FROM c, t
+WHERE n_occ * 50 > n_total
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 — frequent-items census over a skewed item stream (phi =
+    1/50), the bounded-memory primitive behind vocab truncation, hot-
+    key detection and popularity filters. Exact groupBy over an
+    unbounded item domain is a full-domain shuffle; instead: pass 1
+    runs per-partition Misra-Gries(64) summaries (if count(w) > n/50
+    globally then some partition has share > 1/50 > 1/65, so the
+    candidate union is a SUPERSET of every true heavy hitter — the
+    same prune-never-drop contract as the Bloom decontaminator); pass
+    2 re-scans counting ONLY candidates — non-candidates collapse into
+    one __other__ bucket map-side, so the shuffle domain is <= 64 x
+    n_partitions + 1 whatever the item cardinality. False candidates
+    are filtered by the exact threshold, so the output is EXACT and
+    hash-matches the oracle's full count. The skew is planted (hot_0/
+    hot_1 at ~1/6 each over a ~1000-key cold tail) — deterministic in
+    both engines, like the near-dup planted copies."""
+    items = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.concat(F.lit("hot_"), (F.col("event_id") % 2).cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("cold_"), (F.col("event_id") % 1000).cast("string"))
+            )
+            .alias("item")
+        )
+    )
+    cand = _mg_candidates(items).distinct().withColumn("is_cand", F.lit(True))
+    counted = (
+        items.join(F.broadcast(cand), "item", "left")
+        .groupBy(
+            F.when(F.col("is_cand"), F.col("item")).alias("item")
+        )
+        .agg(F.count("*").alias("n_occ"))
+    )
+    tot = counted.agg(F.sum("n_occ").cast("long").alias("n_total"))
+    return (
+        counted.filter(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_occ") * 50 > F.col("n_total"))
+        .select(
+            "item",
+            "n_occ",
+            F.expr("n_occ * 1000000 div n_total").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E17 — asymmetric containment dedup (quote / inclusion detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_CORPUS_CTE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(
+           string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) // 3, 5)],
+           ' ')
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def _contain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted 'quote' docs (the leading third of every
+    7th doc, >= 5 tokens) — deterministic containment cases both
+    engines derive identically."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    quotes = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("_toks", TX.tokens())
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(
+                "array_join(slice(_toks, 1, greatest(size(_toks) div 3, 5)), ' ')"
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(quotes)
+
+
+@register(
+    "q_containment",
+    oracle=_CONTAIN_CORPUS_CTE
+    + """,
+toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(0, len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [text] END AS s
+  FROM toks),
+hs AS (SELECT doc_id, list_transform(s, x -> sha256(x)) AS hh, s FROM sh),
+inv AS (SELECT doc_id AS doc_b, unnest(hh) AS key FROM hs),
+probe AS (SELECT doc_id AS doc_a, list_aggregate(hh, 'min') AS key FROM hs),
+cand AS (
+  SELECT doc_a, doc_b FROM probe JOIN inv USING (key) WHERE doc_a <> doc_b)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(a.s, b.s)) * 1000000 // len(a.s) AS BIGINT)
+         AS containment_ppm
+FROM cand
+JOIN hs a ON a.doc_id = cand.doc_a
+JOIN hs b ON b.doc_id = cand.doc_b
+WHERE len(list_intersect(a.s, b.s)) * 1000000 // len(a.s) >= 900000
+""",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 — asymmetric containment near-dup: flag doc A whose shingle
+    set is >= 90% inside doc B (quotes, excerpts, page-in-page
+    inclusions — invisible to symmetric Jaccard when B is much larger,
+    which is exactly the training-data case: a short doc wholesale
+    inside a long one). Blocking is an inverted shingle index probed
+    with each doc's MIN shingle hash: a contained doc's shingles are a
+    subset of its container's, so its min-shingle is BY CONSTRUCTION
+    one of the container's index keys — subset containments are never
+    missed by the prune (same never-drop contract as the MG/Bloom
+    prunes; partial overlaps below ~100% recall through this single
+    probe are verified identically in both engines). One equi-join on
+    the shingle hash (the E7 decontamination gram-join shape), then
+    exact integer-ppm verify on the candidate pairs only."""
+    corpus = _contain_corpus(spark, sf_dir)
+    sh = _with_shingles(corpus, "text", "doc_id")
+    inv = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.explode(F.expr("transform(sh, x -> sha2(x, 256))")).alias("key"),
+    )
+    probe = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.expr("array_min(transform(sh, x -> sha2(x, 256)))").alias("key"),
+    )
+    cand = (
+        probe.join(inv, "key")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    # attach both sides' shingle arrays from the SAME persisted frame
+    # the blocking read (candidate side is broadcast-small vs corpus)
+    attached = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    return (
+        attached
+        .withColumn("_inter", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn(
+            "containment_ppm",
+            F.expr("(_inter * 1000000) div size(sh_a)").cast("long"),
+        )
+        .filter(F.col("containment_ppm") >= 900000)
+        .select("doc_a", "doc_b", "containment_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E18 — epoch-aware corpus mixing (upsampling)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_mix_epochs",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(substr(source, 4) AS INTEGER) AS sn,
+         substr(sha256('mix1_' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM documents),
+c AS (
+  SELECT source, n_chars,
+         CASE WHEN sn < 5 THEN 2 WHEN sn < 10 THEN 1 ELSE 0 END
+         + CASE WHEN sn < 5 AND h < '8000' THEN 1
+                WHEN sn >= 10 AND h < '6666' THEN 1
+                ELSE 0 END AS n_copies
+  FROM d),
+e AS (SELECT source, n_chars, unnest(range(n_copies)) AS epoch FROM c)
+SELECT source, CAST(epoch AS INTEGER) AS epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM e
+GROUP BY 1, 2
+""",
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 — epoch-aware source mixing with UPSAMPLING: high-value
+    sources repeat across training epochs (weight 2.5x: two full
+    copies + a half-sampled third epoch), mid sources run once, bulk
+    sources are 0.4x-downsampled — the multi-epoch data recipe
+    published LLM runs use, and the complement of
+    functions/mixture.py's pure down-weighting. The fractional epoch
+    keeps a doc iff a salted sha prefix clears the weight's hex
+    threshold: a doc's epoch fate is a pure function of (doc_id,
+    epoch) — map-only, shuffle-free, reproducible under retries, and
+    every epoch's membership is decided without materializing any
+    copy (the explode here only feeds the census; a writer would
+    stream epoch e by re-evaluating the same predicate)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.expr("CAST(substring(source, 4) AS INT)").alias("sn"),
+        F.substring(
+            F.sha2(F.concat(F.lit("mix1_"), F.col("doc_id").cast("string")), 256),
+            1,
+            4,
+        ).alias("h"),
+    )
+    n_copies = F.expr(
+        """
+        CASE WHEN sn < 5 THEN 2 WHEN sn < 10 THEN 1 ELSE 0 END
+        + CASE WHEN sn < 5 AND h < '8000' THEN 1
+               WHEN sn >= 10 AND h < '6666' THEN 1
+               ELSE 0 END
+        """
+    )
+    return (
+        d.withColumn("n_copies", n_copies)
+        .select(
+            "source",
+            "n_chars",
+            F.explode(
+                F.expr("filter(sequence(0, 3), x -> x < n_copies)")
+            ).alias("epoch"),
+        )
+        .groupBy("source", "epoch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "source", F.col("epoch").cast("int").alias("epoch"), "n_docs", "n_chars"
+        )
+    )

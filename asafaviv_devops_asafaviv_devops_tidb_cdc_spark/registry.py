@@ -30,6 +30,7 @@ _QUERY_MODULES = [
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.storage",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.corpus_ops",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.extensions",
+    "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.training_io",
 ]
 
 # Registration (= iteration) order for the exported query dict. The
@@ -95,6 +96,11 @@ _CHECK_FIRST = [
     "q_neardup_source_matrix",
     "q_bucketed_join",
     "q_pq_encode",
+    "q_shard_manifest",
+    "q_curriculum",
+    "q_heavy_hitters",
+    "q_containment",
+    "q_mix_epochs",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",

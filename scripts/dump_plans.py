@@ -102,6 +102,20 @@ HEADLINE = {
         "MAD anomaly detection — one corpus-sized windowed agg; the "
         "median stages operate on the tiny (type, window) frame (r5)"
     ),
+    "q_curriculum": (
+        "curriculum staging — exact ntile without the single-task bare "
+        "window: difficulty-PARTITIONED row_number + broadcast "
+        "histogram offsets (r5)"
+    ),
+    "q_heavy_hitters": (
+        "Misra-Gries heavy hitters — bounded mapInPandas sketches, "
+        "verify pass collapses non-candidates map-side so the shuffle "
+        "domain is sketch-sized (r5)"
+    ),
+    "q_shard_manifest": (
+        "training-shard writer — one hash exchange + per-shard local "
+        "sort; manifest aggregates from the written files (r5)"
+    ),
 }
 
 

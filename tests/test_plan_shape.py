@@ -629,3 +629,44 @@ def test_bucketed_join_has_no_exchange_under_the_join(spark):
     assert "SelectedBucketsCount" in plan, plan
     # one exchange total (the groupBy) — none feeding the join
     assert checks.count_nodes(df, "Exchange") == 1, plan
+
+
+def test_curriculum_corpus_window_is_partitioned(spark):
+    """The per-doc rank window must be PARTITIONED on the difficulty
+    key — a bare (unpartitioned) window over the corpus would funnel
+    every doc through one task. The only unpartitioned window allowed
+    is the prefix-sum over the bounded difficulty histogram."""
+    df = _df("q_curriculum", spark)
+    plan = checks.plan_string(df)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    corpus_specs = [s for s in specs if "doc_id" in s]
+    assert corpus_specs, plan
+    # partition column `d` present before the ordering spec
+    assert all(s.lstrip().startswith("d") for s in corpus_specs), corpus_specs
+    assert checks.uses_broadcast_join(df)
+
+
+def test_heavy_hitters_verify_shuffle_is_sketch_bounded(spark):
+    """Pass 2 must collapse non-candidates BEFORE the exchange: the
+    aggregation key is the when(is_cand, item) projection, so partial
+    aggregation reduces every partition to <= |candidates| + 1 groups
+    map-side. Pinned: candidate join is broadcast (never shuffles the
+    stream) and there is no second full-domain aggregation."""
+    df = _df("q_heavy_hitters", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+    plan = checks.plan_string(df)
+    assert "FlatMapGroupsInPandas" not in plan  # MG is mapInPandas, stateless
+
+
+def test_shard_manifest_reads_back_partitioned_layout(spark):
+    """The manifest aggregates FROM the written shard files: its scan
+    must carry the shard partition column (partition-pruned layout),
+    and the census is one aggregation over that scan."""
+    df = _df("q_shard_manifest", spark)
+    plan = checks.plan_string(df)
+    assert "Scan parquet" in plan, plan
+    cols = checks.scan_columns(df, "train_shards")
+    assert cols == {"doc_id", "h", "n_bytes"}, cols
