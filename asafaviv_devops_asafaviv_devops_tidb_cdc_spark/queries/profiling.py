@@ -429,3 +429,69 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         str(base / "partials"), str(base / "ckpt"),
     )
     return SDQ.folded_violations(spark, str(base / "partials"))
+
+
+@register(
+    "q_event_drift",
+    oracle="""
+WITH e AS (
+  SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day_num, event_type
+  FROM events),
+obs AS (
+  SELECT day_num, event_type, CAST(COUNT(*) AS BIGINT) AS o
+  FROM e GROUP BY 1, 2),
+days AS (SELECT day_num, CAST(SUM(o) AS BIGINT) AS d_tot FROM obs GROUP BY 1),
+overall AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM e GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_tot FROM e),
+types AS (
+  SELECT event_type, CAST(n_t * 1000000 // t_tot AS BIGINT) AS ppm_g
+  FROM overall, tot),
+j AS (
+  SELECT g.day_num,
+         COALESCE(o.o, 0) * 1000000 // g.d_tot - t.ppm_g AS dev
+  FROM days g
+  CROSS JOIN types t
+  LEFT JOIN obs o ON o.day_num = g.day_num AND o.event_type = t.event_type)
+SELECT day_num,
+       CAST(SUM(dev * dev) AS BIGINT) AS l2_ppm2,
+       SUM(dev * dev) > 2000000000 AS drifted
+FROM j
+GROUP BY 1
+""",
+)
+def q_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift census: per-day event-type mix compared to
+    the corpus-wide mix as a squared-ppm L2 distance — the monitoring
+    a training-data pipeline runs on every new ingest day (schema
+    drift is q_schema_drift; this is DISTRIBUTION drift). All exact
+    integer math: per-day shares and global shares in ppm (floor
+    division over non-negative counts), deviation squared and summed —
+    engine-identical, no floats. The day x type grid is built
+    explicitly (days crossJoin broadcast type-shares) so a type absent
+    on a day contributes its full global share to the distance instead
+    of silently vanishing. Scale: one (day, type) aggregation over the
+    events scan; everything after operates on frames bounded by
+    n_days x n_types."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_millis(ts) div 86400000").cast("long").alias("day_num"),
+        "event_type",
+    )
+    obs = ev.groupBy("day_num", "event_type").agg(F.count("*").alias("o"))
+    days = obs.groupBy("day_num").agg(F.sum("o").cast("long").alias("d_tot"))
+    glob = ev.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    tot = glob.agg(F.sum("n_t").cast("long").alias("t_tot"))
+    types = glob.crossJoin(F.broadcast(tot)).select(
+        "event_type", F.expr("n_t * 1000000 div t_tot").cast("long").alias("ppm_g")
+    )
+    grid = days.crossJoin(F.broadcast(types))
+    j = grid.join(obs, ["day_num", "event_type"], "left").select(
+        "day_num",
+        (
+            F.expr("coalesce(o, 0) * 1000000 div d_tot").cast("long")
+            - F.col("ppm_g")
+        ).alias("dev"),
+    )
+    return j.groupBy("day_num").agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("long").alias("l2_ppm2"),
+        (F.sum(F.col("dev") * F.col("dev")) > 2000000000).alias("drifted"),
+    )

@@ -479,3 +479,145 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.col("epoch").cast("int").alias("epoch"), "n_docs", "n_chars"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E19 — fixed-SIZE deterministic samples (exact-k, global and per-group)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sample_fixed",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, source,
+         sha256('fix1_' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents)
+SELECT doc_id, source, h FROM s ORDER BY h LIMIT 100
+""",
+)
+def q_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19a — exact-k uniform sample (k=100): the fixed-SIZE
+    counterpart to the fixed-RATE sha split (q_split_assign) — eval
+    sets and human-review batches need exactly k docs, not a rate.
+    Bottom-k by salted sha256 = a uniform draw that is a pure function
+    of doc_id (stable under retries/resharding; adding docs only
+    perturbs membership at the k-th boundary, unlike rand() which
+    redraws everything). Plan: TakeOrderedAndProject — each partition
+    keeps its local k, the driver merges k-sized heaps; no global
+    sort ever materializes at 100 TB."""
+    h = F.sha2(F.concat(F.lit("fix1_"), F.col("doc_id").cast("string")), 256)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", h.alias("h"))
+        .orderBy("h")
+        .limit(100)
+    )
+
+
+@register(
+    "q_sample_per_group",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, source,
+         sha256('grp1_' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM s)
+SELECT source, doc_id, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= 5
+""",
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19b — exact-k-PER-GROUP sample (k=5 per source): balanced
+    eval/inspection sets from unbalanced corpora (the per-source twin
+    of q_sample_fixed). One window PARTITIONED on source ordered by
+    the salted sha — fully parallel, the per-group sort touches only
+    that group's rows; no group ever routes through a single global
+    task."""
+    from pyspark.sql import Window
+
+    h = F.sha2(F.concat(F.lit("grp1_"), F.col("doc_id").cast("string")), 256)
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E20 — link-graph quality rank (integer fixed-point PageRank)
+# ---------------------------------------------------------------------------
+
+def _link_rank_oracle() -> str:
+    from .llm_pipeline import _NEARDUP_CORPUS_CTE, _NGRAM_PAIRS_CTES
+
+    step = """
+r{t} AS (
+  SELECT e.v AS u,
+         CAST(150000 + (850 * SUM(r{p}.r // d.dg)) // 1000 AS BIGINT) AS r
+  FROM edges e JOIN r{p} ON r{p}.u = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v)"""
+    steps = ",".join(step.format(t=t, p=t - 1) for t in (1, 2, 3))
+    return (
+        _NEARDUP_CORPUS_CTE.rstrip()
+        + ",\n"
+        + _NGRAM_PAIRS_CTES.strip()
+        + """,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY 1),
+r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),"""
+        + steps
+        + """
+SELECT u AS doc_id, r AS rank_ppm
+FROM r3
+ORDER BY r DESC, u
+LIMIT 100
+"""
+    )
+
+
+@register("q_link_rank", oracle=_link_rank_oracle())
+def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 — link-based quality rank: 3 rounds of PageRank (d=0.85)
+    over the undirected near-dup pair graph, the graph-centrality
+    family of quality signals (web-scale corpora weigh pages by link
+    rank before sampling). All arithmetic is FIXED-POINT INTEGER
+    (scores in ppm units, floor division over non-negative ints, the
+    damping as 850/1000) so three unrolled iterations are bit-exact in
+    both engines — float PageRank would diverge across summation
+    orders and never hash-match. Edges come from the materialized
+    verified-pair artifact (sources/cluster_store.py — built once per
+    corpus fingerprint, shared with the CC/cluster reports). Each
+    iteration is the Pregel-on-DataFrame shape: one join of the edge
+    list against the rank state on the SAME key (co-partitioned under
+    AQE), one aggregation on the destination — per-iteration cost is
+    O(edges), never O(n^2), and the iteration count is a fixed
+    constant, not data-dependent."""
+    from ..sources.cluster_store import ngram_pair_table
+
+    pairs = ngram_pair_table(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = edges.groupBy("u").agg(F.count("*").alias("dg"))
+    state = deg.withColumn("r", F.lit(1_000_000).cast("long"))  # (u, dg, r)
+    for _ in range(3):
+        contrib = edges.join(state, "u").select(
+            F.col("v").alias("u"), F.expr("r div dg").alias("c")
+        )
+        new_r = contrib.groupBy("u").agg(
+            F.expr("CAST(150000 + (850 * SUM(c)) div 1000 AS BIGINT)").alias("r")
+        )
+        state = deg.join(new_r, "u").select("u", "dg", "r")
+    return (
+        state.orderBy(F.desc("r"), "u")
+        .limit(100)
+        .select(F.col("u").alias("doc_id"), F.col("r").alias("rank_ppm"))
+    )

@@ -101,6 +101,10 @@ _CHECK_FIRST = [
     "q_heavy_hitters",
     "q_containment",
     "q_mix_epochs",
+    "q_sample_fixed",
+    "q_sample_per_group",
+    "q_event_drift",
+    "q_link_rank",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",

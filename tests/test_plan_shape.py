@@ -670,3 +670,40 @@ def test_shard_manifest_reads_back_partitioned_layout(spark):
     assert "Scan parquet" in plan, plan
     cols = checks.scan_columns(df, "train_shards")
     assert cols == {"doc_id", "h", "n_bytes"}, cols
+
+
+def test_sample_fixed_is_take_ordered_not_global_sort(spark):
+    """Exact-k sampling must plan as TakeOrderedAndProject (local
+    heaps + driver merge of k rows) — a Sort + Limit would materialize
+    a global sort of the corpus."""
+    df = _df("q_sample_fixed", spark)
+    plan = checks.plan_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sample_per_group_window_is_partitioned(spark):
+    """The per-group rank must run in a window PARTITIONED on source —
+    never a bare global window."""
+    df = _df("q_sample_per_group", spark)
+    plan = checks.plan_string(df)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.lstrip().startswith("source") for s in specs), specs
+
+
+def test_event_drift_grid_joins_are_broadcast(spark):
+    """The day x type grid builds from broadcast tiny frames; the only
+    corpus-sized work is the (day, type) aggregation."""
+    df = _df("q_event_drift", spark)
+    assert checks.uses_broadcast_join(df)
+
+
+def test_link_rank_iterations_have_no_cartesian(spark):
+    """Each PageRank round is an edge-key equi-join + destination agg;
+    no iteration may degrade to a cartesian/BNLJ."""
+    df = _df("q_link_rank", spark)
+    assert not checks.has_cartesian(df)
+    plan = checks.plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-100, no global sort

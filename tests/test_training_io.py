@@ -179,3 +179,20 @@ def test_mix_epochs_upsampling_invariants(spark):
         else:
             assert out.get((src, 0), 0) <= n
             assert (src, 1) not in out
+
+
+def test_link_rank_floor_and_copy_symmetry(spark):
+    """Every node's rank is >= the damping floor (150000 ppm); planted
+    exact copies (id+1e6) share their original's full neighborhood at
+    jaccard 1e6, so where both rank in the top-100, scores agree to
+    within the floor-division truncation of 3 rounds."""
+    rows = {
+        r["doc_id"]: r["rank_ppm"]
+        for r in TIO.q_link_rank(spark, SF_SMOKE).collect()
+    }
+    assert rows and all(v >= 150000 for v in rows.values())
+    for doc_id, r in rows.items():
+        base_id = doc_id % 1_000_000
+        twin = base_id + 1_000_000 if doc_id < 1_000_000 else base_id
+        if base_id % 10 == 0 and twin in rows:
+            assert abs(rows[twin] - r) <= 5  # truncation slack
