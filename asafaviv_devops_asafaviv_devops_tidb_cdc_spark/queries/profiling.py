@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import register
+from ..registry import ORACLES, register
 from ..sources import load_table
 
 
@@ -476,11 +476,23 @@ def q_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_millis(ts) div 86400000").cast("long").alias("day_num"),
         "event_type",
     )
-    obs = ev.groupBy("day_num", "event_type").agg(F.count("*").alias("o"))
+    obs = ev.groupBy("day_num", "event_type").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    return drift_census(obs)
+
+
+def drift_census(obs: DataFrame) -> DataFrame:
+    """The drift census over a (day_num, event_type, o) count frame —
+    shared verbatim by the batch query and the streaming monitor
+    (whose folded per-epoch partials sum to the identical obs frame),
+    so the streamed result hash-matches the batch oracle by
+    construction. Global shares derive from obs (sum-decomposable),
+    so no second scan of the raw events."""
     days = obs.groupBy("day_num").agg(F.sum("o").cast("long").alias("d_tot"))
-    glob = ev.groupBy("event_type").agg(F.count("*").alias("n_t"))
-    tot = glob.agg(F.sum("n_t").cast("long").alias("t_tot"))
-    types = glob.crossJoin(F.broadcast(tot)).select(
+    overall = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("n_t"))
+    tot = overall.agg(F.sum("n_t").cast("long").alias("t_tot"))
+    types = overall.crossJoin(F.broadcast(tot)).select(
         "event_type", F.expr("n_t * 1000000 div t_tot").cast("long").alias("ppm_g")
     )
     grid = days.crossJoin(F.broadcast(types))
@@ -495,3 +507,42 @@ def q_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dev") * F.col("dev")).cast("long").alias("l2_ppm2"),
         (F.sum(F.col("dev") * F.col("dev")) > 2000000000).alias("drifted"),
     )
+
+
+@register("q_stream_event_drift", oracle=None)  # batch oracle attached below
+def q_stream_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift STREAM TWIN: per-micro-batch (day, type)
+    counts folded into idempotent ``epoch=<id>`` partials (counts are
+    sum-decomposable, so a retried batch overwrites its own partial
+    and never double-counts — the streaming/dq.py recipe); serving
+    sums the partials into the obs frame and runs the SAME
+    drift_census as the batch query, so the streamed result
+    hash-matches the batch SQL oracle exactly. This is how the
+    monitor actually deploys at 100 TB: drift flagged within one
+    micro-batch of a source going bad, with per-epoch state ONE tiny
+    row per (day, type) seen in that batch — state size tracks the
+    key grid, not the event volume."""
+    from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import drift as SD
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "drift")
+    ev = load_table(spark, sf_dir, "events")
+    # share the normalized landing with the stream-DQ monitor
+    src = materialized_path(
+        "events_normalized",
+        input_fingerprint(sf_dir, "events", "dq-src-v1"),
+        lambda dest: ev.write.mode("overwrite").parquet(dest),
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields
+    )
+    SD.run_drift_stream(
+        spark, src, schema, str(base / "partials"), str(base / "ckpt")
+    )
+    return drift_census(SD.folded_counts(spark, str(base / "partials")))
+
+
+# the stream twin folds to the identical obs frame, so the batch SQL
+# IS its oracle (same contract as q_stream_delta_agg / q_delta_agg)
+ORACLES["q_stream_event_drift"] = ORACLES["q_event_drift"]

@@ -44,17 +44,17 @@ _QUERY_MODULES = [
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
     # Round-5 window: the driver oracle-checks a 50-query prefix of the
-    # registered order. Head = every query REGISTERED THIS ROUND (40 by
+    # registered order. Head = every query REGISTERED THIS ROUND (50 by
     # round close: the six r4-landed capabilities the r4 verdict put
-    # first, then everything added during round 5) — a query without a
-    # driver verdict is claimed, not proven, so never-checked beats
-    # stale-rechecked for window slots. Slots 41-50 go to the most
-    # complex r2-stale flagships (composite chains + paths rewritten
-    # onto this round's artifacts); the remaining stale queries are all
-    # hash-verified in this round's full sf0.01/sf0.1 sweeps
-    # (BASELINE.md final-r5b) and queue for round 6. q_sha2 re-verifies
-    # transitively (q_dedup_exact survivor keys are sha2(text));
-    # q_hll_distinct is rows-only by construction.
+    # first, then everything added during round 5 including the late
+    # training-export block) — a query without a driver verdict is
+    # claimed, not proven, so never-checked beats stale-rechecked for
+    # window slots; the 50 new queries exactly fill the window. The
+    # r2-stale flagships listed next queue for round 6; every stale
+    # query is hash-verified in this round's full sf0.01/sf0.1 sweeps
+    # (BASELINE.md final-r5c). q_sha2 re-verifies transitively
+    # (q_dedup_exact survivor keys are sha2(text)); q_hll_distinct is
+    # rows-only by construction.
     "q_events_format_parity",
     "q_alert_rules_eval",
     "q_bloom_decontaminate",
@@ -105,6 +105,10 @@ _CHECK_FIRST = [
     "q_sample_per_group",
     "q_event_drift",
     "q_link_rank",
+    # 51st round-5 entry: first past the 50-slot window edge; verified
+    # in this round's sf0.01/sf0.1 sweeps, queues for a driver verdict
+    # in round 6 with the stale cohort
+    "q_stream_event_drift",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",
