@@ -621,3 +621,61 @@ def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(F.col("u").alias("doc_id"), F.col("r").alias("rank_ppm"))
     )
+
+
+# ---------------------------------------------------------------------------
+# E3c — filtered vector search (metadata predicate + exact top-k)
+# ---------------------------------------------------------------------------
+
+def _ann_filtered_oracle() -> str:
+    def lsum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         {lsum('e.embedding', 'q.qv')} AS dot,
+         {lsum('e.embedding', 'e.embedding')} AS na,
+         {lsum('q.qv', 'q.qv')} AS nb
+  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = 7
+),
+ranked AS (
+  SELECT vec_id, dot / sqrt(na * nb) AS cos_raw,
+         row_number() OVER (ORDER BY dot / sqrt(na * nb) DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT vec_id,
+       CAST(floor(cos_raw * 10000 + 0.5) AS BIGINT) AS cosine_x10k,
+       rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register("q_ann_filtered", oracle=_ann_filtered_oracle())
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3c — FILTERED vector search: metadata predicate + exact cosine
+    top-k in one pass (the production retrieval shape — "nearest docs
+    WHERE label = X"). Post-filtering an unfiltered top-k can starve
+    to fewer than k survivors; the correct plan pushes the predicate
+    INTO the scan (label = 7 lands in PushedFilters, plan-pinned) so
+    ranking only ever scores qualifying vectors — at 100 TB the
+    selectivity multiplies directly into scan+score cost, and with a
+    label-partitioned layout it becomes partition pruning. Query side
+    broadcast, top-k via TakeOrderedAndProject."""
+    from ..functions import similarity
+    from ..functions.similarity import _topk_ranked
+    from ..sources.tables import rebalance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = emb.filter((F.col("label") == 7) & (F.col("vec_id") != 0))
+    scored = (
+        rebalance(cand)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", similarity.cosine("embedding", "qv").alias("cos_raw"))
+    )
+    return _topk_ranked(scored, "vec_id", 10)

@@ -105,10 +105,11 @@ _CHECK_FIRST = [
     "q_sample_per_group",
     "q_event_drift",
     "q_link_rank",
-    # 51st round-5 entry: first past the 50-slot window edge; verified
-    # in this round's sf0.01/sf0.1 sweeps, queues for a driver verdict
-    # in round 6 with the stale cohort
+    # 51st+ round-5 entries: past the 50-slot window edge; verified in
+    # this round's sf0.01/sf0.1 sweeps, queue for a driver verdict in
+    # round 6 with the stale cohort
     "q_stream_event_drift",
+    "q_ann_filtered",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",

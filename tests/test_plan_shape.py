@@ -707,3 +707,13 @@ def test_link_rank_iterations_have_no_cartesian(spark):
     plan = checks.plan_string(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan  # top-100, no global sort
+
+
+def test_ann_filtered_pushes_label_to_scan(spark):
+    """Filtered vector search: the metadata predicate must reach the
+    parquet scan (PushedFilters), and the top-k must remain
+    TakeOrderedAndProject — never post-filtering an unfiltered rank."""
+    df = _df("q_ann_filtered", spark)
+    pushed = checks.pushed_filters(df)
+    assert any("label" in p for p in pushed), pushed
+    assert "TakeOrderedAndProject" in checks.plan_string(df)

@@ -196,3 +196,30 @@ def test_link_rank_floor_and_copy_symmetry(spark):
         twin = base_id + 1_000_000 if doc_id < 1_000_000 else base_id
         if base_id % 10 == 0 and twin in rows:
             assert abs(rows[twin] - r) <= 5  # truncation slack
+
+
+def test_curriculum_tile_formula_parametric(spark):
+    """The rank->tile formula equals ntile(4) for EVERY corpus size
+    n in 1..40 — one frame, one partitioned window: rows (n, rank)
+    for rank<=n, truth = ntile over PARTITION BY n."""
+    pairs = spark.range(1, 41).selectExpr("id AS n_total").selectExpr(
+        "n_total", "explode(sequence(1, n_total)) AS rank"
+    )
+    truth = F.ntile(4).over(Window.partitionBy("n_total").orderBy("rank"))
+    formula = F.expr(
+        """
+        CASE WHEN rank <= (n_total % 4) * (n_total div 4 + 1)
+             THEN (rank - 1) div (n_total div 4 + 1) + 1
+             ELSE (n_total % 4)
+                  + (rank - (n_total % 4) * (n_total div 4 + 1) - 1)
+                    div (n_total div 4) + 1
+        END
+        """
+    )
+    bad = (
+        pairs.withColumn("t", truth)
+        .withColumn("f", formula)
+        .filter(F.col("t") != F.col("f"))
+        .count()
+    )
+    assert bad == 0
