@@ -2408,53 +2408,11 @@ _PQ_SUBSPACES = 8  # 64 dims -> 8 subvectors of 8
 _PQ_CENTS = 4  # codebook size per subspace (vec_ids 0..3's subvectors)
 
 
-@register(
-    "q_pq_encode",
-    oracle=f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-ss AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
-cent AS (
-  SELECT v.vec_id AS cid, ss.s, v.e[ss.s * 8 + 1 : ss.s * 8 + 8] AS c
-  FROM v, ss WHERE v.vec_id < {_PQ_CENTS}
-),
-sub AS (
-  SELECT v.vec_id, ss.s, v.e[ss.s * 8 + 1 : ss.s * 8 + 8] AS sub
-  FROM v, ss
-),
-d AS (
-  SELECT sub.vec_id, sub.s, cent.cid,
-         list_sum(list_transform(range(1, 9),
-           i -> CAST(floor((sub.sub[i] - cent.c[i]) * (sub.sub[i] - cent.c[i])
-                           * 1e12 + 0.5) AS BIGINT))) AS d2_pico
-  FROM sub JOIN cent ON cent.s = sub.s
-),
-pick AS (
-  SELECT vec_id, s, cid, d2_pico,
-         row_number() OVER (PARTITION BY vec_id, s
-                            ORDER BY d2_pico, cid) AS rn
-  FROM d
-)
-SELECT CAST(s AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS cid,
-       CAST(COUNT(*) AS BIGINT) AS n_assigned,
-       CAST(SUM(d2_pico) AS BIGINT) AS sum_err_pico
-FROM pick WHERE rn = 1
-GROUP BY 1, 2
-""",
-)
-def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E10b — PRODUCT quantization (the vector-DB compression standard
-    beyond q_vec_quantize's per-vector int8): 64 dims split into 8
-    subspaces, each encoded as its nearest codebook centroid (seeded
-    from the first 4 vectors' subvectors — RNG-free, like the mod50
-    IVF seeding), so a vector stores as 8 small codes. The report is
-    the codebook health check: per-(subspace, centroid) usage + total
-    reconstruction error in exact integer pico-units (a dead centroid
-    or one-cell collapse = a retrain signal). Physical shape: corpus x
-    subspace expansion is ONE codegen explode (8 slices per row), the
-    32-row codebook broadcasts, the argmin is min(struct) per
-    (vec, subspace) — map-side + two compact shuffles, no windows over
-    the corpus. Same exact-integer distance recipe as the Lloyd/IVF
-    family, so the assignment is engine-identical."""
+def _pq_pieces(spark: SparkSession, sf_dir: str):
+    """Shared PQ lineage: (cents, scored, picked) where scored carries
+    every (vec, subspace, centroid) exact pico-unit distance and picked
+    the per-(vec, subspace) argmin code — consumed by both the encode
+    health report and the ADC search."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
@@ -2483,10 +2441,119 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = scored.groupBy("vec_id", "s").agg(
         F.min(F.struct("d2_pico", "cid")).alias("m")
     )
+    return cents, scored, picked
+
+
+_PQ_ORACLE_CTES = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ss AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
+cent AS (
+  SELECT v.vec_id AS cid, ss.s, v.e[ss.s * 8 + 1 : ss.s * 8 + 8] AS c
+  FROM v, ss WHERE v.vec_id < {_PQ_CENTS}
+),
+sub AS (
+  SELECT v.vec_id, ss.s, v.e[ss.s * 8 + 1 : ss.s * 8 + 8] AS sub
+  FROM v, ss
+),
+d AS (
+  SELECT sub.vec_id, sub.s, cent.cid,
+         list_sum(list_transform(range(1, 9),
+           i -> CAST(floor((sub.sub[i] - cent.c[i]) * (sub.sub[i] - cent.c[i])
+                           * 1e12 + 0.5) AS BIGINT))) AS d2_pico
+  FROM sub JOIN cent ON cent.s = sub.s
+),
+pick AS (
+  SELECT vec_id, s, cid, d2_pico,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY d2_pico, cid) AS rn
+  FROM d
+)
+"""
+
+
+@register(
+    "q_pq_encode",
+    oracle=_PQ_ORACLE_CTES
+    + """
+SELECT CAST(s AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(SUM(d2_pico) AS BIGINT) AS sum_err_pico
+FROM pick WHERE rn = 1
+GROUP BY 1, 2
+""",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10b — PRODUCT quantization (the vector-DB compression standard
+    beyond q_vec_quantize's per-vector int8): 64 dims split into 8
+    subspaces, each encoded as its nearest codebook centroid (seeded
+    from the first 4 vectors' subvectors — RNG-free, like the mod50
+    IVF seeding), so a vector stores as 8 small codes. The report is
+    the codebook health check: per-(subspace, centroid) usage + total
+    reconstruction error in exact integer pico-units (a dead centroid
+    or one-cell collapse = a retrain signal). Physical shape: corpus x
+    subspace expansion is ONE codegen explode (8 slices per row), the
+    32-row codebook broadcasts, the argmin is min(struct) per
+    (vec, subspace) — map-side + two compact shuffles, no windows over
+    the corpus. Same exact-integer distance recipe as the Lloyd/IVF
+    family, so the assignment is engine-identical."""
+    _, scored, picked = _pq_pieces(spark, sf_dir)
     return picked.groupBy(
         F.col("s").cast("long").alias("subspace"),
         F.col("m.cid").cast("long").alias("cid"),
     ).agg(
         F.count("*").alias("n_assigned"),
         F.sum("m.d2_pico").cast("long").alias("sum_err_pico"),
+    )
+
+
+@register(
+    "q_pq_topk",
+    oracle=_PQ_ORACLE_CTES
+    + """,
+codes AS (SELECT vec_id, s, cid FROM pick WHERE rn = 1),
+qlut AS (SELECT s, cid, d2_pico FROM d WHERE vec_id = 0),
+adc AS (
+  SELECT c.vec_id, CAST(SUM(q.d2_pico) AS BIGINT) AS adc_pico
+  FROM codes c JOIN qlut q ON q.s = c.s AND q.cid = c.cid
+  WHERE c.vec_id <> 0
+  GROUP BY 1
+),
+ranked AS (
+  SELECT vec_id, adc_pico,
+         row_number() OVER (ORDER BY adc_pico, vec_id) AS rank
+  FROM adc
+)
+SELECT vec_id, adc_pico, rank FROM ranked WHERE rank <= 10
+""",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10c — PQ asymmetric-distance search (ADC), the serving half of
+    q_pq_encode: the query builds a (subspace, centroid) distance
+    lookup table against the codebook (32 tiny exact pico-unit rows,
+    broadcast), and every corpus vector's approximate distance is the
+    SUM of LUT entries selected by its stored codes — the scan touches
+    only the 8-code representation, never the floats. This is the
+    memory-bound ANN posture: at 100 TB of vectors the codes table is
+    ~1/32 the float table, the per-query work is one broadcast-join +
+    partial-agg over codes, and distances stay exact integers so the
+    ranking hash-matches DuckDB. Top-k ascending by ADC distance via
+    TakeOrderedAndProject."""
+    _, scored, picked = _pq_pieces(spark, sf_dir)
+    qlut = scored.filter(F.col("vec_id") == 0).select(
+        "s", "cid", F.col("d2_pico").alias("qd")
+    )
+    codes = picked.filter(F.col("vec_id") != 0).select(
+        "vec_id", "s", F.col("m.cid").alias("cid")
+    )
+    adc = (
+        codes.join(F.broadcast(qlut), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc_pico"))
+    )
+    from pyspark.sql import Window
+
+    top = adc.orderBy("adc_pico", "vec_id").limit(10)
+    w = Window.orderBy("adc_pico", "vec_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "adc_pico", "rank"
     )

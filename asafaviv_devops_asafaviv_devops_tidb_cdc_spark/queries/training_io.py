@@ -679,3 +679,59 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", similarity.cosine("embedding", "qv").alias("cos_raw"))
     )
     return _topk_ranked(scored, "vec_id", 10)
+
+
+# ---------------------------------------------------------------------------
+# E21 — cross-modal paired census (documents x embeddings)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_text_embedding_stats",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+         list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * x * 1e9 + 0.5) AS BIGINT))) AS nsq_nano
+  FROM embeddings
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(v.nsq_nano) AS BIGINT) AS sum_nsq_nano,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(v.nsq_nano) // COUNT(*) AS BIGINT) AS mean_nsq_nano
+FROM documents d JOIN v ON v.vec_id = d.doc_id
+GROUP BY 1
+""",
+)
+def q_text_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 — the paired text x vector census: documents joined 1:1 to
+    their embedding rows (doc_id = vec_id) and profiled together per
+    language — the alignment sanity check run after every embedding
+    backfill (a lang whose mean squared norm diverges = that slice
+    went through a different encoder version). Norms in exact integer
+    nano-units (the E3b recipe) so the aggregate hash-matches. Scale
+    posture: a 1:1 key join between two corpus-sized tables — both
+    sides shuffle once on the shared id (co-partitioned under AQE; at
+    100 TB you bucket both tables on the id and this join goes
+    exchange-free like q_bucketed_join), then a tiny lang aggregation."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.expr(
+            "aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> CAST(floor(x * x * 1e9 + 0.5) AS BIGINT)), 0L, (a, b) -> a + b)"
+        ).alias("nsq_nano"),
+    )
+    return (
+        docs.join(vecs, docs.doc_id == vecs.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nsq_nano").cast("long").alias("sum_nsq_nano"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "mean_nsq_nano",
+            F.expr("sum_nsq_nano div n_docs").cast("long"),
+        )
+    )

@@ -110,6 +110,8 @@ _CHECK_FIRST = [
     # round 6 with the stale cohort
     "q_stream_event_drift",
     "q_ann_filtered",
+    "q_pq_topk",
+    "q_text_embedding_stats",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",

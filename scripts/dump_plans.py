@@ -116,6 +116,14 @@ HEADLINE = {
         "training-shard writer — one hash exchange + per-shard local "
         "sort; manifest aggregates from the written files (r5)"
     ),
+    "q_pq_topk": (
+        "PQ asymmetric-distance search — broadcast 32-row query LUT "
+        "against stored codes, partial-agg sum, top-k (r5)"
+    ),
+    "q_ann_filtered": (
+        "filtered vector search — label predicate pushed into the "
+        "scan, exact cosine rank over qualifying vectors only (r5)"
+    ),
 }
 
 

@@ -717,3 +717,13 @@ def test_ann_filtered_pushes_label_to_scan(spark):
     pushed = checks.pushed_filters(df)
     assert any("label" in p for p in pushed), pushed
     assert "TakeOrderedAndProject" in checks.plan_string(df)
+
+
+def test_pq_topk_scores_codes_with_broadcast_lut(spark):
+    """ADC search must broadcast the tiny query LUT against the codes
+    (never shuffle the corpus onto the LUT) and keep the top-k as
+    TakeOrderedAndProject."""
+    df = _df("q_pq_topk", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+    assert "TakeOrderedAndProject" in checks.plan_string(df)
