@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import text as TX
 from ..functions.dedup import _with_shingles
-from ..registry import register
+from ..registry import ORACLES, register
 from ..sources import load_table
 
 
@@ -735,3 +735,127 @@ def q_text_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum_nsq_nano div n_docs").cast("long"),
         )
     )
+
+
+@register("q_stream_sample", oracle=None)  # batch oracle attached below
+def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19c — fixed-size sample STREAM TWIN: each micro-batch keeps
+    its local bottom-k by the salted sha key (an idempotent epoch
+    partial of <= k tiny rows — a local TakeOrderedAndProject, no
+    corpus shuffle), and serving takes bottom-k over the union.
+    Bottom-k is a commutative idempotent fold, so the streamed sample
+    is EXACTLY the batch sample and hash-matches q_sample_fixed's
+    oracle — the deterministic replacement for streaming reservoir
+    sampling (whose membership depends on arrival order and RNG)."""
+    from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import sample as SS
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "sample")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    src = materialized_path(
+        "documents_sample_src",
+        input_fingerprint(sf_dir, "documents", "sample-src-v1"),
+        lambda dest: docs.repartition(6).write.mode("overwrite").parquet(dest),
+    )
+    SS.run_sample_stream(
+        spark,
+        src,
+        "doc_id bigint, source string",
+        str(base / "partials"),
+        str(base / "ckpt"),
+    )
+    return SS.folded_sample(spark, str(base / "partials"))
+
+
+# bottom-k folding is exact, so the batch sample's SQL IS the oracle
+ORACLES["q_stream_sample"] = ORACLES["q_sample_fixed"]
+
+
+@register("q_stream_manifest", oracle=None)  # batch oracle attached below
+def q_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14b — shard-manifest STREAM TWIN: every manifest statistic is
+    a commutative monoid (counts/byte-sums/id-checksums fold by +,
+    key ranges by min/max), so a streaming ingest maintains the
+    training-export manifest incrementally: per micro-batch ONE tiny
+    per-shard summary row lands as an idempotent epoch partial, and
+    serving folds partials with the same operators — hash-identical
+    to the batch manifest built from the written files
+    (q_shard_manifest's oracle). At 100 TB/day this is how the
+    manifest stays current without ever rescanning the corpus: the
+    fold state is n_shards rows per epoch, compactable like
+    streaming/delta.py."""
+    import shutil
+
+    from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import ingest as I
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "manifest")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    src = materialized_path(
+        "documents_manifest_src",
+        input_fingerprint(sf_dir, "documents", "manifest-src-v1"),
+        lambda dest: docs.repartition(6).write.mode("overwrite").parquet(dest),
+    )
+    partials_dir = base / "partials"
+    ckpt = base / "ckpt"
+    for d in (partials_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+
+    def fold(batch_df, epoch_id):
+        h = F.sha2(
+            F.concat(F.lit("shuf1_"), F.col("doc_id").cast("string")), 256
+        )
+        (
+            batch_df.select(
+                "doc_id",
+                F.octet_length("text").cast("long").alias("n_bytes"),
+                h.alias("h"),
+            )
+            .withColumn("shard", F.substring("h", 1, 1))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_bytes").cast("long").alias("n_bytes"),
+                F.sum("doc_id").cast("long").alias("sum_doc_id"),
+                F.min("h").alias("first_key"),
+                F.max("h").alias("last_key"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{partials_dir}/epoch={epoch_id}")
+        )
+
+    with I.scoped_shuffle_partitions(spark, I.STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    parts = spark.read.parquet(f"{partials_dir}/epoch=*")
+    return parts.groupBy("shard").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        F.sum("sum_doc_id").cast("long").alias("sum_doc_id"),
+        F.min("first_key").alias("first_key"),
+        F.max("last_key").alias("last_key"),
+    ).select(
+        F.col("shard").cast("string").alias("shard"),
+        "n_docs",
+        "n_bytes",
+        "sum_doc_id",
+        "first_key",
+        "last_key",
+    )
+
+
+# every manifest stat folds commutatively, so the batch manifest's
+# SQL IS the stream's oracle
+ORACLES["q_stream_manifest"] = ORACLES["q_shard_manifest"]

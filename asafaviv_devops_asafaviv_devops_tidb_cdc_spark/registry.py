@@ -112,6 +112,8 @@ _CHECK_FIRST = [
     "q_ann_filtered",
     "q_pq_topk",
     "q_text_embedding_stats",
+    "q_stream_sample",
+    "q_stream_manifest",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",

@@ -223,3 +223,35 @@ def test_curriculum_tile_formula_parametric(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_stream_sample_batch_boundary_invariance(spark, tmp_path):
+    """The bottom-k fold must be invariant to micro-batch slicing:
+    draining the same source 1 file per trigger vs 4 files per trigger
+    yields byte-identical samples (the commutative-fold property on a
+    real stream, not just in algebra)."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import (
+        sample as SS,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+    outs = []
+    for mft in (1, 4):
+        base = tmp_path / f"run_{mft}"
+        SS.run_sample_stream(
+            spark,
+            src,
+            "doc_id bigint, source string",
+            str(base / "partials"),
+            str(base / "ckpt"),
+            max_files_per_trigger=mft,
+        )
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in SS.folded_sample(spark, str(base / "partials")).collect()
+            )
+        )
+    assert outs[0] == outs[1] and len(outs[0]) > 0
