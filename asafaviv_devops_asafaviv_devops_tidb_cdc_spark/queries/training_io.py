@@ -859,3 +859,56 @@ def q_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every manifest stat folds commutatively, so the batch manifest's
 # SQL IS the stream's oracle
 ORACLES["q_stream_manifest"] = ORACLES["q_shard_manifest"]
+
+
+# ---------------------------------------------------------------------------
+# E22 — source-concentration census (exact integer Gini)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_source_gini",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n, source, lang) AS i FROM c),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(i * n) AS BIGINT) AS weighted
+  FROM r)
+SELECT k AS n_cells, total AS n_docs,
+       CAST((2 * weighted - (k + 1) * total) * 1000000 // (k * total)
+            AS BIGINT) AS gini_ppm
+FROM t
+""",
+)
+def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 — acquisition-concentration census: the exact-integer Gini
+    coefficient over (source, lang) cell counts — the one-number
+    answer to "is the corpus dominated by a few feed/language slices?"
+    that mixture policy (functions/mixture.py, q_mix_epochs) is tuned
+    against. Formula: G = (2*sum(i*n_i) - (K+1)*sum(n)) / (K*sum(n))
+    over counts sorted ascending with a total tie-break — pure integer
+    arithmetic in ppm, engine-identical. The only window runs over the
+    per-cell count frame (K rows, bounded by sources x languages —
+    kilobytes at any corpus size); the corpus itself sees one
+    groupBy."""
+    c = _docs(spark, sf_dir).groupBy("source", "lang").agg(
+        F.count("*").alias("n")
+    )
+    r = c.withColumn(
+        "i", F.row_number().over(Window.orderBy("n", "source", "lang"))
+    )
+    return r.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("n")).cast("long").alias("weighted"),
+    ).select(
+        F.col("k").alias("n_cells"),
+        F.col("total").alias("n_docs"),
+        F.expr("(2 * weighted - (k + 1) * total) * 1000000 div (k * total)")
+        .cast("long")
+        .alias("gini_ppm"),
+    )

@@ -114,6 +114,7 @@ _CHECK_FIRST = [
     "q_text_embedding_stats",
     "q_stream_sample",
     "q_stream_manifest",
+    "q_source_gini",
     # r2-stale: flagship composites + paths rewritten this round
     # (CC/pair artifacts, IVF artifact, shared envelope source)
     "q_pipeline_e2e",
