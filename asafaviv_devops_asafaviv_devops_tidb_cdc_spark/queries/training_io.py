@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions import text as TX
+from ..functions import sampling as SK, text as TX
 from ..functions.dedup import _with_shingles
 from ..registry import ORACLES, register
 from ..sources import load_table
@@ -39,11 +39,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_shard_manifest",
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT doc_id,
          CAST(strlen(text) AS BIGINT) AS nb,
-         sha256('shuf1_' || CAST(doc_id AS VARCHAR)) AS h
+         {SK.salted_key_sql(SK.SHARD_SALT)} AS h
   FROM documents)
 SELECT substr(h, 1, 1) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -63,52 +63,39 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards), intra-shard read order = ascending key. The write is ONE
     hash-partitioned exchange + a local sort per shard — at 100 TB
     there is no global sort anywhere, and trainers stream shard files
-    in name order to get the full deterministic permutation. The
-    manifest (doc/byte counts, id checksum, first/last key per shard)
-    is aggregated FROM THE WRITTEN FILES, not the input — it certifies
-    the landing the way a trainer's data loader would checksum it; the
-    oracle recomputes the same census from the raw table, so a doc
-    dropped or duplicated by the writer is a gate hash miss."""
-    import shutil
+    in name order to get the full deterministic permutation. The shard
+    layout is a committed once-per-corpus-fingerprint ARTIFACT
+    (sources/artifact.py — a shard export is a pipeline landing, not a
+    per-report scratch write; re-invocations and plan dumps must not
+    destructively rewrite it). The manifest (doc/byte counts, id
+    checksum, first/last key per shard) is aggregated FROM THE
+    COMMITTED FILES, not the input — it certifies the landing the way
+    a trainer's data loader would checksum it; the oracle recomputes
+    the same census from the raw table, so a doc dropped or duplicated
+    by the writer is a gate hash miss. Read-back declares the schema
+    explicitly (partition-column type inference never decides the
+    manifest's shard type)."""
+    from ..sources.artifact import input_fingerprint, materialized_path
 
-    from ..streaming.ingest import stream_workdir
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
 
-    base = stream_workdir(sf_dir, "train_shards")
-    dst = base / "sink"
-    if base.exists():
-        shutil.rmtree(base)
-    h = F.sha2(F.concat(F.lit("shuf1_"), F.col("doc_id").cast("string")), 256)
-    staged = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.octet_length("text").cast("long").alias("n_bytes"),
-            h.alias("h"),
+    def write(dest: str) -> None:
+        (
+            SK.with_shard_cols(docs)
+            .repartition("shard")
+            .sortWithinPartitions("h")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(dest)
         )
-        .withColumn("shard", F.substring("h", 1, 1))
+
+    src = materialized_path(
+        "train_shards", input_fingerprint(sf_dir, "documents", "shards-v1"), write
     )
-    (
-        staged.repartition("shard")
-        .sortWithinPartitions("h")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(str(dst))
-    )
-    written = spark.read.parquet(str(dst))
-    return written.groupBy("shard").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_bytes").cast("long").alias("n_bytes"),
-        F.sum("doc_id").cast("long").alias("sum_doc_id"),
-        F.min("h").alias("first_key"),
-        F.max("h").alias("last_key"),
-    ).select(
-        F.col("shard").cast("string").alias("shard"),
-        "n_docs",
-        "n_bytes",
-        "sum_doc_id",
-        "first_key",
-        "last_key",
-    )
+    written = spark.read.schema(
+        "doc_id bigint, n_bytes bigint, h string, shard string"
+    ).parquet(src)
+    return SK.manifest_select(SK.shard_census(written))
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +203,11 @@ def _mg_candidates(items: DataFrame) -> DataFrame:
         counters = pd.Series(dtype="int64")
         for pdf in batches:
             vc = pdf["item"].value_counts()
-            counters = counters.add(vc, fill_value=0)
+            # keep the counters integral by construction: Series.add
+            # with fill_value promotes to float64, which is exact only
+            # below 2^53 — cast back so the superset contract never
+            # silently depends on that bound
+            counters = counters.add(vc, fill_value=0).astype("int64")
             if len(counters) > _MG_CAPACITY:
                 cut = counters.nlargest(_MG_CAPACITY + 1).iloc[-1]
                 counters = counters - cut
@@ -487,12 +478,12 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sample_fixed",
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT doc_id, source,
-         sha256('fix1_' || CAST(doc_id AS VARCHAR)) AS h
+         {SK.salted_key_sql(SK.SAMPLE_SALT)} AS h
   FROM documents)
-SELECT doc_id, source, h FROM s ORDER BY h LIMIT 100
+SELECT doc_id, source, h FROM s ORDER BY h LIMIT {SK.SAMPLE_K}
 """,
 )
 def q_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,28 +495,29 @@ def q_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     perturbs membership at the k-th boundary, unlike rand() which
     redraws everything). Plan: TakeOrderedAndProject — each partition
     keeps its local k, the driver merges k-sized heaps; no global
-    sort ever materializes at 100 TB."""
-    h = F.sha2(F.concat(F.lit("fix1_"), F.col("doc_id").cast("string")), 256)
+    sort ever materializes at 100 TB. Key + k live in
+    functions/sampling.py, shared with the stream twin's fold and the
+    oracle string — one definition, three consumers."""
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", "source", h.alias("h"))
+        .select("doc_id", "source", SK.salted_key(SK.SAMPLE_SALT).alias("h"))
         .orderBy("h")
-        .limit(100)
+        .limit(SK.SAMPLE_K)
     )
 
 
 @register(
     "q_sample_per_group",
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT doc_id, source,
-         sha256('grp1_' || CAST(doc_id AS VARCHAR)) AS h
+         {SK.salted_key_sql(SK.GROUP_SAMPLE_SALT)} AS h
   FROM documents),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
   FROM s)
 SELECT source, doc_id, CAST(rn AS INTEGER) AS rn
-FROM r WHERE rn <= 5
+FROM r WHERE rn <= {SK.GROUP_SAMPLE_K}
 """,
 )
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,13 +529,14 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     task."""
     from pyspark.sql import Window
 
-    h = F.sha2(F.concat(F.lit("grp1_"), F.col("doc_id").cast("string")), 256)
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", "source", h.alias("h"))
+        .select(
+            "doc_id", "source", SK.salted_key(SK.GROUP_SAMPLE_SALT).alias("h")
+        )
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= SK.GROUP_SAMPLE_K)
         .select("source", "doc_id", F.col("rn").cast("int").alias("rn"))
     )
 
@@ -809,24 +802,10 @@ def q_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold(batch_df, epoch_id):
-        h = F.sha2(
-            F.concat(F.lit("shuf1_"), F.col("doc_id").cast("string")), 256
-        )
+        # the SAME staging + census expressions as the batch writer
+        # (functions/sampling.py) — the twins cannot drift apart
         (
-            batch_df.select(
-                "doc_id",
-                F.octet_length("text").cast("long").alias("n_bytes"),
-                h.alias("h"),
-            )
-            .withColumn("shard", F.substring("h", 1, 1))
-            .groupBy("shard")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("n_bytes").cast("long").alias("n_bytes"),
-                F.sum("doc_id").cast("long").alias("sum_doc_id"),
-                F.min("h").alias("first_key"),
-                F.max("h").alias("last_key"),
-            )
+            SK.shard_census(SK.with_shard_cols(batch_df))
             .write.mode("overwrite")
             .parquet(f"{partials_dir}/epoch={epoch_id}")
         )
@@ -840,20 +819,7 @@ def q_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     parts = spark.read.parquet(f"{partials_dir}/epoch=*")
-    return parts.groupBy("shard").agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("n_bytes").cast("long").alias("n_bytes"),
-        F.sum("sum_doc_id").cast("long").alias("sum_doc_id"),
-        F.min("first_key").alias("first_key"),
-        F.max("last_key").alias("last_key"),
-    ).select(
-        F.col("shard").cast("string").alias("shard"),
-        "n_docs",
-        "n_bytes",
-        "sum_doc_id",
-        "first_key",
-        "last_key",
-    )
+    return SK.manifest_select(SK.fold_manifests(parts))
 
 
 # every manifest stat folds commutatively, so the batch manifest's

@@ -43,81 +43,40 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-5 window: the driver oracle-checks a 50-query prefix of the
-    # registered order. Head = every query REGISTERED THIS ROUND (50 by
-    # round close: the six r4-landed capabilities the r4 verdict put
-    # first, then everything added during round 5 including the late
-    # training-export block) — a query without a driver verdict is
-    # claimed, not proven, so never-checked beats stale-rechecked for
-    # window slots; the 50 new queries exactly fill the window. The
-    # r2-stale flagships listed next queue for round 6; every stale
-    # query is hash-verified in this round's full sf0.01/sf0.1 sweeps
-    # (BASELINE.md final-r5c). q_sha2 re-verifies transitively
-    # (q_dedup_exact survivor keys are sha2(text)); q_hll_distinct is
-    # rows-only by construction.
-    "q_events_format_parity",
-    "q_alert_rules_eval",
-    "q_bloom_decontaminate",
-    "q_weighted_mix",
-    "q_ivf_topk_trained",
-    "q_compact_partials",
-    "q_ann_batch_ivf",
-    "q_neardup_recall",
-    "q_dq_checks",
-    "q_stream_dq",
-    "q_approx_quantile_bound",
-    "q_nation_profit",
-    "q_late_shipments",
-    "q_blocking_suppliers",
-    "q_doc_chunks",
-    "q_vocab_coverage",
-    "q_ivf_incremental",
-    "q_min_cost_supplier",
-    "q_excess_suppliers",
-    "q_cohort_retention",
-    "q_funnel_stages",
-    "q_time_weighted_avg",
-    "q_embedding_gram",
-    "q_semantic_dedup",
-    "q_delta_join",
-    "q_stream_join_view",
-    "q_bpe_merges",
-    "q_sample_estimate_bound",
-    "q_stream_funnel",
-    "q_anomaly_mad",
-    "q_snapshot_roundtrip",
-    "q_metrics_exposition",
-    "q_compaction_parity",
-    "q_bpe_tokenize",
-    "q_stream_topk",
-    "q_stream_late_drops",
-    "q_stream_resume",
-    "q_retention_sweep",
-    "q_neardup_source_matrix",
-    "q_bucketed_join",
-    "q_pq_encode",
-    "q_shard_manifest",
-    "q_curriculum",
-    "q_heavy_hitters",
-    "q_containment",
-    "q_mix_epochs",
-    "q_sample_fixed",
-    "q_sample_per_group",
-    "q_event_drift",
-    "q_link_rank",
-    # 51st+ round-5 entries: past the 50-slot window edge; verified in
-    # this round's sf0.01/sf0.1 sweeps, queue for a driver verdict in
-    # round 6 with the stale cohort
-    "q_stream_event_drift",
+    # Round-6 window: the driver oracle-checks a 50-query prefix of the
+    # registered order. Priority policy (r5 verdict items 1-2):
+    # (a) the 7 late-r5 queries that have NEVER had a driver verdict —
+    #     the only thing between this repo and a fully driver-proven
+    #     ledger; converting components E3c/E10c/E21/E22/E14b;
+    # (b) queries whose implementation CHANGED this round (shard-layout
+    #     artifact + shared salted-key helpers, pipeline CC artifact,
+    #     Misra-Gries int64 counters) — a fresh pass-r05 verdict no
+    #     longer covers the rewritten path;
+    # (c) the r1/r2-stale cohort, flagship composites first, whose last
+    #     driver verdict predates rounds of rewrites underneath them.
+    # Everything is re-verified in this round's own sf0.01 parity
+    # sweeps before the gate; the driver's check is the hard signal.
+    # --- (a) never driver-checked (late r5) ---
     "q_ann_filtered",
     "q_pq_topk",
     "q_text_embedding_stats",
+    "q_source_gini",
     "q_stream_sample",
     "q_stream_manifest",
-    "q_source_gini",
-    # r2-stale: flagship composites + paths rewritten this round
-    # (CC/pair artifacts, IVF artifact, shared envelope source)
+    "q_stream_event_drift",
+    # --- (b) changed in round 6 (incl. the resumable-checkpoint
+    #     conversion of the stream-state family) ---
     "q_pipeline_e2e",
+    "q_shard_manifest",
+    "q_sample_fixed",
+    "q_sample_per_group",
+    "q_heavy_hitters",
+    "q_stream_join_view",
+    "q_stream_scd2",
+    "q_stream_delta_agg",
+    # --- (c) stale: flagship composites + paths rewritten since their
+    #     last verdict (CC/pair artifacts, IVF artifact, event sink,
+    #     shared envelope source) ---
     "q_neardup_clusters",
     "q_ngram_jaccard",
     "q_cdc_replay",
@@ -130,7 +89,7 @@ _CHECK_FIRST = [
     "q_session_windows",
     "q_snapshot_diff",
     "q_alert_sustained",
-    # r2-stale: relational / warehouse block
+    # --- (c) stale: relational / warehouse block ---
     "q_join_fk",
     "q_join_star",
     "q_local_supplier_volume",
@@ -147,7 +106,7 @@ _CHECK_FIRST = [
     "q_running_total",
     "q_old_image",
     "q_typed_cast",
-    # r2-stale: logs + text block
+    # --- (c) stale: logs + text block ---
     "q_log_ingest",
     "q_log_error_rate",
     "q_lang_id",
@@ -155,8 +114,8 @@ _CHECK_FIRST = [
     "q_quality_score",
     "q_repetition_ratio",
     "q_text_stats",
-    # past the 50-slot window edge: lowest-risk map-only stale shapes
-    # (fresh sf0.1 sweep verdicts this round) + by-construction entries
+    # --- (c) stale: map-only shapes (lowest risk; the tail of the
+    #     50-slot window + first spill into round 7) ---
     "q_scrub_text",
     "q_fingerprint",
     "q_split_assign",
@@ -167,6 +126,8 @@ _CHECK_FIRST = [
     "q_props_json",
     "q_sha2",
     "q_hll_distinct",
+    # everything below kept its round-3+ verdict on an unchanged path;
+    # fresh pass-r05 entries keep registration order after these
 ]
 
 _loaded = False

@@ -27,6 +27,7 @@ from .tables import load_table
 _CC_VERSION = "neardup-cc-v1"
 _PAIRS_VERSION = "neardup-pairs-v1"
 _MH_PAIRS_VERSION = "neardup-minhash-pairs-v1"
+_PIPE_CC_VERSION = "pipeline-cc-v1"
 
 
 def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,6 +83,34 @@ def minhash_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp,
         lambda: neardup_pairs(neardup_corpus(spark, sf_dir)),
     )
+
+
+def pipeline_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) over q_pipeline_e2e's STAGED corpus —
+    quality gate -> exact dedup -> blocked n-gram pairs -> connected
+    components — built once per documents fingerprint. Distinct from
+    :func:`neardup_cluster_table` (raw planted corpus): the pipeline
+    clusters the post-gate survivors, so its pair graph is a different
+    (smaller) graph. The build path is byte-identical to the former
+    inline derivation inside q_pipeline_e2e, so the flagship's hash
+    cannot change; the DuckDB oracle still re-derives components from
+    scratch, which keeps the artifact honest. At 100 TB the pipeline
+    run IS the workload once — but every re-invocation (bench, gate,
+    dashboards) must not repay the iterative CC, the most expensive
+    stage in the repo."""
+    from ..functions import text as TX
+    from ..functions.dedup import exact_dedup, neardup_clusters, ngram_jaccard_pairs
+
+    def build() -> DataFrame:
+        qual = (
+            TX.with_quality_metrics(neardup_corpus(spark, sf_dir))
+            .filter("keep")
+            .select("doc_id", "text")
+        )
+        return neardup_clusters(ngram_jaccard_pairs(exact_dedup(qual)))
+
+    fp = input_fingerprint(sf_dir, "documents", _PIPE_CC_VERSION)
+    return materialized(spark, "pipeline_clusters", fp, build)
 
 
 def neardup_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:

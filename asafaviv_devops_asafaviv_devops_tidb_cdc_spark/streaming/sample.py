@@ -22,16 +22,16 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.sampling import SAMPLE_K, SAMPLE_SALT, salted_key
 from . import ingest
-
-SAMPLE_K = 100
 
 
 def _keyed(df: DataFrame) -> DataFrame:
-    h = F.sha2(F.concat(F.lit("fix1_"), F.col("doc_id").cast("string")), 256)
-    return df.select("doc_id", "source", h.alias("h"))
+    # the SAME draw key as q_sample_fixed and its oracle
+    # (functions/sampling.py) — the twin contract cannot drift
+    return df.select("doc_id", "source", salted_key(SAMPLE_SALT).alias("h"))
 
 
 def run_sample_stream(
