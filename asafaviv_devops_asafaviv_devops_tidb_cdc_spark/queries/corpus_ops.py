@@ -490,9 +490,13 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import ingest as I
     from ..streaming import scd2 as S
 
-    base = I.stream_workdir(sf_dir, "scd2")
+    # resumable: first call drains, later calls are an empty drain +
+    # state read (bump the version on any scd2-fold change)
+    base = I.resumable_workdir(sf_dir, "events", "scd2", "scd2-v1")
     src = I.envelope_files(spark, sf_dir, None, n_files=4)
-    S.run_scd2_stream(spark, src, str(base / "state"), str(base / "ckpt"))
+    S.run_scd2_stream(
+        spark, src, str(base / "state"), str(base / "ckpt"), fresh=False
+    )
     return S.history(spark, str(base / "state")).select(
         "table_name",
         "row_id",
@@ -621,11 +625,15 @@ def q_stream_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence, checked end to end."""
     from ..streaming import delta as D
     from ..streaming import ingest as I
-    from ..streaming.ingest import stream_workdir
 
-    base = stream_workdir(sf_dir, "delta")
+    # resumable: first call drains into epoch partials, later calls are
+    # an empty drain + the monoid fold over the committed partials
+    # (bump the version on any retraction-fold change)
+    base = I.resumable_workdir(sf_dir, "events", "delta", "delta-v1")
     src = I.envelope_files(spark, sf_dir, None, n_files=4)
-    D.run_delta_stream(spark, src, str(base / "partials"), str(base / "ckpt"))
+    D.run_delta_stream(
+        spark, src, str(base / "partials"), str(base / "ckpt"), fresh=False
+    )
     return D.folded_totals(spark, str(base / "partials"))
 
 

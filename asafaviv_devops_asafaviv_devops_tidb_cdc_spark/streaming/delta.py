@@ -40,13 +40,18 @@ def run_delta_stream(
     partials_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    fresh: bool = True,
 ) -> None:
     """Drain the envelope backlog, folding each micro-batch into
     retraction partials. Order-robust (unlike the watermarked dedupe
     path): the fold never inspects event order, so multi-file sources
-    replaying in any interleaving converge to the same totals."""
-    for d in (partials_dir, checkpoint_dir):
-        shutil.rmtree(Path(d), ignore_errors=True)
+    replaying in any interleaving converge to the same totals.
+    ``fresh=False`` resumes from existing partials + checkpoint (an
+    already-drained backlog is an empty drain; the idempotent
+    epoch=<id> partials make a resumed crash exactly-once)."""
+    if fresh:
+        for d in (partials_dir, checkpoint_dir):
+            shutil.rmtree(Path(d), ignore_errors=True)
     stream = (
         spark.readStream.schema(ingest.SOURCE_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -215,6 +215,24 @@ def stream_workdir(sf_dir: str, tag: str) -> Path:
     return base / "tidb_cdc_spark_stream" / f"{sf}_{tag}"
 
 
+def resumable_workdir(sf_dir: str, table: str, tag: str, version: str) -> Path:
+    """Workdir for a stream whose state + checkpoint are KEPT across
+    invocations (the production posture: a stream drains its backlog
+    once; every later trigger processes only NEW data — re-running a
+    query against an already-drained checkpoint is an empty drain plus
+    a state read, not a replay). Keyed by the source table's content
+    fingerprint + a version string the caller bumps whenever the fold
+    logic or state schema changes, so regenerated testdata or a
+    rewritten maintainer can never serve stale state. The checkpoint
+    itself guarantees the rest: a crashed prior drain resumes
+    exactly-once (q_stream_resume pins this), and a finished one
+    no-ops."""
+    from ..sources.artifact import input_fingerprint
+
+    fp = input_fingerprint(sf_dir, table, version)
+    return stream_workdir(sf_dir, f"{tag}_{fp}")
+
+
 def read_envelope_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(SOURCE_SCHEMA)

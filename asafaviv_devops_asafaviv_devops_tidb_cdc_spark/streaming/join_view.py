@@ -45,6 +45,7 @@ from .merge import (
     bucket_of,
     latest_bucket_paths,
     live_state,
+    touched_buckets,
 )
 
 VIEW_N_BUCKETS = 8
@@ -86,36 +87,55 @@ def apply_join_view_batch(
     n_buckets: int = VIEW_N_BUCKETS,
 ) -> None:
     """One micro-batch: MERGE into the co-bucketed side state, then
-    refresh exactly the view buckets this batch touched."""
+    refresh exactly the view buckets this batch touched. The batch is
+    persisted ONCE and its touched-bucket set computed ONCE (one scalar
+    driver action), shared by both folds — state and view bucket on the
+    same key, so their touched sets are identical by construction."""
     ub = lambda: bucket_of(["user_id"], n_buckets)  # noqa: E731
 
-    # 1. side-state MERGE, bucketed on the JOIN key
-    apply_merge_batch(
-        spark,
-        batch_df,
-        state_dir,
-        epoch_id,
-        n_buckets=n_buckets,
-        bucket_keys=["user_id"],
-    )
+    own_cache = not batch_df.is_cached
+    if own_cache:
+        batch_df = batch_df.persist()
+    try:
+        touched = touched_buckets(batch_df, ub)
+        if not touched:
+            return
 
-    # 2. partial view refresh: recompute exactly the user-buckets this
-    # batch touched, from the post-merge side state. The fold ignores
-    # `existing` — a refreshed bucket is a deterministic function of
-    # current side state, which is what makes update/delete handling
-    # retraction-free.
-    def refresh(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
-        touched = sorted(
-            batch.select(ub().alias("_b")).agg(F.collect_set("_b")).collect()[0][0]
+        # 1. side-state MERGE, bucketed on the JOIN key
+        apply_merge_batch(
+            spark,
+            batch_df,
+            state_dir,
+            epoch_id,
+            n_buckets=n_buckets,
+            bucket_keys=["user_id"],
+            touched=touched,
         )
-        paths = latest_bucket_paths(state_dir)
-        touched_paths = [str(paths[b]) for b in touched if b in paths]
-        side = spark.read.parquet(*touched_paths)
-        return _view_rows(side, left_table, right_table)
 
-    apply_bucketed_fold(
-        spark, batch_df, view_dir, epoch_id, ub, refresh, n_buckets=n_buckets
-    )
+        # 2. partial view refresh: recompute exactly the user-buckets
+        # this batch touched, from the post-merge side state. The fold
+        # ignores `existing` — a refreshed bucket is a deterministic
+        # function of current side state, which is what makes
+        # update/delete handling retraction-free.
+        def refresh(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+            paths = latest_bucket_paths(state_dir)
+            touched_paths = [str(paths[b]) for b in touched if b in paths]
+            side = spark.read.parquet(*touched_paths)
+            return _view_rows(side, left_table, right_table)
+
+        apply_bucketed_fold(
+            spark,
+            batch_df,
+            view_dir,
+            epoch_id,
+            ub,
+            refresh,
+            n_buckets=n_buckets,
+            touched=touched,
+        )
+    finally:
+        if own_cache:
+            batch_df.unpersist()
 
 
 def run_join_view_stream(
@@ -128,13 +148,17 @@ def run_join_view_stream(
     right_table: str = RIGHT_TABLE,
     max_files_per_trigger: int = 2,
     n_buckets: int = VIEW_N_BUCKETS,
+    fresh: bool = True,
 ) -> None:
     """Drain the envelope backlog, maintaining side state AND the
-    materialized join view per micro-batch."""
-    for d in (state_dir, view_dir, checkpoint_dir):
-        p = Path(d)
-        if p.exists():
-            shutil.rmtree(p)
+    materialized join view per micro-batch. ``fresh=False`` resumes
+    from existing state/view/checkpoint (see
+    merge.run_replay_stream)."""
+    if fresh:
+        for d in (state_dir, view_dir, checkpoint_dir):
+            p = Path(d)
+            if p.exists():
+                shutil.rmtree(p)
 
     from .ingest import (
         SOURCE_SCHEMA,

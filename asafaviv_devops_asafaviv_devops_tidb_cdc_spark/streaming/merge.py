@@ -161,6 +161,19 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(latest)
 
 
+def touched_buckets(batch_df: DataFrame, bucket_expr) -> list[int]:
+    """Bucket ids a batch's keys hash into: ONE scalar driver action,
+    <= n_buckets ints. Maintainers that fold a batch into SEVERAL
+    state tables on the same key (e.g. the join view's side state +
+    view) compute this once and pass it to each fold instead of
+    re-running the scan per table."""
+    return sorted(
+        batch_df.select(bucket_expr().alias("_b")).agg(F.collect_set("_b")).collect()[
+            0
+        ][0]
+    )
+
+
 def apply_bucketed_fold(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -169,6 +182,7 @@ def apply_bucketed_fold(
     bucket_expr,
     fold,
     n_buckets: int = N_STATE_BUCKETS,
+    touched: list[int] | None = None,
 ) -> None:
     """Generic partition-pruned state maintenance: fold one micro-batch
     into the hash-bucketed state table, reading and rewriting ONLY the
@@ -188,14 +202,14 @@ def apply_bucketed_fold(
     executor loss just recomputes from those durable inputs. This is
     the table-format recipe Delta/Iceberg productionize: immutable data
     files + per-partition version pointers."""
-    batch_df = batch_df.persist()
+    # persist only if the caller hasn't: a maintainer driving several
+    # folds over one persisted batch keeps its cache alive across them
+    own_cache = not batch_df.is_cached
+    if own_cache:
+        batch_df = batch_df.persist()
     try:
-        # touched bucket ids: ONE scalar driver action, <= n_buckets ints
-        touched = sorted(
-            batch_df.select(bucket_expr().alias("_b"))
-            .agg(F.collect_set("_b"))
-            .collect()[0][0]
-        )
+        if touched is None:
+            touched = touched_buckets(batch_df, bucket_expr)
         if not touched:
             return
         prior = latest_bucket_paths(state_dir, before_epoch=epoch_id)
@@ -229,7 +243,8 @@ def apply_bucketed_fold(
             _prune_versions(str(dst.parent), keep=2)
         shutil.rmtree(stage, ignore_errors=True)
     finally:
-        batch_df.unpersist()
+        if own_cache:
+            batch_df.unpersist()
 
 
 def apply_merge_batch(
@@ -242,6 +257,7 @@ def apply_merge_batch(
     n_buckets: int = N_STATE_BUCKETS,
     tombstone_horizon_ms: int | None = None,
     bucket_keys: Sequence[str] | None = None,
+    touched: list[int] | None = None,
 ) -> None:
     """MERGE one micro-batch into the bucketed CDC state table:
     last-writer-wins fold with tombstone retention + replay-horizon
@@ -279,6 +295,7 @@ def apply_merge_batch(
         lambda: bucket_of(bucket_keys or keys, n_buckets),
         fold,
         n_buckets=n_buckets,
+        touched=touched,
     )
 
 
@@ -290,13 +307,22 @@ def run_replay_stream(
     max_files_per_trigger: int = 2,
     n_buckets: int = N_STATE_BUCKETS,
     tombstone_horizon_ms: int | None = None,
+    fresh: bool = True,
 ) -> None:
     """Drain a canal-json envelope backlog through P1->P6 and MERGE each
-    micro-batch into the bucketed state table at ``state_dir``."""
-    for d in (state_dir, checkpoint_dir):
-        p = Path(d)
-        if p.exists():
-            shutil.rmtree(p)
+    micro-batch into the bucketed state table at ``state_dir``.
+
+    ``fresh=False`` keeps existing state + checkpoint and RESUMES: an
+    already-drained backlog becomes an empty drain (the steady-state
+    trigger cost a production stream pays), a crashed one continues
+    exactly-once. Callers pass a fingerprint-keyed workdir
+    (streaming/ingest.py::resumable_workdir) so stale state can never
+    outlive a source or logic change."""
+    if fresh:
+        for d in (state_dir, checkpoint_dir):
+            p = Path(d)
+            if p.exists():
+                shutil.rmtree(p)
 
     from .ingest import SOURCE_SCHEMA
 

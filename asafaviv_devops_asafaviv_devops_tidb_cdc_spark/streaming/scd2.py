@@ -71,11 +71,14 @@ def run_scd2_stream(
     state_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    fresh: bool = True,
 ) -> None:
     """Drain the envelope backlog maintaining the per-key event state
-    the SCD2 view derives from."""
-    for d in (state_dir, checkpoint_dir):
-        shutil.rmtree(Path(d), ignore_errors=True)
+    the SCD2 view derives from. ``fresh=False`` resumes from existing
+    state + checkpoint (see merge.run_replay_stream)."""
+    if fresh:
+        for d in (state_dir, checkpoint_dir):
+            shutil.rmtree(Path(d), ignore_errors=True)
 
     stream = (
         spark.readStream.schema(ingest.SOURCE_SCHEMA)
