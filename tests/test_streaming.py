@@ -789,3 +789,60 @@ def test_funnel_under_zipf_skew_matches_batch(spark, tmp_path):
     assert got == {"1_view": v_n, "2_click": c_n, "3_purchase": p_n}
     # the hot user really is hot: half the events, full funnel
     assert len(hist[0]["view"]) + len(hist[0]["click"]) + len(hist[0]["purchase"]) == 90
+
+
+def test_resumable_workdir_rotates_on_version_and_source(tmp_path):
+    """The resumable checkpoint scaffold is keyed by (source
+    fingerprint, fold version): same inputs resolve to the same dir
+    (that is what makes resume possible), a version bump rotates to a
+    fresh dir (stale state can never serve a rewritten fold), and the
+    fingerprint tracks the source table's content."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming.ingest import resumable_workdir
+
+    a = resumable_workdir(SF_SMOKE, "events", "merge", "merge-v1")
+    b = resumable_workdir(SF_SMOKE, "events", "merge", "merge-v1")
+    assert a == b, "same key must resolve to the same workdir"
+    assert a != resumable_workdir(SF_SMOKE, "events", "merge", "merge-v2")
+    assert a != resumable_workdir(SF_SMOKE, "documents", "merge", "merge-v1")
+
+
+def test_replay_stream_resume_equals_fresh_drain(spark, tmp_path):
+    """fresh=False resume semantics: a second drain over an
+    already-consumed backlog must be a no-op that serves the identical
+    state a single fresh drain produces — and must NOT re-fold the
+    backlog (double-merging would double version chains, not counts,
+    so compare full state content, not just counts)."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import (
+        ingest as I,
+        merge,
+    )
+
+    src = I.envelope_files(spark, SF_SMOKE, None, n_files=4)
+
+    fresh_base = tmp_path / "fresh"
+    merge.run_replay_stream(
+        spark, src, str(fresh_base / "state"), str(fresh_base / "ckpt")
+    )
+    want = sorted(
+        tuple(r)
+        for r in merge.live_state(
+            merge.read_state(spark, str(fresh_base / "state"))
+        ).collect()
+    )
+
+    res_base = tmp_path / "resumable"
+    for _ in range(3):  # first call drains, the next two must no-op
+        merge.run_replay_stream(
+            spark,
+            src,
+            str(res_base / "state"),
+            str(res_base / "ckpt"),
+            fresh=False,
+        )
+    got = sorted(
+        tuple(r)
+        for r in merge.live_state(
+            merge.read_state(spark, str(res_base / "state"))
+        ).collect()
+    )
+    assert got == want and len(want) > 0
