@@ -13,12 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import multimodal, similarity, text as TX
-from ..functions.dedup import (
-    exact_dedup,
-    neardup_pairs,
-    simhash_neardup_pairs,
-    with_simhash,
-)
+from ..functions.dedup import exact_dedup, with_simhash
 from ..registry import register
 from ..sources import load_table
 
@@ -113,15 +108,13 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 — MinHash-LSH near-dup: shingle -> salted-minhash bands ->
     bucket equi-join candidates (never the n² pair space) -> exact
     Jaccard verify in integer ppm. Planted mutants (doc || ' zzz…')
-    are the expected catches."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    corpus = docs.unionByName(
-        docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zzz zzz zzz")).alias("text"),
-        )
-    )
-    return neardup_pairs(corpus)
+    are the expected catches. Served from a once-per-fingerprint pair
+    artifact (sources/cluster_store.py — same doctrine as the n-gram
+    pair table; the oracle re-derives the full pipeline from
+    scratch)."""
+    from ..sources.cluster_store import minhash_mutant_pair_table
+
+    return minhash_mutant_pair_table(spark, sf_dir)
 
 
 # --- E2b: SimHash + n-gram Jaccard families --------------------------------
@@ -205,8 +198,11 @@ WHERE len(list_filter(range(1, 65),
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 — SimHash near-dup: 4×16-bit band blocking (pigeonhole-exact
     for hamming<=3) then exact hamming verify. Planted exact copies are
-    guaranteed distance-0 catches."""
-    return simhash_neardup_pairs(_neardup_corpus(spark, sf_dir))
+    guaranteed distance-0 catches. Served from a once-per-fingerprint
+    pair artifact (sources/cluster_store.py)."""
+    from ..sources.cluster_store import simhash_pair_table
+
+    return simhash_pair_table(spark, sf_dir)
 
 
 @register(

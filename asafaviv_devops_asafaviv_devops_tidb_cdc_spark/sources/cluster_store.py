@@ -28,6 +28,8 @@ _CC_VERSION = "neardup-cc-v1"
 _PAIRS_VERSION = "neardup-pairs-v1"
 _MH_PAIRS_VERSION = "neardup-minhash-pairs-v1"
 _PIPE_CC_VERSION = "pipeline-cc-v1"
+_MH_MUTANT_VERSION = "minhash-mutant-pairs-v1"
+_SIMHASH_PAIRS_VERSION = "simhash-pairs-v1"
 
 
 def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,6 +84,51 @@ def minhash_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neardup_minhash_pairs",
         fp,
         lambda: neardup_pairs(neardup_corpus(spark, sf_dir)),
+    )
+
+
+def mutant_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + suffix mutants only (every 7th doc || ' zzz…',
+    id+1e6) — the MinHash detector's planted corpus (no exact copies:
+    LSH banding's probabilistic catches are the thing under test)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz zzz zzz")).alias("text"),
+        )
+    )
+
+
+def minhash_mutant_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH verified pairs over the mutants-only corpus,
+    materialized once per documents fingerprint (build byte-identical
+    to the inline ``neardup_pairs`` derivation; the oracle re-derives
+    from scratch, keeping the artifact honest)."""
+    from ..functions.dedup import neardup_pairs
+
+    fp = input_fingerprint(sf_dir, "documents", _MH_MUTANT_VERSION)
+    return materialized(
+        spark,
+        "minhash_mutant_pairs",
+        fp,
+        lambda: neardup_pairs(mutant_corpus(spark, sf_dir)),
+    )
+
+
+def simhash_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs over the planted copies+mutants
+    corpus, materialized once per documents fingerprint (build
+    byte-identical to the inline ``simhash_neardup_pairs``
+    derivation)."""
+    from ..functions.dedup import simhash_neardup_pairs
+
+    fp = input_fingerprint(sf_dir, "documents", _SIMHASH_PAIRS_VERSION)
+    return materialized(
+        spark,
+        "simhash_pairs",
+        fp,
+        lambda: simhash_neardup_pairs(neardup_corpus(spark, sf_dir)),
     )
 
 
