@@ -878,3 +878,229 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E23 — PII detection / redaction census (round 6)
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PII_PHONE = r"\+[0-9]{7,12}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@register(
+    "q_pii_census",
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST(doc_id % 100 AS VARCHAR)
+              ELSE '' END AS text
+  FROM documents),
+m AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_em,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_ph,
+         len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip,
+         length(text) - length(
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS delta
+  FROM c)
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE n_em + n_ph + n_ip > 0) AS BIGINT)
+         AS n_docs_flagged,
+       CAST(SUM(n_em) AS BIGINT) AS n_emails,
+       CAST(SUM(n_ph) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+       CAST(SUM(delta) AS BIGINT) AS chars_redacted
+FROM m GROUP BY 1
+""",
+)
+def q_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23 — PII detection + redaction census: per source, how many
+    docs carry an email / phone / IPv4 pattern, how many instances of
+    each, and exactly how many characters a redaction pass would
+    remove — the compliance scrub every published training corpus
+    runs before release, sized here before committing to it (the same
+    report-before-scrub posture as the boilerplate detector). The
+    corpus plants deterministic PII (synthetic contact strings derived
+    from doc_id on every 11th/13th/17th doc) so both engines derive an
+    identical ground truth at any SF. All three patterns evaluate in
+    ONE map-only pass per doc (regexp_count + a chained
+    regexp_replace length delta, whole-stage codegen — no UDF, no
+    shuffle before the tiny source aggregation); at 100 TB this is a
+    pure scan-rate workload, and the real scrub writes the redacted
+    text with the same per-row expression."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1555"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    m = d.select(
+        "source",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_em"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_ph"),
+        F.regexp_count("text", F.lit(_PII_IP)).alias("n_ip"),
+        (
+            F.length("text")
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+                        _PII_PHONE,
+                        "<PHONE>",
+                    ),
+                    _PII_IP,
+                    "<IP>",
+                )
+            )
+        ).alias("delta"),
+    )
+    return m.groupBy("source").agg(
+        F.sum(((F.col("n_em") + F.col("n_ph") + F.col("n_ip")) > 0).cast("long"))
+        .cast("long")
+        .alias("n_docs_flagged"),
+        F.sum("n_em").cast("long").alias("n_emails"),
+        F.sum("n_ph").cast("long").alias("n_phones"),
+        F.sum("n_ip").cast("long").alias("n_ips"),
+        F.sum("delta").cast("long").alias("chars_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2i — edit-distance near-dup (character-level verify; round 6)
+# ---------------------------------------------------------------------------
+
+_EDIT_MAX = 15
+
+
+@register(
+    "q_edit_neardup",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz zzz zzz'
+  FROM documents WHERE doc_id % 7 = 0),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM corpus),
+fp AS (
+  SELECT doc_id, text,
+         CASE WHEN len(t) >= 3 THEN
+           list_aggregate(list_transform(range(0, len(t) - 2),
+             i -> sha256(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])), 'min')
+         ELSE sha256(text) END AS fp
+  FROM toks)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {_EDIT_MAX}
+""",
+)
+def q_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2i — CHARACTER-level near-dup: pairs within edit distance
+    {_EDIT_MAX}, the detector that catches typo/OCR/punctuation
+    variants token-level Jaccard and SimHash treat as far apart (one
+    character edit changes a whole token). Blocking is the
+    one-permutation min-shingle fingerprint (the cheapest equi-join
+    scheme, shared with the n-gram family); verify runs Levenshtein
+    ONLY on the blocked candidates — never all-pairs — with Spark's
+    threshold variant, which banded-bounds the DP to O(k·n) per pair
+    instead of O(n²) (the oracle's plain levenshtein agrees on every
+    kept pair by definition). Texts attach to the narrow candidate
+    list late, after blocking (the detach/attach recipe of
+    functions/dedup.py). Planted suffix mutants (+' zzz zzz zzz' =
+    edit distance 12) are the deterministic catches. Served from a
+    once-per-corpus-fingerprint pair artifact (the detector doctrine
+    shared with the MinHash/SimHash/n-gram families)."""
+    from ..sources.artifact import input_fingerprint, materialized
+    from ..sources.cluster_store import mutant_corpus
+
+    def build() -> DataFrame:
+        from pyspark import StorageLevel
+
+        corpus = mutant_corpus(spark, sf_dir)
+        toks = corpus.withColumn("t", F.split("text", " "))
+        # persist the narrow (doc_id, fp) frame: the per-shingle sha256
+        # fold — the expensive expression — runs once, not once per
+        # self-join side (the functions/dedup.py recipe)
+        fp = (
+            toks.select(
+                "doc_id",
+                F.when(
+                    F.size("t") >= 3,
+                    F.expr(
+                        "array_min(transform(sequence(0, size(t) - 3), "
+                        "i -> sha2(concat_ws(' ', t[i], t[i+1], t[i+2]), 256)))"
+                    ),
+                )
+                .otherwise(F.sha2(F.col("text"), 256))
+                .alias("fp"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        fp.count()  # eager build
+        cand = (
+            fp.alias("a")
+            .join(
+                fp.alias("b"),
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
+        attached = cand.join(
+            corpus.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
+            "doc_a",
+        ).join(
+            corpus.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
+            "doc_b",
+        )
+        return (
+            attached.withColumn(
+                "edit_dist", F.levenshtein("ta", "tb", _EDIT_MAX).cast("int")
+            )
+            .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _EDIT_MAX))
+            .select("doc_a", "doc_b", "edit_dist")
+        )
+
+    fp_key = input_fingerprint(sf_dir, "documents", "edit-pairs-v1")
+    return materialized(spark, "edit_neardup_pairs", fp_key, build)

@@ -126,6 +126,10 @@ _CHECK_FIRST = [
     "q_props_json",
     "q_sha2",
     "q_hll_distinct",
+    # --- registered in round 6 (past the window edge; verified in this
+    #     round's own sf0.01 + sf0.1 parity sweeps, queue for round 7) ---
+    "q_pii_census",
+    "q_edit_neardup",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]

@@ -727,3 +727,15 @@ def test_pq_topk_scores_codes_with_broadcast_lut(spark):
     assert checks.uses_broadcast_join(df)
     assert not checks.has_cartesian(df)
     assert "TakeOrderedAndProject" in checks.plan_string(df)
+
+
+def test_pii_census_is_codegen_single_shuffle(spark):
+    """E23 PII census: all three pattern counters + the redaction byte
+    delta evaluate in one JVM map pass over the scan — no Python, no
+    joins, exactly the one source-aggregation exchange (partial agg
+    map-side). At 100 TB this must stay a pure scan-rate workload."""
+    df = _df("q_pii_census", spark)
+    plan = checks.plan_string(df)
+    assert "Python" not in plan, plan
+    assert "Join" not in plan, plan
+    assert checks.count_nodes(df, "Exchange") == 1, plan
