@@ -1104,3 +1104,127 @@ def q_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp_key = input_fingerprint(sf_dir, "documents", "edit-pairs-v1")
     return materialized(spark, "edit_neardup_pairs", fp_key, build)
+
+
+# ---------------------------------------------------------------------------
+# E24 — content-defined chunking + shared-chunk dedup census (round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_content_chunks",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, 'PFX ' || text
+  FROM documents WHERE doc_id % 9 = 0),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+tok AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) + 1),
+                i -> {'pos': i, 'tok': t[i]}), recursive := true)
+  FROM toks),
+fl AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN substr(sha256(tok), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+  FROM tok),
+ch AS (
+  SELECT doc_id, pos, tok,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS cno
+  FROM fl),
+chunk AS (
+  SELECT doc_id, cno, sha256(string_agg(tok, ' ' ORDER BY pos)) AS h
+  FROM ch GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_chunks
+  FROM chunk),
+res AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS resync_shared_chunks
+  FROM chunk c
+  WHERE c.doc_id >= 3000000 AND EXISTS (
+    SELECT 1 FROM chunk o
+    WHERE o.doc_id = c.doc_id - 3000000 AND o.h = c.h))
+SELECT n_chunks, n_unique_chunks,
+       CAST((n_chunks - n_unique_chunks) * 1000000 // n_chunks AS BIGINT)
+         AS dup_chunk_ppm,
+       resync_shared_chunks
+FROM tot, res
+""",
+)
+def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 — CONTENT-DEFINED chunking + shared-chunk census: documents
+    split at token positions where the token's hash clears a 1/16
+    threshold (a gear/rolling-hash boundary at word granularity — the
+    rsync/LBFS/casync storage-dedup primitive), then chunks are
+    content-hashed and the corpus-wide duplicate-chunk rate measured.
+    Why content-defined beats fixed-size: boundaries depend only on
+    LOCAL content, so a shifted copy re-synchronizes — the planted
+    copies (every 9th doc re-ingested with a 'PFX ' prefix) share
+    every chunk after their first boundary with the original, which
+    fixed-size chunking would entirely miss; `resync_shared_chunks`
+    counts exactly those re-synced chunks (a semi-join of each copy's
+    chunk hashes against its original's). Plan: one explode, ONE
+    per-doc-partitioned running-sum window (fully parallel — never a
+    global window), a (doc, chunk) aggregation with deterministic
+    in-chunk order, and a global distinct on the chunk hash — which at
+    100 TB IS the dedup store build (the chunk-hash table a
+    deduplicating blob store maintains)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat(F.lit("PFX "), F.col("text")).alias("text"),
+        )
+    )
+    # chunking is PER-DOC array math — boundary detection, chunk
+    # slicing and chunk hashing all run inside one map stage (no
+    # token-level shuffle, no window: a doc's chunks depend only on
+    # its own tokens, so nothing leaves the row until the tiny
+    # chunk-hash table explodes out at ~1/16 the token count)
+    chunk = (
+        corpus.withColumn("t", F.split("text", " "))
+        .withColumn(
+            "starts",
+            F.expr(
+                "array_distinct(concat(array(1), filter("
+                "sequence(1, size(t)), "
+                "i -> substring(sha2(element_at(t, i), 256), 1, 1) = '0')))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(starts, (s, j) -> sha2(concat_ws(' ', "
+                    "slice(t, s, IF(j + 1 < size(starts), "
+                    "element_at(starts, j + 2) - s, size(t) - s + 1))), 256))"
+                )
+            ).alias("cno", "h"),
+        )
+    )
+    tot = chunk.agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct("h").cast("long").alias("n_unique_chunks"),
+    )
+    copies = chunk.filter(F.col("doc_id") >= 3_000_000).select(
+        (F.col("doc_id") - 3_000_000).alias("orig_id"), "doc_id", "cno", "h"
+    )
+    originals = chunk.select(
+        F.col("doc_id").alias("orig_id"), F.col("h").alias("h")
+    )
+    res = (
+        copies.join(originals, ["orig_id", "h"], "left_semi")
+        .agg(F.count("*").cast("long").alias("resync_shared_chunks"))
+    )
+    return (
+        tot.crossJoin(res)
+        .select(
+            "n_chunks",
+            "n_unique_chunks",
+            F.expr(
+                "(n_chunks - n_unique_chunks) * 1000000 div n_chunks"
+            ).cast("long").alias("dup_chunk_ppm"),
+            "resync_shared_chunks",
+        )
+    )

@@ -130,6 +130,7 @@ _CHECK_FIRST = [
     #     round's own sf0.01 + sf0.1 parity sweeps, queue for round 7) ---
     "q_pii_census",
     "q_edit_neardup",
+    "q_content_chunks",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]

@@ -739,3 +739,15 @@ def test_pii_census_is_codegen_single_shuffle(spark):
     assert "Python" not in plan, plan
     assert "Join" not in plan, plan
     assert checks.count_nodes(df, "Exchange") == 1, plan
+
+
+def test_content_chunks_has_no_window_no_python(spark):
+    """E24 content-defined chunking: boundary detection, slicing and
+    chunk hashing are per-doc array expressions inside the map stage —
+    no token-level Window (a doc's chunks depend only on its own
+    tokens) and no Python anywhere; shuffles only start at the
+    chunk-hash census."""
+    df = _df("q_content_chunks", spark)
+    plan = checks.plan_string(df)
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
