@@ -884,9 +884,13 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E23 — PII detection / redaction census (round 6)
 # ---------------------------------------------------------------------------
 
-_PII_EMAIL = r"[a-z0-9]+@[a-z]+\.[a-z]+"
-_PII_PHONE = r"\+[0-9]{7,12}"
-_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+# one definition for the patterns + planting + census expressions,
+# shared with the streaming monitor (functions/pii.py)
+from ..functions import pii as PII  # noqa: E402
+
+_PII_EMAIL = PII.PII_EMAIL
+_PII_PHONE = PII.PII_PHONE
+_PII_IP = PII.PII_IP
 
 
 @register(
@@ -941,67 +945,49 @@ def q_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_replace length delta, whole-stage codegen — no UDF, no
     shuffle before the tiny source aggregation); at 100 TB this is a
     pure scan-rate workload, and the real scrub writes the redacted
-    text with the same per-row expression."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 11 == 0,
-                F.concat(
-                    F.lit(" contact u"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@example.com"),
-                ),
-            ).otherwise(""),
-            F.when(
-                F.col("doc_id") % 13 == 0,
-                F.concat(
-                    F.lit(" call +1555"),
-                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-                ),
-            ).otherwise(""),
-            F.when(
-                F.col("doc_id") % 17 == 0,
-                F.concat(
-                    F.lit(" from 10.0."),
-                    (F.col("doc_id") % 256).cast("string"),
-                    F.lit("."),
-                    (F.col("doc_id") % 100).cast("string"),
-                ),
-            ).otherwise(""),
-        ).alias("text"),
+    text with the same per-row expression. Expressions live in
+    functions/pii.py, shared verbatim with the streaming monitor
+    (q_stream_pii) and this oracle string."""
+    return PII.rollup(
+        PII.doc_metrics(PII.with_planted_pii(_docs(spark, sf_dir)))
     )
-    m = d.select(
-        "source",
-        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_em"),
-        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_ph"),
-        F.regexp_count("text", F.lit(_PII_IP)).alias("n_ip"),
-        (
-            F.length("text")
-            - F.length(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
-                        _PII_PHONE,
-                        "<PHONE>",
-                    ),
-                    _PII_IP,
-                    "<IP>",
-                )
-            )
-        ).alias("delta"),
+
+
+@register("q_stream_pii", oracle=None)  # batch oracle attached below
+def q_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23b — PII compliance monitor STREAM TWIN: each micro-batch's
+    per-source census lands as an idempotent epoch partial (every
+    statistic is a per-source SUM over disjoint doc sets, flagged-doc
+    counts included — streaming/pii.py), and serving folds partials by
+    addition into EXACTLY the batch census, hash-matched against
+    q_pii_census's oracle. This is how the scrub gate deploys at
+    100 TB/day: a feed that starts leaking contact data is flagged
+    within one micro-batch, with per-epoch state one row per source —
+    never proportional to document volume."""
+    from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import pii as SP
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "pii")
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    src = materialized_path(
+        "documents_pii_src",
+        input_fingerprint(sf_dir, "documents", "pii-src-v1"),
+        lambda dest: docs.repartition(6).write.mode("overwrite").parquet(dest),
     )
-    return m.groupBy("source").agg(
-        F.sum(((F.col("n_em") + F.col("n_ph") + F.col("n_ip")) > 0).cast("long"))
-        .cast("long")
-        .alias("n_docs_flagged"),
-        F.sum("n_em").cast("long").alias("n_emails"),
-        F.sum("n_ph").cast("long").alias("n_phones"),
-        F.sum("n_ip").cast("long").alias("n_ips"),
-        F.sum("delta").cast("long").alias("chars_redacted"),
+    SP.run_pii_stream(
+        spark,
+        src,
+        "doc_id bigint, source string, text string",
+        str(base / "partials"),
+        str(base / "ckpt"),
     )
+    return SP.folded_census(spark, str(base / "partials"))
+
+
+# every census statistic folds commutatively over disjoint doc sets,
+# so the batch census's SQL IS the stream's oracle
+ORACLES["q_stream_pii"] = ORACLES["q_pii_census"]
 
 
 # ---------------------------------------------------------------------------

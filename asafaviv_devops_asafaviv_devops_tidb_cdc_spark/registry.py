@@ -131,6 +131,7 @@ _CHECK_FIRST = [
     "q_pii_census",
     "q_edit_neardup",
     "q_content_chunks",
+    "q_stream_pii",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]

@@ -391,3 +391,39 @@ def test_edit_neardup_levenshtein_matches_python_reference(spark):
     ]
     want = [(lev(a, b), lev(a, b) if lev(a, b) <= 15 else -1) for a, b in pairs]
     assert got == want
+
+
+def test_stream_pii_invariant_to_batch_boundaries(spark, tmp_path):
+    """The streamed PII census must equal the batch census regardless
+    of how the backlog splits into micro-batches (per-source sums over
+    disjoint doc sets fold by addition)."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import pii as P
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import pii as SP
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    want = sorted(
+        tuple(r)
+        for r in P.rollup(P.doc_metrics(P.with_planted_pii(docs))).collect()
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+    outs = []
+    for mft in (1, 4):
+        base = tmp_path / f"run_{mft}"
+        SP.run_pii_stream(
+            spark,
+            src,
+            "doc_id bigint, source string, text string",
+            str(base / "partials"),
+            str(base / "ckpt"),
+            max_files_per_trigger=mft,
+        )
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in SP.folded_census(spark, str(base / "partials")).collect()
+            )
+        )
+    assert outs[0] == outs[1] == want and len(want) > 0
