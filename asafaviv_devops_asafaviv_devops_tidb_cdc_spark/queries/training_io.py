@@ -1214,3 +1214,108 @@ def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resync_shared_chunks",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E20b — near-dup graph triangle census (degree-oriented; round 6)
+# ---------------------------------------------------------------------------
+
+def _triangle_oracle() -> str:
+    from .llm_pipeline import _NEARDUP_CORPUS_CTE, _NGRAM_PAIRS_CTES
+
+    return (
+        _NEARDUP_CORPUS_CTE.rstrip()
+        + ",\n"
+        + _NGRAM_PAIRS_CTES.strip()
+        + """,
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM pairs p1
+  JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+  JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b),
+deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT doc_a AS u FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY 1),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges
+  FROM deg),
+e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+SELECT n_nodes, n_edges, t AS n_triangles,
+       CAST(CASE WHEN wedges > 0 THEN 3 * t * 1000000 // wedges
+            ELSE 0 END AS BIGINT) AS closure_ppm
+FROM g, e, tri
+"""
+    )
+
+
+@register("q_graph_triangles", oracle=_triangle_oracle())
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20b — triangle census of the verified near-dup pair graph:
+    triangle count + global closure (transitivity) in exact integer
+    ppm — the structural diagnostic of a dedup graph (high closure =
+    coherent duplicate families safe for CC collapse; low closure =
+    chains of borderline matches where transitive collapse
+    over-merges). The planted corpus guarantees triangles: every doc
+    divisible by 70 has both an exact copy and a mutant, pairwise
+    similar. Scale posture: the classic DEGREE-ORIENTED algorithm —
+    every edge points from its (degree, id)-smaller endpoint to the
+    larger, each triangle counted exactly once at its smallest
+    vertex; wedge fan-out per node is then bounded by out-degree,
+    which orientation caps near sqrt(edges) for any skew (a
+    popularity hub stops being a wedge bomb — the id-ordered oracle
+    join would blow up on it at 100 TB). One artifact scan, a degree
+    agg, two equi-joins on the oriented edge list, O(wedges) work."""
+    from ..sources.cluster_store import ngram_pair_table
+
+    pairs = ngram_pair_table(spark, sf_dir).select("doc_a", "doc_b")
+    und = pairs.select(F.col("doc_a").alias("u")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    att = (
+        pairs.join(deg.select(F.col("u").alias("doc_a"), F.col("d").alias("da")), "doc_a")
+        .join(deg.select(F.col("u").alias("doc_b"), F.col("d").alias("db")), "doc_b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = att.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.dd") < F.col("o2.dd"))
+            | (
+                (F.col("o1.dd") == F.col("o2.dd"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(F.col("o1.dst").alias("src"), F.col("o2.dst").alias("dst"))
+    tri = wedges.join(oriented.select("src", "dst"), ["src", "dst"], "inner").agg(
+        F.count("*").cast("long").alias("t")
+    )
+    g = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("wedges"),
+    )
+    e = pairs.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        g.crossJoin(e)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN wedges > 0 THEN 3 * t * 1000000 div wedges "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("closure_ppm"),
+        )
+    )

@@ -132,6 +132,7 @@ _CHECK_FIRST = [
     "q_edit_neardup",
     "q_content_chunks",
     "q_stream_pii",
+    "q_graph_triangles",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]
