@@ -275,3 +275,62 @@ def test_events_format_transparency(spark):
         path = formats.dump_events(spark, SF_SMOKE, base, fmt)
         got = rows(formats.read_events(spark, path, fmt))
         assert got == expected, f"{fmt} round-trip diverged"
+
+
+def test_check_first_names_all_registered():
+    """Every name in the check-priority list must be a registered
+    query: ordering IS coverage policy (the driver gates a 50-query
+    prefix), so a typo here silently burns a verification-window slot
+    instead of failing anywhere."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+
+    registry.load_all()
+    missing = [n for n in registry._CHECK_FIRST if n not in registry.QUERIES]
+    assert not missing, f"_CHECK_FIRST names not registered: {missing}"
+
+
+def test_bench_stdout_line_fits_driver_parse_window():
+    """The driver parses bench.py's stdout from its last 2000
+    characters; a line that outgrows that window can never parse
+    (BENCH_r01/r02 both recorded parsed:null). Simulate the fitting
+    logic against the CURRENT registry size with worst-case timing
+    widths and assert the emitted line stays under budget."""
+    import json
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+
+    registry.load_all()
+    timings = {name: 123.45 for name in registry.QUERIES}
+    total = sum(timings.values())
+    budget = 1900
+    fitted = {}
+    for name in sorted(timings, key=timings.get, reverse=True):
+        trial = {
+            "metric": "suite_total_wall",
+            "value": round(total, 4),
+            "unit": "sec",
+            "sf": 0.1,
+            "queries_total": len(timings),
+            "queries_omitted": len(timings) - len(fitted) - 1,
+            "queries_full": "BENCH_SELF.json",
+            "queries": {**fitted, name: timings[name]},
+        }
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        fitted[name] = timings[name]
+    line = json.dumps(
+        {
+            "metric": "suite_total_wall",
+            "value": round(total, 4),
+            "unit": "sec",
+            "sf": 0.1,
+            "queries_total": len(timings),
+            "queries_omitted": len(timings) - len(fitted),
+            "queries_full": "BENCH_SELF.json",
+            "load_avg_1m_at_end": 99.99,
+            "queries": fitted,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 2000, len(line)
+    assert fitted, "line must carry at least one per-query timing"
