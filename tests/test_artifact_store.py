@@ -157,3 +157,50 @@ def test_envelope_files_shared_and_reused(spark, art_root):
     # a different parameterization is a different artifact
     p3 = ingest.envelope_files(spark, SF_SMOKE, 10, n_files=2)
     assert p3 != p1
+
+
+def test_pipeline_cluster_artifact_matches_inline_derivation(spark, art_root):
+    """The pipeline CC artifact (q_pipeline_e2e's serving path) must be
+    row-identical to the former inline derivation over the staged
+    (quality-gated, exact-deduped) corpus — materialization is a cache,
+    never a semantic change."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import text as TX
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.dedup import (
+        exact_dedup,
+        neardup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import cluster_store
+
+    art = cluster_store.pipeline_cluster_table(spark, SF_SMOKE)
+    qual = (
+        TX.with_quality_metrics(cluster_store.neardup_corpus(spark, SF_SMOKE))
+        .filter("keep")
+        .select("doc_id", "text")
+    )
+    inline = neardup_clusters(ngram_jaccard_pairs(exact_dedup(qual)))
+    got = sorted(map(tuple, art.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want
+
+
+def test_detector_pair_artifacts_match_inline_derivations(spark, art_root):
+    """The MinHash (mutants corpus) and SimHash pair artifacts must be
+    row-identical to their inline detector pipelines."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.dedup import (
+        neardup_pairs,
+        simhash_neardup_pairs,
+    )
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import cluster_store
+
+    mh_art = cluster_store.minhash_mutant_pair_table(spark, SF_SMOKE)
+    mh_inline = neardup_pairs(cluster_store.mutant_corpus(spark, SF_SMOKE))
+    assert sorted(map(tuple, mh_art.collect())) == sorted(
+        map(tuple, mh_inline.collect())
+    )
+
+    sh_art = cluster_store.simhash_pair_table(spark, SF_SMOKE)
+    sh_inline = simhash_neardup_pairs(cluster_store.neardup_corpus(spark, SF_SMOKE))
+    assert sorted(map(tuple, sh_art.collect())) == sorted(
+        map(tuple, sh_inline.collect())
+    )
