@@ -387,3 +387,84 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("long").alias("revenue_units"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S13 — schema evolution across file generations (round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+WITH g1 AS (SELECT event_id FROM events WHERE event_id % 2 = 0),
+g2 AS (SELECT event_id, event_id * 3 AS extra
+       FROM events WHERE event_id % 2 = 1)
+SELECT * FROM (
+  SELECT CAST(1 AS INTEGER) AS gen,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(0 AS BIGINT) AS n_with_extra,
+         CAST(0 AS BIGINT) AS extra_sum
+  FROM g1
+  UNION ALL
+  SELECT CAST(2 AS INTEGER), CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(extra) AS BIGINT), CAST(SUM(extra) AS BIGINT)
+  FROM g2
+)
+""",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — schema evolution across table generations: generation 1
+    landed without the ``extra`` column, generation 2 added it (the
+    ordinary life of a long-lived landing table — new telemetry fields
+    appear, history is never rewritten). The read is ONE scan with
+    ``mergeSchema``: parquet reconciles the per-file schemas, old
+    files surface the new column as null, and the per-generation
+    census proves no row or value is lost or fabricated across the
+    boundary (the oracle re-derives both generations from the raw
+    table). At 100 TB this is the capability that avoids a full-table
+    rewrite on every schema change; per-file footers mean merge cost
+    scales with file count, not bytes. Reference parity: the ES sink
+    evolves mappings implicitly on first sight of a new field
+    (dynamic mapping) — here evolution is explicit, lossless, and
+    hash-checked. Generations are committed once per events
+    fingerprint (sources/artifact.py)."""
+    from pathlib import Path
+
+    from ..sources import load_table
+    from ..sources.artifact import input_fingerprint, materialized_path
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def write(dest: str) -> None:
+        (
+            ev.filter(F.col("event_id") % 2 == 0)
+            .write.mode("overwrite")
+            .parquet(f"{dest}/gen=1")
+        )
+        (
+            ev.filter(F.col("event_id") % 2 == 1)
+            .withColumn("extra", F.col("event_id") * 3)
+            .write.mode("overwrite")
+            .parquet(f"{dest}/gen=2")
+        )
+        # materialized_path requires a _SUCCESS at the artifact root
+        (Path(dest) / "_SUCCESS").touch()
+
+    src = materialized_path(
+        "events_generations",
+        input_fingerprint(sf_dir, "events", "schema-evo-v1"),
+        write,
+    )
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", src)
+        .parquet(f"{src}/gen=1", f"{src}/gen=2")
+    )
+    return (
+        merged.groupBy(F.col("gen").cast("int").alias("gen"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("extra").cast("long").alias("n_with_extra"),
+            F.coalesce(F.sum("extra"), F.lit(0)).cast("long").alias("extra_sum"),
+        )
+    )

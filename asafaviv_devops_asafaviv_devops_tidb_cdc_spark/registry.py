@@ -133,6 +133,7 @@ _CHECK_FIRST = [
     "q_content_chunks",
     "q_stream_pii",
     "q_graph_triangles",
+    "q_schema_evolution",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]
