@@ -1319,3 +1319,192 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closure_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E25 — positional phrase search over an inverted-index artifact (round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_phrase_search",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bigram
+  FROM toks),
+top AS (SELECT bigram FROM bg GROUP BY 1 ORDER BY COUNT(*) DESC, bigram LIMIT 1),
+occ AS (
+  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bg JOIN top USING (bigram)
+  GROUP BY 1)
+SELECT (SELECT bigram FROM top) AS phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_occurrences
+FROM occ
+""",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25 — exact PHRASE search served from a positional inverted
+    index: the search-engine primitive the TF-IDF ranker
+    (q_doc_search) cannot express — "these words ADJACENT, in this
+    order". The index is a (term, doc_id, pos) artifact built once per
+    corpus fingerprint, range-partitioned and sorted on term, so
+    per-file parquet min/max stats prune a literal term lookup to a
+    handful of files at 100 TB (the sorted-layout cousin of the
+    Z-order scan). A phrase query is then POSITIONS INTERSECTION: one
+    narrow broadcast-join per phrase word against the index and an
+    adjacency join (p2 = p1 + 1) — never a text rescan. The probe
+    phrase is the corpus's global top bigram (count DESC, bigram ASC —
+    deterministic in both engines); the oracle recomputes occurrences
+    by brute-force text scan, so a position dropped or shifted by the
+    index build is a hash miss."""
+    from ..sources.artifact import input_fingerprint, materialized
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def build() -> DataFrame:
+        return (
+            docs.select(
+                "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+            )
+            .repartitionByRange(8, "term")
+            .sortWithinPartitions("term", "doc_id", "pos")
+            .select("term", "doc_id", "pos")
+        )
+
+    index = materialized(
+        spark,
+        "phrase_index",
+        input_fingerprint(sf_dir, "documents", "phrase-index-v1"),
+        build,
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)), "
+                "i -> concat(element_at(split(text, ' '), i), ' ', "
+                "element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    top = (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(1)
+        .select(
+            "bigram",
+            F.element_at(F.split("bigram", " "), 1).alias("w1"),
+            F.element_at(F.split("bigram", " "), 2).alias("w2"),
+        )
+    )
+    a = index.join(
+        F.broadcast(top.select(F.col("w1").alias("term"))), "term"
+    ).select("doc_id", F.col("pos").alias("p1"))
+    b = index.join(
+        F.broadcast(top.select(F.col("w2").alias("term"))), "term"
+    ).select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("p2"))
+    occ = a.join(
+        b, (a.doc_id == b.doc_b) & (F.col("p2") == F.col("p1") + 1)
+    ).groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    return (
+        occ.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_occurrences"),
+        )
+        .crossJoin(F.broadcast(top.select(F.col("bigram").alias("phrase"))))
+        .select("phrase", "n_docs", "n_occurrences")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E7c — graded train/eval overlap profile (round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_overlap_profile",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS t,
+         substr(sha256('split1_' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+           AS is_train
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_train,
+         unnest(list_transform(range(1, len(t) - 3),
+                               i -> array_to_string(t[i:i+4], ' '))) AS gram
+  FROM d WHERE len(t) >= 5
+),
+eg AS (SELECT DISTINCT doc_id, gram FROM g WHERE NOT is_train),
+tg AS (SELECT DISTINCT gram FROM g WHERE is_train),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_own FROM eg GROUP BY 1),
+sh AS (
+  SELECT eg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+  FROM eg JOIN tg USING (gram) GROUP BY 1),
+p AS (
+  SELECT t.doc_id, COALESCE(n_sh, 0) * 1000000 // n_own AS ppm
+  FROM tot t LEFT JOIN sh USING (doc_id))
+SELECT CAST(ppm // 100000 AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(ppm) AS BIGINT) AS ppm_min,
+       CAST(MAX(ppm) AS BIGINT) AS ppm_max
+FROM p GROUP BY 1
+""",
+)
+def q_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7c — GRADED train/eval overlap: the binary decontamination
+    flag (q_decontaminate) answers "is this eval doc contaminated?";
+    this answers "how contaminated is the eval SET" — each held-out
+    doc's distinct-5-gram overlap with the train split in exact
+    integer ppm, folded into a decile histogram (with min/max per
+    decile). The mass at decile 0 is the honestly-clean fraction; a
+    fat tail near 10 means the eval set leaks and its scores are
+    memorization, not generalization — the graded readout memorization
+    studies report. Same salted-sha split and distinct'd gram join as
+    E7 (one gram-key shuffle; hash grams to 128 bits at 100 TB), plus
+    a LEFT join so zero-overlap docs are counted, never dropped."""
+    docs = _docs(spark, sf_dir)
+    is_train = (
+        F.substring(
+            F.sha2(F.concat(F.lit("split1_"), F.col("doc_id").cast("string")), 256),
+            1,
+            4,
+        )
+        < "e666"
+    )
+    d = docs.select(
+        "doc_id", F.split("text", " ").alias("t"), is_train.alias("is_train")
+    ).filter(F.size("t") >= 5)
+    g = d.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 4), "
+                "i -> concat_ws(' ', slice(t, i, 5)))"
+            )
+        ).alias("gram"),
+    )
+    eval_grams = g.filter(~F.col("is_train")).select("doc_id", "gram").distinct()
+    train_grams = g.filter("is_train").select("gram").distinct()
+    tot = eval_grams.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_own"))
+    sh = (
+        eval_grams.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_sh"))
+    )
+    p = tot.join(sh, "doc_id", "left").select(
+        F.expr("coalesce(n_sh, 0) * 1000000 div n_own").alias("ppm")
+    )
+    return (
+        p.groupBy(F.expr("ppm div 100000").cast("int").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("ppm").cast("long").alias("ppm_min"),
+            F.max("ppm").cast("long").alias("ppm_max"),
+        )
+    )

@@ -134,6 +134,8 @@ _CHECK_FIRST = [
     "q_stream_pii",
     "q_graph_triangles",
     "q_schema_evolution",
+    "q_phrase_search",
+    "q_overlap_profile",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]
