@@ -751,3 +751,15 @@ def test_content_chunks_has_no_window_no_python(spark):
     plan = checks.plan_string(df)
     assert "Window" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_phrase_index_literal_lookup_pushes_filter(spark):
+    """E25 phrase index: a literal term lookup must reach the parquet
+    scan as a pushed filter — on the term-sorted, range-partitioned
+    layout that is what lets per-file min/max stats skip everything
+    but the matching term range at 100 TB."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.training_io import phrase_index
+
+    idx = phrase_index(spark, SF_SMOKE)
+    plan = checks.plan_string(idx.filter(idx.term == "order"))
+    assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters")[1][:120], plan
