@@ -546,3 +546,157 @@ def q_stream_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the stream twin folds to the identical obs frame, so the batch SQL
 # IS its oracle (same contract as q_stream_delta_agg / q_delta_agg)
 ORACLES["q_stream_event_drift"] = ORACLES["q_event_drift"]
+
+
+# ---------------------------------------------------------------------------
+# X22 — optimizer-statistics collection (ANALYZE TABLE; round 6)
+# ---------------------------------------------------------------------------
+
+_STATS_COLS_SQL = """
+  SELECT 'l_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+         CAST(MIN(l_orderkey) AS VARCHAR) AS min_str,
+         CAST(MAX(l_orderkey) AS VARCHAR) AS max_str
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT),
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+         CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_linenumber', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT),
+         CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+         CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+         CAST(COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT),
+         CAST(MIN(CAST(l_quantity AS BIGINT)) AS VARCHAR),
+         CAST(MAX(CAST(l_quantity AS BIGINT)) AS VARCHAR)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+         CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+         CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+         CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT),
+         CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR),
+         CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR)
+  FROM lineitem
+"""
+
+
+@register("q_table_stats", oracle=_STATS_COLS_SQL)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22 — ANALYZE-style optimizer statistics: per-column row count,
+    null count, exact NDV and min/max for the fact table — the stats a
+    cost-based optimizer (and every capacity-planning spreadsheet)
+    feeds on, computed as a query so they are versionable and
+    hash-checkable. One SINGLE-COLUMN scan per statistic row: each leg
+    reads exactly one column off parquet (column pruning makes stats
+    collection O(columns-you-ask-for), not O(table width) — the
+    reason ANALYZE on a 100 TB table lists columns). Doubles stay out
+    of the compared output (quantity is integral by construction and
+    cast; dates land as ISO strings), per the house cross-engine
+    rules."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stat(name: str, c) -> DataFrame:
+        return (
+            li.select(c.alias("c"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                (F.count("*") - F.count("c")).cast("long").alias("n_nulls"),
+                F.countDistinct("c").cast("long").alias("ndv"),
+                F.min("c").cast("string").alias("min_str"),
+                F.max("c").cast("string").alias("max_str"),
+            )
+            .select(
+                F.lit(name).alias("column_name"),
+                "n_rows",
+                "n_nulls",
+                "ndv",
+                "min_str",
+                "max_str",
+            )
+        )
+
+    legs = [
+        stat("l_orderkey", F.col("l_orderkey")),
+        stat("l_partkey", F.col("l_partkey")),
+        stat("l_linenumber", F.col("l_linenumber")),
+        stat("l_quantity", F.col("l_quantity").cast("long")),
+        stat("l_returnflag", F.col("l_returnflag")),
+        stat("l_shipdate", F.col("l_shipdate").cast("date")),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# X23 — user-journey transition census (Markov matrix; round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+c AS (
+  SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE to_type IS NOT NULL
+  GROUP BY 1, 2),
+s AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n * 1000000 // s.tot AS BIGINT) AS share_ppm
+FROM c JOIN s USING (from_type)
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23 — user-journey transition census: for every consecutive
+    pair of events per user (ordered by event time, event_id
+    tie-break), count (from_type -> to_type) and its within-row share
+    in exact integer ppm — the empirical Markov transition matrix
+    behind funnel design, next-action prediction features, and bot
+    detection (a user whose transitions concentrate on one edge is a
+    script). Plan: ONE window partitioned by user (fully parallel —
+    per-user sequences never cross tasks), then aggregation on the
+    tiny (type x type) grid; the row-share join is against that
+    bounded grid, never the event stream. The funnel (W11) is a path
+    query over three fixed stages; this is the full first-order graph
+    it generalizes."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = t.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    s = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        c.join(F.broadcast(s), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 div tot").cast("long").alias("share_ppm"),
+        )
+    )

@@ -136,6 +136,8 @@ _CHECK_FIRST = [
     "q_schema_evolution",
     "q_phrase_search",
     "q_overlap_profile",
+    "q_table_stats",
+    "q_event_transitions",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]
