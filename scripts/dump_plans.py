@@ -128,6 +128,20 @@ HEADLINE = {
         "filtered vector search — label predicate pushed into the "
         "scan, exact cosine rank over qualifying vectors only (r5)"
     ),
+    "q_content_chunks": (
+        "content-defined chunking — boundary detection, slicing and "
+        "chunk hashing as per-doc array math in one map stage; no "
+        "token-level window or shuffle before the chunk-hash census (r6)"
+    ),
+    "q_phrase_search": (
+        "positional phrase search — broadcast probe joins against the "
+        "term-sorted index artifact + positions-adjacency join; no "
+        "text rescan (r6)"
+    ),
+    "q_event_transitions": (
+        "user-journey Markov census — one user-partitioned lead() "
+        "window, aggregation + share join on the bounded type grid (r6)"
+    ),
 }
 
 

@@ -763,3 +763,13 @@ def test_phrase_index_literal_lookup_pushes_filter(spark):
     idx = phrase_index(spark, SF_SMOKE)
     plan = checks.plan_string(idx.filter(idx.term == "order"))
     assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters")[1][:120], plan
+
+
+def test_table_stats_legs_scan_single_columns(spark):
+    """X22 stats collection: each per-column statistic leg must read
+    exactly its one column off parquet (ReadSchema pruned to the
+    column) — what keeps ANALYZE O(columns asked) at 100 TB."""
+    df = _df("q_table_stats", spark)
+    plan = checks.plan_string(df)
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan, plan
+    assert "ReadSchema: struct<l_returnflag:string>" in plan, plan
