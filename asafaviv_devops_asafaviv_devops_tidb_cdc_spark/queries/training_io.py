@@ -1531,3 +1531,101 @@ def q_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ppm").cast("long").alias("ppm_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E26 — BM25-shaped ranked retrieval (integer fixed-point; round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_bm25_search",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+consts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) * 1000 // COUNT(*) AS BIGINT) AS avgdl_milli
+  FROM dl),
+probe AS (
+  SELECT term, df FROM df WHERE df >= 10
+  ORDER BY df ASC, term ASC LIMIT 3),
+scored AS (
+  SELECT tf.doc_id,
+         (n_docs * 1000000 // p.df) * tf.tf * 2200
+         // (tf.tf * 1000
+             + 1200 * (250 + 750 * (dl.dl * 1000000 // avgdl_milli) // 1000)
+               // 1000) AS contrib
+  FROM tf
+  JOIN probe p USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN consts),
+ranked AS (
+  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micro
+  FROM scored GROUP BY 1)
+SELECT doc_id, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER)
+         AS rank
+FROM ranked
+ORDER BY score_micro DESC, doc_id
+LIMIT 20
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26 — BM25-shaped ranked retrieval, the standard lexical
+    ranking function, in EXACT FIXED-POINT INTEGER arithmetic so both
+    engines rank identically: k1=1.2 / b=0.75 as 1200/750 milli,
+    length norm (1 - b + b*dl/avgdl) in milli-units, idf as the
+    house integer convention (N*1e6 div df — a log-free monotone
+    surrogate; float ln would never hash-match across libms, the
+    q_doc_search precedent). Probe = the 3 most SELECTIVE terms with
+    df >= 10 (df ASC, term ASC — deterministic), i.e. the terms BM25
+    actually rewards. Plan: tf/df/dl all derive from one tokenize
+    pass; df probe is 3 rows -> broadcast; per-doc scores are a
+    partial-agg sum; top-20 is TakeOrderedAndProject. At 100 TB the
+    tf table is the positional index's (term, doc) rollup — the same
+    artifact family as E25, built once and served by scans."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    tok = toks.select("doc_id", F.explode("t").alias("term"))
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    consts = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(SUM(dl) * 1000 div COUNT(*) AS BIGINT)").alias(
+            "avgdl_milli"
+        ),
+    )
+    probe = (
+        df.filter(F.col("df") >= 10)
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(3)
+    )
+    scored = (
+        tf.join(F.broadcast(probe), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.expr(
+                "(n_docs * 1000000 div df) * tf * 2200"
+                " div (tf * 1000"
+                " + 1200 * (250 + 750 * (dl * 1000000 div avgdl_milli) div 1000)"
+                " div 1000)"
+            ).alias("contrib"),
+        )
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.sum("contrib").cast("long").alias("score_micro")
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        ranked.orderBy(F.desc("score_micro"), "doc_id")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -138,6 +138,7 @@ _CHECK_FIRST = [
     "q_overlap_profile",
     "q_table_stats",
     "q_event_transitions",
+    "q_bm25_search",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]
