@@ -31,6 +31,7 @@ _QUERY_MODULES = [
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.corpus_ops",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.extensions",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.training_io",
+    "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.advanced_ops",
 ]
 
 # Registration (= iteration) order for the exported query dict. The
@@ -139,6 +140,16 @@ _CHECK_FIRST = [
     "q_table_stats",
     "q_event_transitions",
     "q_bm25_search",
+    # --- registered in round 6 continuation (advanced_ops block;
+    #     verified in the local sf0.001/sf0.01 parity sweeps, queued
+    #     behind the earlier round-6 additions for round 7) ---
+    "q_kmv_distinct",
+    "q_stream_kmv",
+    "q_gapfill_interpolate",
+    "q_attribution",
+    "q_skyline",
+    "q_basket_pairs",
+    "q_decay_engagement",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]

@@ -773,3 +773,81 @@ def test_table_stats_legs_scan_single_columns(spark):
     plan = checks.plan_string(df)
     assert "ReadSchema: struct<l_orderkey:bigint>" in plan, plan
     assert "ReadSchema: struct<l_returnflag:string>" in plan, plan
+
+
+def test_kmv_windows_are_group_partitioned(spark):
+    """E27 sketch build: BOTH tournament levels must run in windows
+    PARTITIONED on the member-set (level 1 additionally sharded by
+    hv % SHARDS) — a bare global window would funnel every distinct
+    hash through one task. The exact-side audit joins broadcast."""
+    import re
+
+    df = _df("q_kmv_distinct", spark)
+    plan = checks.plan_string(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert all(s.lstrip().startswith("member_set") for s in specs), specs
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+
+
+def test_gapfill_windows_partitioned_spine_broadcast(spark):
+    """W15 gap-fill: the LOCF/interpolation windows are PARTITIONED
+    per series (event_type), and the calendar-spine expansion joins
+    the 1-row bounds frame broadcast — no CartesianProduct anywhere."""
+    import re
+
+    df = _df("q_gapfill_interpolate", spark)
+    plan = checks.plan_string(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(
+        s.lstrip().startswith("event_type") for s in specs
+    ), specs
+    assert not checks.has_cartesian(df)
+
+
+def test_attribution_window_is_user_partitioned(spark):
+    """W16 attribution: the touch-carry window must be PARTITIONED on
+    user_id — per-user journeys never cross tasks."""
+    import re
+
+    df = _df("q_attribution", spark)
+    plan = checks.plan_string(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.lstrip().startswith("user_id") for s in specs), specs
+
+
+def test_skyline_frontier_joins_back_broadcast(spark):
+    """X24 skyline: the frontier must come back as a BROADCAST
+    left-semi join against the corpus (the frontier is grid-bounded),
+    and the ordered pass must run over the (price -> max size) grid —
+    i.e. a pre-aggregation exists between scan and window."""
+    df = _df("q_skyline", spark)
+    plan = checks.plan_string(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert checks.count_nodes(df, "HashAggregate") >= 1, plan
+    assert not checks.has_cartesian(df)
+
+
+def test_basket_pairs_counts_broadcast_topk_take_ordered(spark):
+    """E28 basket mining: per-part support tables join back BROADCAST
+    (never reshuffling the pair frame), the ranking is
+    TakeOrderedAndProject, and the within-basket self-join is an
+    equi-join on the order key — no CartesianProduct."""
+    df = _df("q_basket_pairs", spark)
+    plan = checks.plan_string(df)
+    assert checks.uses_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not checks.has_cartesian(df)
+
+
+def test_decay_engagement_is_scan_agg_topk(spark):
+    """X25 decay scoring: one broadcast scalar (the reference day —
+    a BroadcastNestedLoopJoin against a 1-row frame is the house
+    scalar-attach), one aggregation, TakeOrderedAndProject — no
+    window, no cartesian product."""
+    df = _df("q_decay_engagement", spark)
+    plan = checks.plan_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert not checks.has_cartesian(df)
