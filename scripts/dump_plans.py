@@ -142,6 +142,26 @@ HEADLINE = {
         "user-journey Markov census — one user-partitioned lead() "
         "window, aggregation + share join on the bounded type grid (r6)"
     ),
+    "q_kmv_distinct": (
+        "KMV distinct sketch — one distinct + two group-partitioned "
+        "tournament windows, union sketch merged by ONE bounded agg, "
+        "exact audit side broadcast back (r6b)"
+    ),
+    "q_gapfill_interpolate": (
+        "time-bucket gap-fill — fill runs on the AGGREGATED series: "
+        "one (type, hour) agg, broadcast bounds spine, two per-type "
+        "windows over the bounded grid (r6b)"
+    ),
+    "q_skyline": (
+        "Pareto skyline — corpus collapses to the (price -> max size) "
+        "grid first, ONE ordered pass over the grid, frontier "
+        "broadcast back as left-semi (r6b)"
+    ),
+    "q_basket_pairs": (
+        "market-basket pairs — within-order equi self-join (bounded "
+        "quadratic), broadcast support join-backs, "
+        "TakeOrderedAndProject top-100 (r6b)"
+    ),
 }
 
 
