@@ -1,8 +1,9 @@
 """Round-6 continuation operators: sketch set-algebra, time-series
 gap-fill, marketing attribution, Pareto skyline, market-basket mining,
-and recency-decay scoring.
+recency-decay scoring, CBO statistics (equi-depth histogram +
+join-cardinality audit), and label-propagation communities.
 
-Six analytics families a warehouse + training-data platform serves
+Analytics families a warehouse + training-data platform serves
 daily that were not yet in the registry, each chosen so the PLAN has a
 defensible 100 TB posture (documented per query) and the OUTPUT is
 exact-integer / engine-identical per the house determinism rules
@@ -198,9 +199,7 @@ ORACLES["q_stream_kmv"] = ORACLES["q_kmv_distinct"]
 # W15 — time-series gap-fill: LOCF + exact-integer linear interpolation
 # ---------------------------------------------------------------------------
 
-@register(
-    "q_gapfill_interpolate",
-    oracle=f"""
+_GAPFILL_ORACLE = f"""
 WITH e AS (
   SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
          {_EV_CENTS_SQL} AS c
@@ -241,37 +240,20 @@ SELECT event_type, hr, cents IS NOT NULL AS observed,
          ELSE COALESCE(pv, nv) * 1000
        END AS BIGINT) AS interp_mcents
 FROM w
-""",
-)
-def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W15 — time-bucket gap-fill (the TimescaleDB
-    ``time_bucket_gapfill`` + ``locf()`` + ``interpolate()`` trio):
-    hourly per-type revenue series densified over the full calendar
-    spine, missing buckets filled two ways — last-observation-carried-
-    forward, and linear interpolation between the neighboring observed
-    buckets in EXACT INTEGER milli-cents (numerator arranged as a sum
-    of non-negative products so floor division is engine-identical;
-    leading/trailing edges fall back to the nearest observation).
-    Scale posture: the fill runs on the AGGREGATED series, never the
-    raw events — one (type, hour) aggregation over the scan, then a
-    calendar spine of n_types x n_hours rows (bounded by time, not by
-    data volume) and two windows partitioned per type over that
-    bounded grid. At 100 TB the expensive thing is the one aggregation
-    Spark already does with map-side partials; the gap-fill itself is
-    O(grid)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("unix_millis(ts) div 3600000").cast("long").alias("hr"),
-        cents("value").alias("c"),
-    )
-    obs = ev.groupBy("event_type", "hr").agg(
-        F.sum("c").cast("long").alias("cents")
-    )
-    bounds = ev.agg(
-        F.min("hr").alias("h0"), F.max("hr").alias("h1")
-    )
+"""
+
+
+def gapfill_series(obs: DataFrame) -> DataFrame:
+    """The gap-fill serving pass over a (event_type, hr, cents) series
+    frame — shared verbatim by the batch query and the streaming twin
+    (whose folded per-epoch partials sum to the identical obs frame),
+    so the streamed fill hash-matches the batch oracle by
+    construction. Bounds and the type set derive FROM obs (min/max
+    bucket and distinct types are aggregation-invariant), so serving
+    never rescans raw events."""
+    bounds = obs.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     spine = (
-        ev.select("event_type")
+        obs.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -316,6 +298,77 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("interp_mcents"),
     )
+
+
+def _hourly_obs(ev: DataFrame) -> DataFrame:
+    """(event_type, hr, cents) hourly revenue series — the aggregation
+    both the batch query and the stream fold reduce to."""
+    return (
+        ev.select(
+            "event_type",
+            F.expr("unix_millis(ts) div 3600000").cast("long").alias("hr"),
+            cents("value").alias("c"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+
+
+@register("q_gapfill_interpolate", oracle=_GAPFILL_ORACLE)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 — time-bucket gap-fill (the TimescaleDB
+    ``time_bucket_gapfill`` + ``locf()`` + ``interpolate()`` trio):
+    hourly per-type revenue series densified over the full calendar
+    spine, missing buckets filled two ways — last-observation-carried-
+    forward, and linear interpolation between the neighboring observed
+    buckets in EXACT INTEGER milli-cents (numerator arranged as a sum
+    of non-negative products so floor division is engine-identical;
+    leading/trailing edges fall back to the nearest observation).
+    Scale posture: the fill runs on the AGGREGATED series, never the
+    raw events — one (type, hour) aggregation over the scan
+    (_hourly_obs), then gapfill_series does the calendar-spine +
+    two per-type windows over that time-bounded grid. At 100 TB the
+    expensive thing is the one aggregation Spark already does with
+    map-side partials; the gap-fill itself is O(grid)."""
+    return gapfill_series(_hourly_obs(load_table(spark, sf_dir, "events")))
+
+
+@register("q_stream_gapfill", oracle=None)  # batch oracle attached below
+def q_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15b — gap-fill STREAM TWIN: the hourly (type, hr) cent-sums
+    are SUM-DECOMPOSABLE, so each micro-batch folds one tiny
+    per-(type, hr) partial (idempotent ``epoch=<id>`` — the
+    streaming/drift.py recipe) and serving sums the partials into the
+    identical obs frame, then runs the SAME gapfill_series — the
+    streamed densified dashboard hash-matches the batch SQL oracle
+    exactly. This is how a live gap-filled chart actually deploys:
+    the fill recomputes over the bounded (type x hour) grid each
+    refresh, while per-epoch state tracks the key grid, not event
+    volume."""
+    from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import gapfill as SG
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "gapfill")
+    ev = load_table(spark, sf_dir, "events")
+    # share the normalized landing with the drift/DQ monitors
+    src = materialized_path(
+        "events_normalized",
+        input_fingerprint(sf_dir, "events", "dq-src-v1"),
+        lambda dest: ev.write.mode("overwrite").parquet(dest),
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields
+    )
+    SG.run_gapfill_stream(
+        spark, src, schema, str(base / "partials"), str(base / "ckpt")
+    )
+    return gapfill_series(SG.folded_obs(spark, str(base / "partials")))
+
+
+# the stream twin folds to the identical obs frame, so the batch SQL
+# IS its oracle (same contract as q_stream_event_drift)
+ORACLES["q_stream_gapfill"] = ORACLES["q_gapfill_interpolate"]
 
 
 # ---------------------------------------------------------------------------
@@ -595,4 +648,532 @@ def q_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_mcents"), "user_id")
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X26 — equi-depth histogram construction (the CBO histogram)
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 16
+
+
+@register(
+    "q_equidepth_hist",
+    oracle=f"""
+WITH v AS (
+  SELECT {CENTS_SQL.format(x="l_extendedprice")} AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM v),
+cum AS (
+  SELECT c, n,
+         COALESCE(SUM(n) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+  FROM v)
+SELECT CAST(cum0 * {_HIST_BUCKETS} // t.tot AS BIGINT) AS bucket,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MIN(c) AS BIGINT) AS lo_cents,
+       CAST(MAX(c) AS BIGINT) AS hi_cents
+FROM cum, t
+GROUP BY 1
+""",
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26 — equi-depth histogram construction: the CBO selectivity
+    histogram (every warehouse's ANALYZE builds one; q_table_stats is
+    the scalar stats row, this is the distribution). Buckets hold
+    ~equal ROW counts; a distinct value is assigned wholly to the
+    bucket of its cumulative rank (the deterministic value-level rule
+    — rows of one value never straddle buckets, so the histogram is a
+    pure function of the value distribution, reproducible in any
+    engine; per-bucket min/max become the bucket boundaries the
+    optimizer probes). Plan: the corpus collapses to the
+    (value -> count) frame with ONE aggregation (bounded by the
+    distinct-value domain, not row count — the same grid posture as
+    q_skyline), the prefix-sum window runs over that bounded frame,
+    and bucket assignment is an integer floor-div against one
+    broadcast total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.groupBy(cents("l_extendedprice").alias("c")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = v.agg(F.sum("n").cast("long").alias("tot"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = v.withColumn(
+        "cum0", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr(f"cum0 * {_HIST_BUCKETS} div tot").cast("long").alias("bucket")
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.min("c").cast("long").alias("lo_cents"),
+            F.max("c").cast("long").alias("hi_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X27 — join-cardinality estimation audit (CBO estimate vs actual)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_join_card_est",
+    oracle="""
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv
+  FROM orders),
+l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_o,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_p
+  FROM lineitem),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS ndv
+  FROM part),
+a1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS actual
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+a2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS actual
+  FROM part JOIN lineitem ON p_partkey = l_partkey),
+est AS (
+  SELECT 'orders_lineitem' AS join_name, o.n AS n_left, l.n AS n_right,
+         o.ndv AS ndv_left, l.ndv_o AS ndv_right,
+         CAST(o.n * l.n // GREATEST(o.ndv, l.ndv_o) AS BIGINT) AS est_rows,
+         a1.actual AS actual_rows
+  FROM o, l, a1
+  UNION ALL
+  SELECT 'part_lineitem', p.n, l.n, p.ndv, l.ndv_p,
+         CAST(p.n * l.n // GREATEST(p.ndv, l.ndv_p) AS BIGINT), a2.actual
+  FROM p, l, a2)
+SELECT join_name, n_left, n_right, ndv_left, ndv_right, est_rows,
+       actual_rows,
+       CAST(abs(est_rows - actual_rows) * 1000000 // actual_rows AS BIGINT)
+         AS err_ppm
+FROM est
+""",
+)
+def q_join_card_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 — join-cardinality estimation audit: the textbook CBO
+    estimate |A JOIN B| = |A|·|B| / max(ndv_A(k), ndv_B(k))
+    (Selinger '79 — what q_table_stats' NDVs exist to feed) computed
+    next to the ACTUAL join cardinality, with the error in exact ppm —
+    the calibration readout that tells an optimizer team whether its
+    stats are good enough to trust for join ordering. Plan: each
+    side's (count, NDV) collapses in one aggregation; the actual
+    counts are plain equi-joins aggregated to one row; everything
+    joins as broadcast 1-row frames. The estimate rows are audit
+    scalars — at 100 TB this query costs two joins you were going to
+    run anyway, and the stats legs are sketchable (E27) when exact
+    NDV is too dear."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    o = orders.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("o_orderkey").cast("long").alias("ndv"),
+    )
+    l = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("l_orderkey").cast("long").alias("ndv_o"),
+        F.countDistinct("l_partkey").cast("long").alias("ndv_p"),
+    )
+    p = part.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("p_partkey").cast("long").alias("ndv"),
+    )
+    a1 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count("*").cast("long").alias("actual"))
+    )
+    a2 = (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .agg(F.count("*").cast("long").alias("actual"))
+    )
+
+    e1 = (
+        o.crossJoin(F.broadcast(l.select(F.col("n").alias("rn"), F.col("ndv_o").alias("rndv"))))
+        .crossJoin(F.broadcast(a1))
+        .select(
+            F.lit("orders_lineitem").alias("join_name"),
+            F.col("n").alias("n_left"),
+            F.col("rn").alias("n_right"),
+            F.col("ndv").alias("ndv_left"),
+            F.col("rndv").alias("ndv_right"),
+            F.expr("n * rn div greatest(ndv, rndv)").cast("long").alias("est_rows"),
+            F.col("actual").alias("actual_rows"),
+        )
+    )
+    e2 = (
+        p.crossJoin(F.broadcast(l.select(F.col("n").alias("rn"), F.col("ndv_p").alias("rndv"))))
+        .crossJoin(F.broadcast(a2))
+        .select(
+            F.lit("part_lineitem").alias("join_name"),
+            F.col("n").alias("n_left"),
+            F.col("rn").alias("n_right"),
+            F.col("ndv").alias("ndv_left"),
+            F.col("rndv").alias("ndv_right"),
+            F.expr("n * rn div greatest(ndv, rndv)").cast("long").alias("est_rows"),
+            F.col("actual").alias("actual_rows"),
+        )
+    )
+    return (
+        e1.unionByName(e2)
+        .withColumn(
+            "err_ppm",
+            F.expr("abs(est_rows - actual_rows) * 1000000 div actual_rows")
+            .cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E29 — label-propagation communities over the near-dup graph
+# ---------------------------------------------------------------------------
+
+def _label_prop_oracle() -> str:
+    from .llm_pipeline import _NEARDUP_CORPUS_CTE, _NGRAM_PAIRS_CTES
+
+    step = """
+c{t} AS (
+  SELECT e.u AS u, s.lbl AS lbl, CAST(COUNT(*) AS BIGINT) AS n
+  FROM edges e JOIN l{p} s ON s.u = e.v
+  GROUP BY 1, 2),
+r{t} AS (
+  SELECT u, lbl,
+         row_number() OVER (PARTITION BY u ORDER BY n DESC, lbl) AS rk
+  FROM c{t}),
+l{t} AS (SELECT u, lbl FROM r{t} WHERE rk = 1)"""
+    steps = ",".join(step.format(t=t, p=t - 1) for t in (1, 2, 3))
+    return (
+        _NEARDUP_CORPUS_CTE.rstrip()
+        + ",\n"
+        + _NGRAM_PAIRS_CTES.strip()
+        + """,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+l0 AS (SELECT DISTINCT u, u AS lbl FROM edges),"""
+        + steps
+        + """
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(u) AS BIGINT) AS min_doc, CAST(MAX(u) AS BIGINT) AS max_doc
+FROM l3
+GROUP BY 1
+ORDER BY n_members DESC, community
+LIMIT 100
+"""
+    )
+
+
+@register("q_label_prop", oracle=_label_prop_oracle())
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E29 — label-propagation communities (Raghavan et al. 2007) over
+    the verified near-dup pair graph: 3 synchronous rounds, each node
+    adopting its neighbors' MAJORITY label with a deterministic
+    smallest-label tie-break — the soft-clustering complement of the
+    hard CC collapse (E2d): LPA keeps weakly-bridged families apart
+    where CC merges them through one borderline edge (the over-merge
+    q_graph_triangles diagnoses). Determinism: synchronous rounds +
+    total-order tie-break make the fixed iteration count bit-exact in
+    both engines — no float, no RNG, no update-order dependence (the
+    classic LPA pitfall). Plan: per round ONE edge-state equi-join +
+    one (node, label) aggregation; the argmax is max(struct(n, -lbl))
+    — an aggregation, not a per-node window — so each round is
+    O(edges) with map-side partials, the Pregel-on-DataFrame shape
+    shared with q_link_rank. Edges come from the once-per-fingerprint
+    pair artifact; community sizes aggregate the final labeling."""
+    from ..sources.cluster_store import ngram_pair_table
+
+    pairs = ngram_pair_table(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    state = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
+    for _ in range(3):
+        nb = edges.join(
+            state.select(F.col("u").alias("v"), "lbl"), "v"
+        ).select("u", "lbl")
+        counts = nb.groupBy("u", "lbl").agg(F.count("*").cast("long").alias("n"))
+        state = (
+            counts.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(F.col("n"), (-F.col("lbl")).alias("neg"))
+                ).alias("m")
+            )
+            .select("u", (-F.col("m.neg")).cast("long").alias("lbl"))
+        )
+    return (
+        state.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("u").cast("long").alias("min_doc"),
+            F.max("u").cast("long").alias("max_doc"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X28 — RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(epoch_ms(o_orderdate) // 86400000) AS r_day,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM({CENTS_SQL.format(x="o_totalprice")}) AS BIGINT) AS m_cents
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+rg AS (
+  SELECT r_day AS v, COALESCE(SUM(COUNT(*)) OVER (ORDER BY r_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+  FROM cust GROUP BY 1),
+fg AS (
+  SELECT f AS v, COALESCE(SUM(COUNT(*)) OVER (ORDER BY f
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+  FROM cust GROUP BY 1),
+mg AS (
+  SELECT m_cents // 100 AS v, COALESCE(SUM(COUNT(*)) OVER (ORDER BY m_cents // 100
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+  FROM cust GROUP BY 1),
+scored AS (
+  SELECT c.o_custkey, c.m_cents,
+         CAST(rg.cum0 * 4 // t.n + 1 AS BIGINT) AS r_score,
+         CAST(fg.cum0 * 4 // t.n + 1 AS BIGINT) AS f_score,
+         CAST(mg.cum0 * 4 // t.n + 1 AS BIGINT) AS m_score
+  FROM cust c
+  JOIN rg ON rg.v = c.r_day
+  JOIN fg ON fg.v = c.f
+  JOIN mg ON mg.v = c.m_cents // 100
+  CROSS JOIN tot t)
+SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(m_cents) AS BIGINT) AS total_m_cents
+FROM scored
+GROUP BY 1
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 — RFM (recency / frequency / monetary) customer
+    segmentation: each customer scored 1-4 per dimension by exact
+    value-level quartiles (the X26 equi-depth rule — a distinct value
+    maps wholly to the quartile of its cumulative rank, so the scoring
+    is deterministic and engine-identical; monetary quantizes to whole
+    dollars to bound its grid), combined into the classic 3-digit RFM
+    segment — the lifecycle-marketing census (champions 444, at-risk
+    1xx, ...) every CRM computes. Plan: customers collapse to one
+    (recency, frequency, monetary) row each in ONE aggregation; each
+    score dimension builds its (value -> cumulative) grid with a
+    prefix-sum window over the BOUNDED distinct-value frame and joins
+    back BROADCAST; final census aggregates the <= 64-cell segment
+    grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.expr("max(unix_millis(o_orderdate) div 86400000)")
+        .cast("long")
+        .alias("r_day"),
+        F.count("*").cast("long").alias("f"),
+        F.sum(cents("o_totalprice")).cast("long").alias("m_cents"),
+    ).withColumn("m_dollars", F.expr("m_cents div 100"))
+    tot = cust.agg(F.count("*").cast("long").alias("n"))
+
+    def score_grid(col: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            cust.groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+            .withColumn(
+                "cum0", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+            )
+            .select(col, "cum0")
+        )
+
+    scored = (
+        cust.join(
+            F.broadcast(score_grid("r_day").withColumnRenamed("cum0", "rc")),
+            "r_day",
+        )
+        .join(
+            F.broadcast(score_grid("f").withColumnRenamed("cum0", "fc")), "f"
+        )
+        .join(
+            F.broadcast(
+                score_grid("m_dollars").withColumnRenamed("cum0", "mc")
+            ),
+            "m_dollars",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "m_cents",
+            F.expr("rc * 4 div n + 1").alias("r_score"),
+            F.expr("fc * 4 div n + 1").alias("f_score"),
+            F.expr("mc * 4 div n + 1").alias("m_score"),
+        )
+    )
+    return scored.groupBy(
+        F.expr("r_score * 100 + f_score * 10 + m_score")
+        .cast("long")
+        .alias("segment")
+    ).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("m_cents").cast("long").alias("total_m_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X29 — journey path census (3-step paths; Sankey feed)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_journey_paths",
+    oracle="""
+WITH t AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 20
+""",
+)
+def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 — journey path census: the top 3-step event paths across
+    all user journeys — the second-order extension of the Markov
+    matrix (X23) and the aggregation behind every Sankey / user-flow
+    visualization. Plan: ONE window pass partitioned by user computes
+    both lookaheads (Spark collapses same-spec window functions into
+    one Window node — per-user sequences never cross tasks), then a
+    path aggregation bounded by the type^3 grid and a deterministic
+    TakeOrderedAndProject top-20."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        t.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X30 — OLS trend slope (exact-integer least squares)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_trend_slope",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day_num,
+         {_EV_CENTS_SQL} AS c
+  FROM events),
+b AS (SELECT MIN(day_num) AS d0 FROM e),
+d AS (
+  SELECT event_type, day_num - b.d0 AS x, CAST(SUM(c) AS BIGINT) AS y
+  FROM e CROSS JOIN b GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY 1),
+fit AS (
+  SELECT event_type, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM s)
+SELECT event_type, n AS n_days,
+       CAST(CASE WHEN den = 0 THEN 0
+                 WHEN num >= 0 THEN num * 1000 // den
+                 ELSE -((-num) * 1000 // den) END AS BIGINT)
+         AS slope_mcents_per_day,
+       CASE WHEN den = 0 OR num = 0 THEN 'flat'
+            WHEN num > 0 THEN 'rising' ELSE 'falling' END AS direction
+FROM fit
+""",
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 — trend detection by ordinary least squares: the OLS slope
+    of each event type's daily revenue series in EXACT INTEGER
+    milli-cents/day — slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with
+    the sign split out so floor division only ever sees non-negative
+    operands (Spark's `div` truncates, DuckDB's `//` floors — they
+    agree only on non-negatives, the house rule) — the
+    revenue-trajectory readout behind alerting ('error revenue
+    rising') and capacity forecasts, done without a single float.
+    Plan: one (type, day) aggregation over the scan, the five OLS
+    moments in one tiny agg per type, arithmetic on the bounded type
+    frame; the global day origin attaches as a broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").cast("long").alias("day_num"),
+        cents("value").alias("c"),
+    )
+    b = ev.agg(F.min("day_num").alias("d0"))
+    d = (
+        ev.crossJoin(F.broadcast(b))
+        .select("event_type", (F.col("day_num") - F.col("d0")).alias("x"), "c")
+        .groupBy("event_type", "x")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(
+            """
+            CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 WHEN n * sxy - sx * sy >= 0
+                   THEN (n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)
+                 ELSE -((-(n * sxy - sx * sy)) * 1000
+                        div (n * sxx - sx * sx)) END AS BIGINT)
+            """
+        ).alias("slope_mcents_per_day"),
+        F.expr(
+            """
+            CASE WHEN n * sxx - sx * sx = 0 OR n * sxy - sx * sy = 0
+                 THEN 'flat'
+                 WHEN n * sxy - sx * sy > 0 THEN 'rising'
+                 ELSE 'falling' END
+            """
+        ).alias("direction"),
     )

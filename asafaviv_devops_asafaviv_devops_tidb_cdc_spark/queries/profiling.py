@@ -690,6 +690,16 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.groupBy(
         F.col("event_type").alias("from_type"), "to_type"
     ).agg(F.count("*").cast("long").alias("n"))
+    return transition_report(c)
+
+
+def transition_report(c: DataFrame) -> DataFrame:
+    """The census assembly over a (from_type, to_type, n) count frame —
+    shared verbatim by the batch query and the streaming monitor
+    (whose per-user recomputed pair partials aggregate to the
+    identical count frame), so the streamed matrix hash-matches the
+    batch oracle by construction. Everything after the counts runs on
+    the bounded type x type grid."""
     s = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
     return (
         c.join(F.broadcast(s), "from_type")
@@ -700,3 +710,44 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 1000000 div tot").cast("long").alias("share_ppm"),
         )
     )
+
+
+@register("q_stream_transitions", oracle=None)  # batch oracle below
+def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23b — transition census STREAM TWIN with per-user HISTORY
+    state: consecutive-pair semantics are NON-monotone under
+    out-of-order arrival (a late event inserts BETWEEN two already-
+    seen events and rewires two pairs), so a running last-event scalar
+    is wrong — the correct state is the per-user event history with
+    the user's pair multiset RECOMPUTED from it on every update (the
+    streaming/funnel.py argument; state is bounded by a user's own
+    activity, never the stream's length). Emission is append-mode with
+    an update counter; serving takes each user's LAST emission,
+    explodes its pair list, and aggregates with the SAME
+    transition_report as the batch query — hash-identical to the
+    batch SQL oracle over interleaved out-of-order micro-batches."""
+    from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import transitions as ST
+    from ..streaming.ingest import stream_workdir  # noqa: F401
+
+    ev = load_table(spark, sf_dir, "events")
+    # interleave users across files so per-user history accretes over
+    # MULTIPLE micro-batches (the order-independence being proven)
+    src = materialized_path(
+        "events_transitions_src",
+        input_fingerprint(sf_dir, "events", "transitions-src-v1"),
+        lambda dest: ev.select("user_id", "event_id", "ts", "event_type")
+        .repartition(6)
+        .write.mode("overwrite")
+        .parquet(dest),
+    )
+    emissions = ST.run_transitions_stream(
+        spark, src, "user_id bigint, event_id bigint, ts timestamp, event_type string",
+        f"transitions_{input_fingerprint(sf_dir, 'events', 'transitions-src-v1')[:8]}",
+    )
+    return transition_report(ST.final_pair_counts(emissions))
+
+
+# the per-user recomputed pairs aggregate to the identical count
+# frame, so the batch SQL IS the twin's oracle
+ORACLES["q_stream_transitions"] = ORACLES["q_event_transitions"]

@@ -150,6 +150,14 @@ _CHECK_FIRST = [
     "q_skyline",
     "q_basket_pairs",
     "q_decay_engagement",
+    "q_equidepth_hist",
+    "q_join_card_est",
+    "q_label_prop",
+    "q_stream_gapfill",
+    "q_stream_transitions",
+    "q_rfm_segments",
+    "q_journey_paths",
+    "q_trend_slope",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]

@@ -851,3 +851,72 @@ def test_decay_engagement_is_scan_agg_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert not checks.has_cartesian(df)
+
+
+def test_equidepth_hist_grid_agg_before_window(spark):
+    """X26 histogram build: the corpus must collapse to the
+    (value -> count) grid BEFORE the prefix-sum window (aggregations
+    exist upstream), the total attaches as a broadcast 1-row frame,
+    and there is exactly one window."""
+    df = _df("q_equidepth_hist", spark)
+    plan = checks.plan_string(df)
+    assert checks.count_nodes(df, "HashAggregate") >= 2, plan
+    assert checks.count_nodes(df, "Window") == 1, plan
+    assert not checks.has_cartesian(df)
+
+
+def test_join_card_est_no_cartesian_scalar_attaches(spark):
+    """X27 cardinality audit: the stats/actual scalars attach as
+    broadcast 1-row frames (BroadcastNestedLoopJoin is the house
+    scalar-attach); the two actual joins are equi-joins — no
+    CartesianProduct."""
+    df = _df("q_join_card_est", spark)
+    plan = checks.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert not checks.has_cartesian(df)
+
+
+def test_label_prop_rounds_are_agg_not_window(spark):
+    """E29 LPA: the per-node majority argmax must be an AGGREGATION
+    (max over (n, -label) structs with map-side partials), never a
+    per-node window; rounds are equi-joins; final ranking is
+    TakeOrderedAndProject."""
+    df = _df("q_label_prop", spark)
+    plan = checks.plan_string(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not checks.has_cartesian(df)
+
+
+def test_rfm_score_grids_join_back_broadcast(spark):
+    """X28 RFM: the three quartile score grids must join back
+    BROADCAST against the per-customer frame (grids are bounded by
+    distinct values), no CartesianProduct."""
+    df = _df("q_rfm_segments", spark)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+
+
+def test_journey_paths_single_user_window(spark):
+    """X29 paths: both lookaheads share ONE user-partitioned window
+    (same spec collapses into a single Window node); ranking is
+    TakeOrderedAndProject."""
+    import re
+
+    df = _df("q_journey_paths", spark)
+    plan = checks.plan_string(df)
+    assert checks.count_nodes(df, "Window") == 1, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.lstrip().startswith("user_id") for s in specs), specs
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_trend_slope_is_agg_only(spark):
+    """X30 OLS slope: two aggregations (daily series, then moments),
+    no window anywhere, scalar origin attaches broadcast — no
+    CartesianProduct."""
+    df = _df("q_trend_slope", spark)
+    plan = checks.plan_string(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert checks.count_nodes(df, "HashAggregate") >= 2, plan
+    assert not checks.has_cartesian(df)

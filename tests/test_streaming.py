@@ -846,3 +846,61 @@ def test_replay_stream_resume_equals_fresh_drain(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_transitions_out_of_order_matches_batch(spark, tmp_path):
+    """Order stress for the stateful transition census (X23b): one hot
+    user owns half of all events, times are deliberately non-monotone
+    and delivered in 3 interleaved micro-batches, so late events land
+    BETWEEN already-paired events and must rewire pairs. The streamed
+    (from, to) counts must equal the batch lead()-window derivation
+    over the same rows — the history state discards arrival order by
+    construction."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import (
+        transitions as TR,
+    )
+
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+    for i in range(200):
+        u = 0 if i % 2 == 0 else (i % 23) + 1
+        et = types[(i * 7) % 5]
+        us = ((i * 41) % 200) * 1_000_000  # non-monotone micros
+        rows.append((i, u, et, us))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, t_us long"
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.timestamp_micros(F.col("t_us")).alias("ts"),
+    )
+    src = str(tmp_path / "trans_src")
+    df.withColumn("_f", F.col("event_id") % 3).repartition(3, "_f").drop(
+        "_f"
+    ).write.mode("overwrite").parquet(src)
+
+    emissions = TR.run_transitions_stream(
+        spark,
+        src,
+        "user_id long, event_id long, event_type string, ts timestamp",
+        "transitions_ooo_test",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in TR.final_pair_counts(emissions).collect()
+    }
+
+    # batch reference: sorted per-user consecutive pairs
+    hist: dict = {}
+    for (i, u, et, us) in rows:
+        hist.setdefault(u, []).append((us, i, et))
+    want: dict = {}
+    for seq in hist.values():
+        seq.sort()
+        for (a, b) in zip(seq, seq[1:]):
+            k = (a[2], b[2])
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+    # the hot user really is hot: half the events
+    assert len(hist[0]) == 100
