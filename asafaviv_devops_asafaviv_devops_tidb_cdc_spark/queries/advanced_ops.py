@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions import kmv as KMV
+from ..functions import kmv as KMV, similarity
 from ..registry import ORACLES, register
 from ..sources import load_table
 from ._money import CENTS_SQL, cents
@@ -1137,17 +1137,31 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one (type, day) aggregation over the scan, the five OLS
     moments in one tiny agg per type, arithmetic on the bounded type
     frame; the global day origin attaches as a broadcast scalar."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("unix_millis(ts) div 86400000").cast("long").alias("day_num"),
-        cents("value").alias("c"),
-    )
-    b = ev.agg(F.min("day_num").alias("d0"))
-    d = (
-        ev.crossJoin(F.broadcast(b))
-        .select("event_type", (F.col("day_num") - F.col("d0")).alias("x"), "c")
-        .groupBy("event_type", "x")
+    return trend_from_daily(_daily_obs(load_table(spark, sf_dir, "events")))
+
+
+def _daily_obs(ev: DataFrame) -> DataFrame:
+    """(event_type, day_num, y) daily cent-sums — the aggregation both
+    the batch query and the stream fold reduce to."""
+    return (
+        ev.select(
+            "event_type",
+            F.expr("unix_millis(ts) div 86400000").cast("long").alias("day_num"),
+            cents("value").alias("c"),
+        )
+        .groupBy("event_type", "day_num")
         .agg(F.sum("c").cast("long").alias("y"))
+    )
+
+
+def trend_from_daily(obs: DataFrame) -> DataFrame:
+    """The OLS assembly over a (event_type, day_num, y) daily frame —
+    shared verbatim by the batch query and the streaming twin (whose
+    folded partials sum to the identical frame). The day origin is
+    min(day_num) over obs (aggregation-invariant), attached broadcast."""
+    b = obs.agg(F.min("day_num").alias("d0"))
+    d = obs.crossJoin(F.broadcast(b)).select(
+        "event_type", (F.col("day_num") - F.col("d0")).alias("x"), "y"
     )
     s = d.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
@@ -1176,4 +1190,407 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE 'falling' END
             """
         ).alias("direction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E30 — k-NN classification audit over the embedding space
+# ---------------------------------------------------------------------------
+
+_KNN_PROBES = "(0, 1, 2, 3, 4, 5, 6, 7, 8, 9)"
+_KNN_K = 10
+
+
+def _knn_oracle() -> str:
+    def lsum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS true_label, embedding AS qv,
+         {lsum('embedding', 'embedding')} AS nq
+  FROM embeddings WHERE vec_id IN {_KNN_PROBES}),
+scored AS (
+  SELECT q.query_id, q.true_label, e.vec_id, e.label,
+         {lsum('e.embedding', 'q.qv')}
+           / sqrt({lsum('e.embedding', 'e.embedding')} * q.nq) AS cos_raw
+  FROM embeddings e, q WHERE e.vec_id NOT IN {_KNN_PROBES}),
+ranked AS (
+  SELECT query_id, true_label, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored),
+votes AS (
+  SELECT query_id, true_label, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM ranked WHERE rank <= {_KNN_K}
+  GROUP BY 1, 2, 3),
+win AS (
+  SELECT query_id, true_label, label AS predicted_label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label) AS vr
+  FROM votes)
+SELECT query_id, CAST(true_label AS INTEGER) AS true_label,
+       CAST(predicted_label AS INTEGER) AS predicted_label, n_votes,
+       predicted_label = true_label AS correct
+FROM win WHERE vr = 1
+"""
+
+
+@register("q_knn_classify", oracle=_knn_oracle())
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E30 — k-NN classification audit: 10 held-out probe vectors
+    classified by the majority label of their 10 exact-cosine nearest
+    gallery neighbors (ties: more votes, then smaller label — total
+    order, engine-identical) and compared to their true labels — the
+    standard embedding-quality probe (if k-NN can't recover labels,
+    the encoder regressed; run after every backfill next to E21's norm
+    census). Plan: the probe batch broadcasts with precomputed norms,
+    every gallery partition scores locally in one scan, per-query
+    top-k is a window PARTITIONED on query_id (the q_ann_batch
+    shape), and the vote is one aggregation on the k x probes grid —
+    at 100 TB this costs exactly one corpus scan per probe batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_ids = list(range(10))
+    q = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+        similarity.sq_norm("embedding").alias("nq"),
+    )
+    scored = (
+        similarity.rebalance(emb.filter(~F.col("vec_id").isin(probe_ids)))
+        .select(
+            "vec_id", "label", "embedding",
+            similarity.sq_norm("embedding").alias("nv"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "true_label",
+            "vec_id",
+            "label",
+            (
+                similarity.dot("embedding", "qv")
+                / F.sqrt(F.col("nv") * F.col("nq"))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), "vec_id"
+    )
+    votes = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    best = votes.groupBy("query_id", "true_label").agg(
+        F.max(F.struct(F.col("n_votes"), (-F.col("label")).alias("neg"))).alias("m")
+    )
+    return best.select(
+        "query_id",
+        F.col("true_label").cast("int"),
+        (-F.col("m.neg")).cast("int").alias("predicted_label"),
+        F.col("m.n_votes").alias("n_votes"),
+        ((-F.col("m.neg")) == F.col("true_label")).alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E31 — DBSCAN role census over the embedding neighbor graph
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS_X10K = 3000
+_DBSCAN_MINPTS = 4
+
+
+def _dbscan_oracle() -> str:
+    def lsum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    cos = (
+        f"CAST(floor({lsum('a.embedding', 'b.embedding')} / "
+        f"sqrt({lsum('a.embedding', 'a.embedding')} * "
+        f"{lsum('b.embedding', 'b.embedding')}) * 10000 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {cos} >= {_DBSCAN_EPS_X10K}),
+e AS (SELECT id_a AS u, id_b AS v FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+nb AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM e GROUP BY 1),
+pts AS (
+  SELECT vec_id, COALESCE(nb.n_neighbors, 0) AS n_neighbors
+  FROM embeddings LEFT JOIN nb ON nb.u = vec_id),
+core AS (SELECT vec_id FROM pts WHERE n_neighbors >= {_DBSCAN_MINPTS}),
+reach AS (
+  SELECT DISTINCT e.u AS vec_id
+  FROM e JOIN core c ON c.vec_id = e.v)
+SELECT p.vec_id, p.n_neighbors,
+       CASE WHEN p.n_neighbors >= {_DBSCAN_MINPTS} THEN 'core'
+            WHEN r.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM pts p LEFT JOIN reach r ON r.vec_id = p.vec_id
+"""
+
+
+@register("q_dbscan_roles", oracle=_dbscan_oracle())
+def q_dbscan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E31 — DBSCAN point-role census (Ester et al. 1996): every
+    vector labeled core (>= minPts eps-neighbors), border (reaches a
+    core point), or noise — the density-based outlier/quality signal
+    k-means (E11) cannot give (k-means assigns EVERY point a cluster;
+    DBSCAN's noise role is the embedding-space junk detector a
+    training pipeline filters on). Roles are a pure function of the
+    eps-neighbor graph — no iterative cluster expansion — so the
+    census is exactly reproducible cross-engine. Plan: the neighbor
+    graph comes from the blocked Arrow matmul (functions/similarity.py
+    ::allpairs_cosine_x10k — id-block pair matmuls, nothing
+    driver-side; at corpus scale the bucketed LSH path E2e feeds the
+    same frame); then one degree aggregation, one core-reachability
+    semi-join, one left join back — all equi-joins on the point id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.allpairs_cosine_x10k(
+        emb, threshold_x10k=_DBSCAN_EPS_X10K
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    nb = edges.groupBy("u").agg(F.count("*").cast("long").alias("n_neighbors"))
+    pts = (
+        emb.select("vec_id")
+        .join(nb, emb.vec_id == nb.u, "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
+        )
+    )
+    core = pts.filter(F.col("n_neighbors") >= _DBSCAN_MINPTS).select(
+        F.col("vec_id").alias("cid")
+    )
+    reach = (
+        edges.join(core, edges.v == core.cid)
+        .select(F.col("u").alias("vec_id"))
+        .distinct()
+        .withColumn("reaches_core", F.lit(True))
+    )
+    return (
+        pts.join(reach, "vec_id", "left")
+        .select(
+            "vec_id",
+            "n_neighbors",
+            F.when(F.col("n_neighbors") >= _DBSCAN_MINPTS, "core")
+            .when(F.col("reaches_core"), "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
+    )
+
+
+@register("q_stream_trend", oracle=None)  # batch oracle attached below
+def q_stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30b — OLS trend STREAM TWIN: daily cent-sums are
+    SUM-DECOMPOSABLE, so each micro-batch folds one tiny per-(type,
+    day) partial (idempotent ``epoch=<id>`` — the streaming/drift.py
+    recipe) and serving sums the partials into the identical daily
+    frame, then runs the SAME trend_from_daily — the live trend
+    detector hash-matches the batch SQL oracle exactly. The regression
+    recomputes over the bounded type x day grid each refresh; state
+    tracks the key grid, not event volume — continuously-updated
+    'error revenue rising' alerting at 100 TB/day."""
+    from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import trend as STR
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "trend")
+    ev = load_table(spark, sf_dir, "events")
+    src = materialized_path(
+        "events_normalized",
+        input_fingerprint(sf_dir, "events", "dq-src-v1"),
+        lambda dest: ev.write.mode("overwrite").parquet(dest),
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields
+    )
+    STR.run_trend_stream(
+        spark, src, schema, str(base / "partials"), str(base / "ckpt")
+    )
+    return trend_from_daily(STR.folded_daily(spark, str(base / "partials")))
+
+
+# the stream twin folds to the identical daily frame, so the batch SQL
+# IS its oracle (same contract as q_stream_gapfill)
+ORACLES["q_stream_trend"] = ORACLES["q_trend_slope"]
+
+
+# ---------------------------------------------------------------------------
+# X31 — day-of-week seasonality index
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dow_seasonality",
+    oracle=f"""
+WITH e AS (
+  SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+         epoch_ms(ts) // 86400000 AS day_num,
+         {_EV_CENTS_SQL} AS c
+  FROM events),
+d AS (
+  SELECT dow, day_num, CAST(SUM(c) AS BIGINT) AS day_cents
+  FROM e GROUP BY 1, 2),
+per AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(day_cents) AS BIGINT) AS total_cents
+  FROM d GROUP BY 1),
+g AS (
+  SELECT CAST(SUM(total_cents) AS BIGINT) AS g_cents,
+         CAST(SUM(n_days) AS BIGINT) AS g_days
+  FROM per)
+SELECT dow, n_days, total_cents,
+       CAST(total_cents // n_days AS BIGINT) AS avg_cents_per_day,
+       CAST((total_cents // n_days) * 1000000 // (g.g_cents // g.g_days)
+            AS BIGINT) AS index_ppm
+FROM per, g
+""",
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 — day-of-week seasonality index: average daily revenue per
+    weekday relative to the overall daily average, in exact ppm — the
+    seasonality profile capacity planning and anomaly baselines
+    subtract before comparing days (W14's MAD detector flags outliers
+    WITHIN a series; this names the structural weekly cycle). Weekday
+    derives from epoch-day arithmetic ((days + 4) % 7, Monday = 0) —
+    identical integers in both engines, immune to engine/locale
+    week-start conventions. Plan: one (dow, day) aggregation over the
+    scan, then everything on the bounded 7-row (and day-count) grids;
+    the global average attaches broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("(unix_millis(ts) div 86400000 + 4) % 7")
+        .cast("long")
+        .alias("dow"),
+        F.expr("unix_millis(ts) div 86400000").cast("long").alias("day_num"),
+        cents("value").alias("c"),
+    )
+    d = ev.groupBy("dow", "day_num").agg(
+        F.sum("c").cast("long").alias("day_cents")
+    )
+    per = d.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("day_cents").cast("long").alias("total_cents"),
+    )
+    g = per.agg(
+        F.sum("total_cents").cast("long").alias("g_cents"),
+        F.sum("n_days").cast("long").alias("g_days"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "dow",
+            "n_days",
+            "total_cents",
+            F.expr("total_cents div n_days").cast("long")
+            .alias("avg_cents_per_day"),
+            F.expr(
+                "(total_cents div n_days) * 1000000 div (g_cents div g_days)"
+            )
+            .cast("long")
+            .alias("index_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X32 — changepoint detection (best level-shift split)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_changepoint",
+    oracle=f"""
+WITH e AS (
+  SELECT epoch_ms(ts) // 86400000 AS day_num, {_EV_CENTS_SQL} AS c
+  FROM events),
+d AS (
+  SELECT day_num, CAST(SUM(c) AS BIGINT) AS y
+  FROM e GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS tot
+      FROM d),
+w AS (
+  SELECT day_num,
+         row_number() OVER (ORDER BY day_num) AS rk,
+         SUM(y) OVER (ORDER BY day_num
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d),
+shifts AS (
+  SELECT w.day_num AS split_day,
+         CAST(w.cum * 1000 // w.rk AS BIGINT) AS mean_left_mcents,
+         CAST((t.tot - w.cum) * 1000 // (t.n - w.rk) AS BIGINT)
+           AS mean_right_mcents
+  FROM w, t WHERE w.rk < t.n)
+SELECT split_day, mean_left_mcents, mean_right_mcents,
+       CAST(abs(mean_right_mcents - mean_left_mcents) AS BIGINT)
+         AS shift_mcents
+FROM shifts
+ORDER BY shift_mcents DESC, split_day
+LIMIT 1
+""",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32 — changepoint detection: the day that best splits the daily
+    revenue series into two level regimes (max |mean-after −
+    mean-before|, the single-changepoint CUSUM/binary-segmentation
+    statistic) — the 'when did behavior change' readout incident
+    review and drift attribution start from (X14b says THAT a day
+    drifted; this finds the regime boundary). Exact integer: means in
+    milli-cents via floor-div over non-negative prefix sums, the
+    shift as an absolute difference (no division of negatives
+    anywhere). Plan: the corpus collapses to the daily series in ONE
+    aggregation; prefix sums, the per-split means, and the argmax all
+    run on the time-bounded day grid — O(days) after the scan,
+    regardless of data volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_millis(ts) div 86400000").cast("long").alias("day_num"),
+        cents("value").alias("c"),
+    )
+    d = ev.groupBy("day_num").agg(F.sum("c").cast("long").alias("y"))
+    t = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("tot"),
+    )
+    w = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy("day_num")
+    shifts = (
+        d.select(
+            "day_num",
+            F.row_number().over(wr).alias("rk"),
+            F.sum("y").over(w).alias("cum"),
+        )
+        .crossJoin(F.broadcast(t))
+        .filter(F.col("rk") < F.col("n"))
+        .select(
+            F.col("day_num").alias("split_day"),
+            F.expr("cum * 1000 div rk").cast("long").alias("mean_left_mcents"),
+            F.expr("(tot - cum) * 1000 div (n - rk)")
+            .cast("long")
+            .alias("mean_right_mcents"),
+        )
+    )
+    return (
+        shifts.withColumn(
+            "shift_mcents",
+            F.expr("abs(mean_right_mcents - mean_left_mcents)").cast("long"),
+        )
+        .orderBy(F.desc("shift_mcents"), "split_day")
+        .limit(1)
     )

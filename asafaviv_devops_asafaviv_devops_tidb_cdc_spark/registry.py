@@ -158,6 +158,11 @@ _CHECK_FIRST = [
     "q_rfm_segments",
     "q_journey_paths",
     "q_trend_slope",
+    "q_knn_classify",
+    "q_dbscan_roles",
+    "q_stream_trend",
+    "q_dow_seasonality",
+    "q_changepoint",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]

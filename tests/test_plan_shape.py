@@ -920,3 +920,48 @@ def test_trend_slope_is_agg_only(spark):
     assert "windowspecdefinition" not in plan, plan
     assert checks.count_nodes(df, "HashAggregate") >= 2, plan
     assert not checks.has_cartesian(df)
+
+
+def test_knn_classify_probes_broadcast_window_per_query(spark):
+    """E30 k-NN audit: the probe batch must broadcast (one corpus scan
+    scores all probes) and the top-k window must be PARTITIONED on
+    query_id — per-query ranking never funnels through one task."""
+    import re
+
+    df = _df("q_knn_classify", spark)
+    plan = checks.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan or checks.uses_broadcast_join(df), plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.lstrip().startswith("query_id") for s in specs), specs
+
+
+def test_dbscan_roles_equi_joins_no_window(spark):
+    """E31 DBSCAN roles: roles derive from the neighbor graph with
+    degree aggregation + equi-joins only — no window, no
+    CartesianProduct (the pair build is the blocked Arrow matmul)."""
+    df = _df("q_dbscan_roles", spark)
+    plan = checks.plan_string(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert not checks.has_cartesian(df)
+    assert "FlatMapGroupsInPandas" in plan, plan  # the blocked matmul
+
+
+def test_dow_seasonality_is_agg_only(spark):
+    """X31 seasonality: two aggregations to bounded grids, global
+    average attaches broadcast, no window, no CartesianProduct."""
+    df = _df("q_dow_seasonality", spark)
+    plan = checks.plan_string(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert checks.count_nodes(df, "HashAggregate") >= 2, plan
+    assert not checks.has_cartesian(df)
+
+
+def test_changepoint_grid_agg_before_window_topk(spark):
+    """X32 changepoint: the corpus collapses to the daily series
+    BEFORE the prefix-sum windows (aggregation upstream of Window);
+    the argmax is TakeOrderedAndProject, not a global sort."""
+    df = _df("q_changepoint", spark)
+    plan = checks.plan_string(df)
+    assert checks.count_nodes(df, "HashAggregate") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not checks.has_cartesian(df)
