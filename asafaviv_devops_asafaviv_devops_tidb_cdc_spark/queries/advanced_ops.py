@@ -498,6 +498,15 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("p_retailprice").alias("price_cents"),
         "p_size",
     )
+    return pareto_frontier(p).select("p_partkey", "price_cents", "p_size")
+
+
+def pareto_frontier(p: DataFrame) -> DataFrame:
+    """The grid-decomposed 2-D skyline over a (.., price_cents, p_size)
+    frame (min price, max size): grid reduction, one ordered pass over
+    the grid, broadcast left-semi join back. Split out so the
+    hypothesis property test can sweep it against the O(n^2) dominance
+    definition on random point sets."""
     grid = p.groupBy("price_cents").agg(F.max("p_size").alias("p_size"))
     w = Window.orderBy("price_cents").rowsBetween(
         Window.unboundedPreceding, -1
@@ -509,7 +518,7 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.join(
         F.broadcast(frontier), ["price_cents", "p_size"], "left_semi"
-    ).select("p_partkey", "price_cents", "p_size")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1562,6 +1571,14 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("value").alias("c"),
     )
     d = ev.groupBy("day_num").agg(F.sum("c").cast("long").alias("y"))
+    return changepoint_from_daily(d)
+
+
+def changepoint_from_daily(d: DataFrame) -> DataFrame:
+    """The level-shift scan over a (day_num, y) daily frame — shared
+    by the batch query, the streaming view (which derives the same
+    frame from the trend fold's partials), and the hypothesis property
+    test (argmax vs a brute-force reference on random series)."""
     t = d.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("tot"),
@@ -1594,3 +1611,46 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shift_mcents"), "split_day")
         .limit(1)
     )
+
+
+@register("q_stream_changepoint", oracle=None)  # batch oracle below
+def q_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32b — changepoint STREAM VIEW over the SAME folded state as
+    the trend twin: one streaming fold (the per-(type, day) cent-sum
+    partials of streaming/trend.py) serves MULTIPLE analytics views —
+    the OLS trend (q_stream_trend) and this level-shift scan — the
+    'one state, many dashboards' economics that make folded partials
+    the right streaming substrate (adding a view costs zero extra
+    stream passes or state). The all-types daily series is the
+    type-marginal of the folded frame (sum over types — still exact by
+    sum-decomposability), then the SAME changepoint_from_daily as the
+    batch query, so the streamed answer hash-matches the batch SQL
+    oracle."""
+    from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import trend as STR
+    from ..streaming.ingest import stream_workdir
+
+    base = stream_workdir(sf_dir, "trend")
+    ev = load_table(spark, sf_dir, "events")
+    src = materialized_path(
+        "events_normalized",
+        input_fingerprint(sf_dir, "events", "dq-src-v1"),
+        lambda dest: ev.write.mode("overwrite").parquet(dest),
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields
+    )
+    STR.run_trend_stream(
+        spark, src, schema, str(base / "partials"), str(base / "ckpt")
+    )
+    daily = (
+        STR.folded_daily(spark, str(base / "partials"))
+        .groupBy("day_num")
+        .agg(F.sum("y").cast("long").alias("y"))
+    )
+    return changepoint_from_daily(daily)
+
+
+# the type-marginal of the folded frame is the batch daily series, so
+# the batch SQL IS the view's oracle
+ORACLES["q_stream_changepoint"] = ORACLES["q_changepoint"]

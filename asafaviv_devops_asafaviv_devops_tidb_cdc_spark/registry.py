@@ -163,6 +163,7 @@ _CHECK_FIRST = [
     "q_stream_trend",
     "q_dow_seasonality",
     "q_changepoint",
+    "q_stream_changepoint",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh pass-r05 entries keep registration order after these
 ]

@@ -436,3 +436,126 @@ def test_delta_join_identity_counts_each_pair_once(left, right, n_epochs):
                 if lk == rk:
                     legs[(i, j)] += 1
     assert legs == direct
+
+
+# ---------------------------------------------------------------------------
+# E27 KMV sketch: the bottom-K fold is a monoid (r6b)
+# ---------------------------------------------------------------------------
+
+_members = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(min_value=0, max_value=500)),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_members, st.integers(min_value=1, max_value=4))
+def test_kmv_bottom_k_fold_is_exact(spark, members, n_chunks):
+    """bottom-K(S1 ∪ S2) == bottom-K(bottom-K(S1) ∪ bottom-K(S2)) for
+    the repo's actual hash + tournament code — the identity every
+    stream/partition fold of the sketch rests on, swept over random
+    member multisets and arbitrary chunkings."""
+    from pyspark.sql import functions as F
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import kmv as KMV
+
+    def sketch_of(rows):
+        df = spark.createDataFrame(rows, "member_set string, m long").select(
+            "member_set", KMV.hash_key(F.col("m")).alias("hv")
+        ).distinct()
+        return KMV.bottom_k(df)
+
+    direct = {
+        (r["member_set"], r["hv"], r["rk"])
+        for r in sketch_of(members).collect()
+    }
+    chunks = [members[i::n_chunks] for i in range(n_chunks)]
+    partials = []
+    for ch in chunks:
+        if ch:
+            partials.extend(
+                (r["member_set"], r["hv"]) for r in sketch_of(ch).collect()
+            )
+    folded_df = spark.createDataFrame(
+        list(set(partials)), "member_set string, hv long"
+    )
+    folded = {
+        (r["member_set"], r["hv"], r["rk"])
+        for r in KMV.bottom_k(folded_df).collect()
+    }
+    assert folded == direct
+
+
+# ---------------------------------------------------------------------------
+# X24 skyline: grid decomposition equals the O(n^2) dominance definition
+# ---------------------------------------------------------------------------
+
+_points = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_points)
+def test_pareto_frontier_matches_dominance_definition(spark, pts):
+    """The grid + ordered-pass skyline must equal the brute-force NOT
+    EXISTS dominance definition on random point sets (duplicates and
+    price/size ties included — the edge cases the sort-filter
+    decomposition must preserve)."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.advanced_ops import (
+        pareto_frontier,
+    )
+
+    rows = [(i, c, sz) for i, (c, sz) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid long, price_cents long, p_size int")
+    got = {r["pid"] for r in pareto_frontier(df).collect()}
+    want = {
+        i
+        for (i, c, sz) in rows
+        if not any(
+            (c2 <= c and s2 >= sz and (c2 < c or s2 > sz))
+            for (_, c2, s2) in rows
+        )
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# X32 changepoint: argmax equals a brute-force reference
+# ---------------------------------------------------------------------------
+
+_series = st.lists(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=25)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_series)
+def test_changepoint_matches_bruteforce(spark, ys):
+    """The prefix-sum level-shift scan must pick the same split (and
+    the same integer means) as a direct per-split recomputation,
+    including ties (earliest split wins) and flat series."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.advanced_ops import (
+        changepoint_from_daily,
+    )
+
+    rows = [(d, y) for d, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "day_num long, y long")
+    got = changepoint_from_daily(df).collect()[0]
+
+    n = len(ys)
+    best = None
+    for k in range(1, n):  # split after day k-1 (rk = k)
+        ml = sum(ys[:k]) * 1000 // k
+        mr = sum(ys[k:]) * 1000 // (n - k)
+        cand = (abs(mr - ml), -(k - 1))  # tie -> earliest split day
+        if best is None or cand > best[0]:
+            best = (cand, (k - 1, ml, mr))
+    (_, (day, ml, mr)) = best
+    assert (
+        got["split_day"],
+        got["mean_left_mcents"],
+        got["mean_right_mcents"],
+        got["shift_mcents"],
+    ) == (day, ml, mr, abs(mr - ml))
