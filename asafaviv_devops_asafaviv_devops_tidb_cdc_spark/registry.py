@@ -44,91 +44,17 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-6 window: the driver oracle-checks a 50-query prefix of the
-    # registered order. Priority policy (r5 verdict items 1-2):
-    # (a) the 7 late-r5 queries that have NEVER had a driver verdict —
-    #     the only thing between this repo and a fully driver-proven
-    #     ledger; converting components E3c/E10c/E21/E22/E14b;
-    # (b) queries whose implementation CHANGED this round (shard-layout
-    #     artifact + shared salted-key helpers, pipeline CC artifact,
-    #     Misra-Gries int64 counters) — a fresh pass-r05 verdict no
-    #     longer covers the rewritten path;
-    # (c) the r1/r2-stale cohort, flagship composites first, whose last
-    #     driver verdict predates rounds of rewrites underneath them.
-    # Everything is re-verified in this round's own sf0.01 parity
-    # sweeps before the gate; the driver's check is the hard signal.
-    # --- (a) never driver-checked (late r5) ---
-    "q_ann_filtered",
-    "q_pq_topk",
-    "q_text_embedding_stats",
-    "q_source_gini",
-    "q_stream_sample",
-    "q_stream_manifest",
-    "q_stream_event_drift",
-    # --- (b) changed in round 6 (incl. the resumable-checkpoint
-    #     conversion of the stream-state family) ---
-    "q_pipeline_e2e",
-    "q_shard_manifest",
-    "q_sample_fixed",
-    "q_sample_per_group",
-    "q_heavy_hitters",
-    "q_stream_join_view",
-    "q_stream_scd2",
-    "q_stream_delta_agg",
-    # --- (c) stale: flagship composites + paths rewritten since their
-    #     last verdict (CC/pair artifacts, IVF artifact, event sink,
-    #     shared envelope source) ---
-    "q_neardup_clusters",
-    "q_ngram_jaccard",
-    "q_cdc_replay",
-    "q_dedup_exact",
-    "q_cosine_topk",
-    "q_ivf_topk",
-    "q_minhash_neardup",
-    "q_simhash",
-    "q_simhash_neardup",
-    "q_session_windows",
-    "q_snapshot_diff",
-    "q_alert_sustained",
-    # --- (c) stale: relational / warehouse block ---
-    "q_join_fk",
-    "q_join_star",
-    "q_local_supplier_volume",
-    "q_pricing_summary",
-    "q_promo_share",
-    "q_returned_items",
-    "q_ship_priority",
-    "q_top_supplier",
-    "q_filter_cmp",
-    "q_arith_update",
-    "q_except_deleted",
-    "q_union_variants",
-    "q_ops_pivot",
-    "q_running_total",
-    "q_old_image",
-    "q_typed_cast",
-    # --- (c) stale: logs + text block ---
-    "q_log_ingest",
-    "q_log_error_rate",
-    "q_lang_id",
-    "q_token_count",
-    "q_quality_score",
-    "q_repetition_ratio",
-    "q_text_stats",
-    # --- (c) stale: map-only shapes (lowest risk; the tail of the
-    #     50-slot window + first spill into round 7) ---
-    "q_scrub_text",
-    "q_fingerprint",
-    "q_split_assign",
-    "q_stratified_sample",
-    "q_lsh_buckets",
-    "q_multimodal_meta",
-    "q_media_chunks",
-    "q_props_json",
-    "q_sha2",
-    "q_hll_distinct",
-    # --- registered in round 6 (past the window edge; verified in this
-    #     round's own sf0.01 + sf0.1 parity sweeps, queue for round 7) ---
+    # Round-7 window: the driver oracle-checks a 50-query prefix of the
+    # registered order. Priority policy (r6 verdict item 1): positions
+    # 1-32 are EXACTLY the round-6 cohort that has never had a driver
+    # verdict (registered past the r6 window edge; all oracle-backed and
+    # locally parity-swept) — hash-greening them converts 28 components
+    # from claimed to proven. Positions 33-42 are the r1/r2-stale tail
+    # (last driver verdict predates four rounds of rewrites) plus
+    # q_hll_distinct's rows-only slot. The remaining slots take queries
+    # whose implementation changes in round 7 (the stream-transitions
+    # delta rewrite and the skew-stressed join-view twin).
+    # --- (a) never driver-checked (round-6 cohort, 32 queries) ---
     "q_pii_census",
     "q_edit_neardup",
     "q_content_chunks",
@@ -140,9 +66,6 @@ _CHECK_FIRST = [
     "q_table_stats",
     "q_event_transitions",
     "q_bm25_search",
-    # --- registered in round 6 continuation (advanced_ops block;
-    #     verified in the local sf0.001/sf0.01 parity sweeps, queued
-    #     behind the earlier round-6 additions for round 7) ---
     "q_kmv_distinct",
     "q_stream_kmv",
     "q_gapfill_interpolate",
@@ -164,8 +87,24 @@ _CHECK_FIRST = [
     "q_dow_seasonality",
     "q_changepoint",
     "q_stream_changepoint",
+    # --- (b) r1/r2-stale tail (ledger positions 51-59 + hll) ---
+    "q_scrub_text",
+    "q_fingerprint",
+    "q_split_assign",
+    "q_stratified_sample",
+    "q_lsh_buckets",
+    "q_multimodal_meta",
+    "q_media_chunks",
+    "q_props_json",
+    "q_sha2",
+    "q_hll_distinct",
+    # --- (c) paths changed or added in round 7 ---
+    "q_stream_join_view_skew",
+    "q_stream_funnel",
+    "q_stream_join_view",
+    "q_stream_dedupe",
     # everything below kept its round-3+ verdict on an unchanged path;
-    # fresh pass-r05 entries keep registration order after these
+    # fresh entries keep registration order after these
 ]
 
 _loaded = False
