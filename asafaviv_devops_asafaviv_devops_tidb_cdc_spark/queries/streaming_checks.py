@@ -419,10 +419,11 @@ def q_alert_rules_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alerts.evaluate_rules(ev, ALERT_RULES)
 
 
-@register(
-    "q_stream_join_view",
-    oracle=_TYPED_CTE
-    + """,
+# the join-view serving SELECT over the typed CTE: last-writer-wins
+# state per (table, user), click |><| purchase on user. Shared by the
+# natural-key oracle (q_stream_join_view) and the Zipf-skewed one
+# (q_stream_join_view_skew) so the two gates pin the same semantics.
+_JV_SELECT = """,
 state AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (
@@ -444,8 +445,10 @@ r AS (
 SELECT l.user_id, l.left_row_id, l.left_value_cents,
        r.right_row_id, r.right_value_cents
 FROM l JOIN r USING (user_id)
-""",
-)
+"""
+
+
+@register("q_stream_join_view", oracle=_TYPED_CTE + _JV_SELECT)
 def q_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10b stream form — a MAINTAINED JOIN VIEW: click-state |><|
     purchase-state ON user_id, kept fresh per micro-batch by
@@ -467,6 +470,74 @@ def q_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-view-fold change)
     base = ingest.resumable_workdir(sf_dir, "events", "join_view", "jv-v1")
     src = ingest.envelope_files(spark, sf_dir, None, n_files=4)
+    JV.run_join_view_stream(
+        spark,
+        src,
+        str(base / "state"),
+        str(base / "view"),
+        str(base / "ckpt"),
+        max_files_per_trigger=2,
+        fresh=False,
+    )
+    return JV.read_join_view(spark, str(base / "view"))
+
+
+# Zipf-skewed variant of the join-view oracle: the SAME typed-CTE
+# derivation over events with HALF of all envelopes remapped onto one
+# hot user — the key profile a real 100 TB event stream has. Applied
+# identically in both engines (the Spark side remaps the events frame
+# before envelope generation), so the gate hash-proves the maintainer
+# under skew, complementing the bounded-I/O property test
+# (tests/test_streaming.py::test_join_view_bounded_io_under_zipf_skew).
+_TYPED_CTE_SKEW = _TYPED_CTE.replace(
+    "FROM events\n", "FROM events_skew\n", 1
+).replace(
+    "WITH gen AS (",
+    "WITH events_skew AS (\n"
+    "  SELECT event_id, event_type, ts, value,\n"
+    "         CASE WHEN event_id % 2 = 0 THEN 42 ELSE user_id END AS user_id\n"
+    "  FROM events\n"
+    "),\ngen AS (",
+    1,
+)
+
+
+@register("q_stream_join_view_skew", oracle=_TYPED_CTE_SKEW + _JV_SELECT)
+def q_stream_join_view_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10c under Zipf skew — the SAME co-bucketed join-view
+    maintainer as q_stream_join_view, driven by an envelope stream in
+    which one hot user owns HALF of all change events (every even
+    event_id remapped to user 42 before envelope generation; the tail
+    keeps its natural spread). This is the bot-traffic key profile a
+    100 TB CDC stream has, and the two scale claims it must not bend:
+    (1) correctness — the final view still equals the batch join of
+    the final side states, hash-proven here against the skew-remapped
+    typed-CTE oracle (the hot key folds to ONE live row per side, so
+    skew concentrates writes, never output); (2) bounded I/O — a
+    batch touching only hot-key buckets rewrites only those buckets,
+    pinned byte-identically by the companion property test. No salt is
+    needed BECAUSE state and view bucket on the join key: the hot
+    bucket's refresh cost is one bucket's worth of live rows, not the
+    stream's history."""
+    from ..sources import envelopes_from_events
+    from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import join_view as JV
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(42).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    src = materialized_path(
+        "envelopes_skew",
+        input_fingerprint(sf_dir, "events", "env-skew-v1-f4"),
+        lambda dest: envelopes_from_events(events)
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(dest),
+    )
+    base = ingest.resumable_workdir(sf_dir, "events", "join_view_skew", "jvs-v1")
     JV.run_join_view_stream(
         spark,
         src,
