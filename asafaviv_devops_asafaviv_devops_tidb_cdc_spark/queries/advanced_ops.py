@@ -1654,3 +1654,124 @@ def q_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the type-marginal of the folded frame is the batch daily series, so
 # the batch SQL IS the view's oracle
 ORACLES["q_stream_changepoint"] = ORACLES["q_changepoint"]
+
+
+# ---------------------------------------------------------------------------
+# X33 — cost-based join-order choice (round 7)
+# ---------------------------------------------------------------------------
+
+_JOIN_ORDER_ORACLE = """
+WITH lstat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_ok
+  FROM lineitem),
+ostat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv_ok,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_ck
+  FROM orders WHERE o_orderstatus = 'F'),
+cstat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS ndv_ck
+  FROM customer),
+est AS (
+  SELECT l.n AS nl, c.n AS nc,
+         l.ndv_ok AS l_ndv_ok, o.ndv_ok AS o_ndv_ok,
+         o.ndv_ck AS o_ndv_ck, c.ndv_ck AS c_ndv_ck,
+         l.n * o.n // greatest(l.ndv_ok, o.ndv_ok) AS est_lo,
+         o.n * c.n // greatest(o.ndv_ck, c.ndv_ck) AS est_oc
+  FROM lstat l, ostat o, cstat c),
+cand AS (
+  SELECT 'lineitem_orders_then_customer' AS join_order,
+         est_lo AS est_intermediate,
+         est_lo * nc // greatest(o_ndv_ck, c_ndv_ck) AS est_final
+  FROM est
+  UNION ALL
+  SELECT 'orders_customer_then_lineitem',
+         est_oc,
+         est_oc * nl // greatest(l_ndv_ok, o_ndv_ok)
+  FROM est
+)
+SELECT join_order,
+       CAST(est_intermediate AS BIGINT) AS est_intermediate,
+       CAST(est_final AS BIGINT) AS est_final,
+       CAST(est_intermediate + est_final AS BIGINT) AS cost,
+       est_intermediate + est_final =
+         MIN(est_intermediate + est_final) OVER () AS chosen
+FROM cand
+"""
+
+
+@register("q_join_order_choice", oracle=_JOIN_ORDER_ORACLE)
+def q_join_order_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 — cost-based JOIN-ORDER choice: the Selinger '79 left-deep
+    enumeration over the customer/orders('F')/lineitem star, scored
+    with exactly the statistics q_table_stats (X22) collects and the
+    estimator q_join_card_est (X27) audits — |A JOIN B| = nA*nB /
+    max(ndv_A(k), ndv_B(k)), intermediate NDVs inherited from the base
+    side (the classic preservation assumption). Cost = sum of
+    estimated intermediate + final cardinalities; the row with minimal
+    cost carries chosen=true. This formalizes the CBO stats family
+    into the decision it exists to feed: starting from the FILTERED
+    star arm (orders x customer) beats starting from the fact join
+    whenever the filter bites — the advisor derives that from stats
+    alone, and tests/test_plan_shape.py executes both orders and
+    asserts the chosen one's ACTUAL intermediate is the smaller. Plan
+    posture: three single-pass stats aggregations (each a 1-row
+    frame), then pure broadcast scalar algebra — at 100 TB the stats
+    legs are the only scans, and each is sketchable (E27 KMV) when
+    exact NDV is too dear. All arithmetic is integer floor-div over
+    non-negative counts, engine-identical by the house rules."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+
+    lstat = li.agg(
+        F.count("*").cast("long").alias("l_n"),
+        F.countDistinct("l_orderkey").cast("long").alias("l_ndv_ok"),
+    )
+    ostat = orders.agg(
+        F.count("*").cast("long").alias("o_n"),
+        F.countDistinct("o_orderkey").cast("long").alias("o_ndv_ok"),
+        F.countDistinct("o_custkey").cast("long").alias("o_ndv_ck"),
+    )
+    cstat = cust.agg(
+        F.count("*").cast("long").alias("c_n"),
+        F.countDistinct("c_custkey").cast("long").alias("c_ndv_ck"),
+    )
+    stats = lstat.crossJoin(F.broadcast(ostat)).crossJoin(F.broadcast(cstat))
+
+    lo_first = stats.select(
+        F.lit("lineitem_orders_then_customer").alias("join_order"),
+        F.expr("l_n * o_n div greatest(l_ndv_ok, o_ndv_ok)").alias(
+            "est_intermediate"
+        ),
+        F.expr(
+            "(l_n * o_n div greatest(l_ndv_ok, o_ndv_ok)) * c_n"
+            " div greatest(o_ndv_ck, c_ndv_ck)"
+        ).alias("est_final"),
+    )
+    oc_first = stats.select(
+        F.lit("orders_customer_then_lineitem").alias("join_order"),
+        F.expr("o_n * c_n div greatest(o_ndv_ck, c_ndv_ck)").alias(
+            "est_intermediate"
+        ),
+        F.expr(
+            "(o_n * c_n div greatest(o_ndv_ck, c_ndv_ck)) * l_n"
+            " div greatest(l_ndv_ok, o_ndv_ok)"
+        ).alias("est_final"),
+    )
+    cand = lo_first.unionByName(oc_first).select(
+        "join_order",
+        F.col("est_intermediate").cast("long").alias("est_intermediate"),
+        F.col("est_final").cast("long").alias("est_final"),
+        (F.col("est_intermediate") + F.col("est_final"))
+        .cast("long")
+        .alias("cost"),
+    )
+    return cand.withColumn(
+        "chosen",
+        F.col("cost") == F.min("cost").over(Window.partitionBy()),
+    )

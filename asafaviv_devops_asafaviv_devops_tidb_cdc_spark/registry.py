@@ -100,6 +100,7 @@ _CHECK_FIRST = [
     "q_hll_distinct",
     # --- (c) paths changed or added in round 7 ---
     "q_stream_join_view_skew",
+    "q_join_order_choice",
     "q_stream_funnel",
     "q_stream_join_view",
     "q_stream_dedupe",

@@ -74,20 +74,27 @@ def main() -> None:
         # shows up as GC drag attributed to whichever query runs next)
         spark.catalog.clearCache()
 
-    # Second pass over the streaming queries: the first (cold) run pays
-    # one-time costs a long-lived deployment amortizes — checkpoint dir
-    # creation, state-store init, the shared envelope-source build. The
-    # warm numbers are the per-drain cost a production stream actually
-    # pays per trigger; recording both keeps cold-start regressions
-    # visible without letting them mask steady-state ones.
-    stream_warm: dict[str, float] = {}
+    # Second (warm) pass over the WHOLE suite (r6 verdict item 7): the
+    # first (cold) run pays one-time costs a long-lived deployment
+    # amortizes — checkpoint dir creation, state-store init, shared
+    # artifact builds, first-touch parquet footers. The warm numbers
+    # are the steady-state per-invocation cost; recording both lets
+    # regression triage separate cold-start noise from real plan
+    # regressions without re-measuring. The headline `value` stays the
+    # cold total (the r0-comparable series); warm lands only in
+    # BENCH_SELF.json. `stream_warm` is kept as the streaming subset
+    # view for continuity with the r5/r6 payloads.
+    warm: dict[str, float] = {}
     for name in sorted(timings):
-        if not (name.startswith("q_stream_") or name == "q_compact_partials"):
-            continue
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, sf_dir).count()
-        stream_warm[name] = round(time.perf_counter() - t0, 2)
+        warm[name] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()
+    stream_warm = {
+        n: t
+        for n, t in warm.items()
+        if n.startswith("q_stream_") or n == "q_compact_partials"
+    }
 
     # ONE JSON line. The driver records only the LAST 2000 characters of
     # stdout and parses from that truncated tail, so the line MUST fit
@@ -113,6 +120,7 @@ def main() -> None:
         "load_avg_1m_at_start": load_at_start,
         "load_avg_1m_at_end": load_1m,
         "queries": timings,
+        "queries_warm": warm,
         "stream_warm": stream_warm,
     }
     try:

