@@ -730,7 +730,7 @@ def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch SQL oracle over interleaved out-of-order micro-batches."""
     from ..sources.artifact import input_fingerprint, materialized_path
     from ..streaming import transitions as ST
-    from ..streaming.ingest import stream_workdir  # noqa: F401
+    from ..streaming.ingest import resumable_workdir
 
     ev = load_table(spark, sf_dir, "events")
     # interleave users across files so per-user history accretes over
@@ -743,9 +743,16 @@ def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(dest),
     )
-    emissions = ST.run_transitions_stream(
-        spark, src, "user_id bigint, event_id bigint, ts timestamp, event_type string",
-        f"transitions_{input_fingerprint(sf_dir, 'events', 'transitions-src-v1')[:8]}",
+    # resumable: the first call drains the 6 interleaved micro-batches
+    # through the history state; later calls are an empty drain + a
+    # delta-sink read (bump the version on any splice-fold change)
+    base = resumable_workdir(sf_dir, "events", "transitions", "trans-v2")
+    emissions = ST.run_transitions_resumable(
+        spark,
+        src,
+        "user_id bigint, event_id bigint, ts timestamp, event_type string",
+        str(base / "sink"),
+        str(base / "ckpt"),
     )
     return transition_report(ST.final_pair_counts(emissions))
 

@@ -43,6 +43,13 @@ def get_spark(app_name: str = "tidb_cdc_spark", shuffle_partitions: int | None =
         # variance on the near-dup queries). On a real cluster this is
         # executor memory, sized per-executor instead.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # ContextCleaner only reclaims shuffle files / broadcasts when
+        # the DRIVER GCs their weak refs; a 24g heap can go a long time
+        # without a full GC while native+disk shuffle state piles up
+        # (observed as late-suite drag across a 235-query session).
+        # Force the sweep every 5 min instead of the 30-min default —
+        # the same knob a long-lived cluster driver pins.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     # 100 TB state posture on demand (plans/scale.py::streaming_conf):
     # SPARK_GRAFT_STATE_PROVIDER=rocksdb runs every stateful streaming

@@ -101,13 +101,8 @@ def _update(key, pdfs, state):
         )
 
 
-def run_transitions_stream(
-    spark: SparkSession, src_dir: str, schema: str, name: str
-) -> DataFrame:
-    """Drain ``src_dir`` through the stateful census into a memory
-    sink; return the emitted delta frame."""
-    from .ingest import STREAM_SHUFFLE_PARTITIONS, scoped_shuffle_partitions
-
+def _delta_stream(spark: SparkSession, src_dir: str, schema: str):
+    """The keyed stateful delta pipeline (shared by both sinks)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -119,11 +114,21 @@ def run_transitions_stream(
         "event_type",
         F.unix_micros("ts").alias("t_us"),  # micros: the batch order key
     ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _update, _OUT_SCHEMA, _STATE_SCHEMA, "append", "NoTimeout"
+    )
+
+
+def run_transitions_stream(
+    spark: SparkSession, src_dir: str, schema: str, name: str
+) -> DataFrame:
+    """Drain ``src_dir`` through the stateful census into a memory
+    sink; return the emitted delta frame (test harness path)."""
+    from .ingest import STREAM_SHUFFLE_PARTITIONS, scoped_shuffle_partitions
+
     with scoped_shuffle_partitions(spark, STREAM_SHUFFLE_PARTITIONS):
         q = (
-            keyed.applyInPandasWithState(
-                _update, _OUT_SCHEMA, _STATE_SCHEMA, "append", "NoTimeout"
-            )
+            _delta_stream(spark, src_dir, schema)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
@@ -132,6 +137,37 @@ def run_transitions_stream(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def run_transitions_resumable(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Resumable drain: delta emissions land in a parquet sink with a
+    persistent checkpoint + state store, so the FIRST invocation pays
+    the real drain and every later one is an empty availableNow pass
+    plus a sink read — the steady-state trigger cost a production
+    census pays (the r6 resumable-checkpoint pattern of merge/scd2/
+    join_view). Deltas are append-only facts, so the sink needs no
+    compaction to serve; the fold happens at read in
+    final_pair_counts."""
+    from .ingest import STREAM_SHUFFLE_PARTITIONS, scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            _delta_stream(spark, src_dir, schema)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink_dir)
 
 
 def final_pair_counts(emissions: DataFrame) -> DataFrame:

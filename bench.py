@@ -30,7 +30,16 @@ def main() -> None:
     spark = get_spark("tidb_cdc_spark_bench")
     registry.load_all()
 
+    def gc_ms() -> int:
+        """Cumulative JVM GC time — lets the per-query records separate
+        real plan cost from suite-accumulated heap pressure (the r6
+        warm-pass anomaly turned out to be late-suite GC drag, not the
+        queries charged with it)."""
+        beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(b.getCollectionTime() for b in beans)
+
     timings: dict[str, float] = {}
+    gc_cold: dict[str, int] = {}
     # warm the JVM + parquet footers once so per-query numbers measure
     # the query, not session startup
     registry.QUERIES["q_ops_by_table_op"](spark, sf_dir).count()
@@ -61,13 +70,15 @@ def main() -> None:
 
     total = 0.0
     for name, fn in sorted(registry.QUERIES.items()):
+        g0 = gc_ms()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 2)
+        gc_cold[name] = gc_ms() - g0
         total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s rows={n} gc={gc_cold[name]}ms", file=sys.stderr)
         # queries are independent: drop any blocks a query persisted for
         # its own internal reuse so cached data doesn't accumulate in
         # the executor across the 100+ query suite (memory pressure
@@ -85,10 +96,13 @@ def main() -> None:
     # BENCH_SELF.json. `stream_warm` is kept as the streaming subset
     # view for continuity with the r5/r6 payloads.
     warm: dict[str, float] = {}
+    gc_warm: dict[str, int] = {}
     for name in sorted(timings):
+        g0 = gc_ms()
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t0, 2)
+        gc_warm[name] = gc_ms() - g0
         spark.catalog.clearCache()
     stream_warm = {
         n: t
@@ -122,6 +136,8 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "stream_warm": stream_warm,
+        "gc_ms_cold": gc_cold,
+        "gc_ms_warm": gc_warm,
     }
     try:
         Path(REPO, "BENCH_SELF.json").write_text(

@@ -162,6 +162,11 @@ HEADLINE = {
         "quadratic), broadcast support join-backs, "
         "TakeOrderedAndProject top-100 (r6b)"
     ),
+    "q_join_order_choice": (
+        "cost-based join-order advisor — three 1-row stats "
+        "aggregations, then pure broadcast scalar algebra; the only "
+        "scans are the stats legs (r7)"
+    ),
 }
 
 
