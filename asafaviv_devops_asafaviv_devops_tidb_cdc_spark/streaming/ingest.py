@@ -227,10 +227,17 @@ def resumable_workdir(sf_dir: str, table: str, tag: str, version: str) -> Path:
     itself guarantees the rest: a crashed prior drain resumes
     exactly-once (q_stream_resume pins this), and a finished one
     no-ops."""
+    import os as _os
+
     from ..sources.artifact import input_fingerprint
 
+    # state files are PROVIDER-SPECIFIC (an HDFS-format checkpoint
+    # cannot be resumed under RocksDB or vice versa), so the posture
+    # sweep (SPARK_GRAFT_STATE_PROVIDER=rocksdb) gets its own workdir
+    # instead of colliding with the default provider's state
+    provider = _os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "").lower() or "hdfs"
     fp = input_fingerprint(sf_dir, table, version)
-    return stream_workdir(sf_dir, f"{tag}_{fp}")
+    return stream_workdir(sf_dir, f"{tag}_{provider[:8]}_{fp}")
 
 
 def read_envelope_stream(spark: SparkSession, source_dir: str) -> DataFrame:
