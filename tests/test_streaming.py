@@ -913,3 +913,65 @@ def test_transitions_out_of_order_matches_batch(spark, tmp_path):
         F.sum(F.abs(F.col("delta"))).alias("v")
     ).collect()[0]["v"]
     assert vol <= 3 * len(rows)
+
+
+def test_transitions_resumable_incremental_update(spark, tmp_path):
+    """The resumable transitions census is genuinely INCREMENTAL: a
+    second drain against the same checkpoint picks up only NEW files,
+    restores per-user history from the state store, and splices the
+    late events in — the folded census after (drain A; drain B) must
+    equal the batch census over A+B, and the no-op re-drain between
+    them must add zero deltas. This is the applyInPandasWithState
+    state-restore path across SEPARATE query starts, not micro-batches
+    within one start."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import (
+        transitions as TR,
+    )
+
+    types = ["view", "click", "purchase"]
+    rows = []
+    for i in range(120):
+        u = (i % 7)
+        et = types[(i * 5) % 3]
+        us = ((i * 31) % 120) * 1_000_000
+        rows.append((i, u, et, us))
+
+    def write_chunk(dest, chunk):
+        spark.createDataFrame(
+            chunk, "event_id long, user_id long, event_type string, t_us long"
+        ).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.timestamp_micros(F.col("t_us")).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(dest)
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+
+    write_chunk(src, rows[:70])
+    TR.run_transitions_resumable(spark, src, schema, sink, ckpt)
+    # no-op re-drain: no new files -> no new deltas
+    before = TR.run_transitions_resumable(spark, src, schema, sink, ckpt).count()
+    again = TR.run_transitions_resumable(spark, src, schema, sink, ckpt).count()
+    assert again == before
+
+    # late chunk: its events land BETWEEN already-spliced ones
+    write_chunk(src, rows[70:])
+    emissions = TR.run_transitions_resumable(spark, src, schema, sink, ckpt)
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in TR.final_pair_counts(emissions).collect()
+    }
+    hist: dict = {}
+    for (i, u, et, us) in rows:
+        hist.setdefault(u, []).append((us, i, et))
+    want: dict = {}
+    for seq in hist.values():
+        seq.sort()
+        for (a, b) in zip(seq, seq[1:]):
+            k = (a[2], b[2])
+            want[k] = want.get(k, 0) + 1
+    assert got == want
