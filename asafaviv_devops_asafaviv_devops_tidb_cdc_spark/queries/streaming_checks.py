@@ -563,22 +563,27 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     by event_id % 3, so micro-batches interleave in time and that path
     actually runs). Last-emission-per-user is a pure function of final
     state, so the streamed stage counts hash-match the batch SQL
-    oracle regardless of batch boundaries."""
-    import shutil
-
+    oracle regardless of batch boundaries. Resumable (r7): the first
+    call drains the 3 interleaved micro-batches, later ones are an
+    empty availableNow pass + a sink read; max n_updates per user
+    (kept in state) selects the newest emission across runs."""
+    from ..sources.artifact import input_fingerprint, materialized_path
     from ..streaming import funnel as FU
 
-    base = _stream_workdir(sf_dir, "funnel")
-    if base.exists():
-        shutil.rmtree(base)
     events = load_table(spark, sf_dir, "events")
     # 3 interleaved files = 3 out-of-order micro-batches
-    events.withColumn("_f", F.col("event_id") % 3).repartition(
-        3, "_f"
-    ).drop("_f").write.mode("overwrite").parquet(str(base / "src"))
-    name = f"funnel_{abs(hash(sf_dir)) % 10_000_000}"
-    emissions = FU.run_funnel_stream(
-        spark, str(base / "src"), events.schema, name
+    src = materialized_path(
+        "events_funnel_src",
+        input_fingerprint(sf_dir, "events", "funnel-src-v1"),
+        lambda dest: events.withColumn("_f", F.col("event_id") % 3)
+        .repartition(3, "_f")
+        .drop("_f")
+        .write.mode("overwrite")
+        .parquet(dest),
+    )
+    base = ingest.resumable_workdir(sf_dir, "events", "funnel", "funnel-v2")
+    emissions = FU.run_funnel_resumable(
+        spark, src, events.schema, str(base / "sink"), str(base / "ckpt")
     )
     return FU.final_stage_counts(emissions)
 

@@ -165,3 +165,38 @@ def run_funnel_stream(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def run_funnel_resumable(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Resumable drain: emissions land in a parquet sink with a
+    persistent checkpoint + state store (the transitions/merge/scd2
+    pattern) — first invocation pays the drain, later ones are an
+    empty availableNow pass + a sink read. The per-user ``n_updates``
+    counter lives in the STATE, so it keeps rising across separate
+    query starts and max-counter-per-user still selects the newest
+    emission among everything the sink has accumulated."""
+    from .ingest import STREAM_SHUFFLE_PARTITIONS, scoped_shuffle_partitions
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with scoped_shuffle_partitions(spark, STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            funnel_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink_dir)
