@@ -169,9 +169,11 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch exists to avoid)."""
     from ..sources.artifact import input_fingerprint, materialized_path
     from ..streaming import kmv as SKMV
-    from ..streaming.ingest import stream_workdir
+    from ..streaming.ingest import resumable_workdir
 
-    base = stream_workdir(sf_dir, "kmv")
+    # resumable: the first call drains the 3 micro-batches into epoch
+    # partials, later calls are an empty drain + a partials fold
+    base = resumable_workdir(sf_dir, "lineitem", "kmv", "kmv-v2")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_partkey"
     )
@@ -186,6 +188,7 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag string, l_partkey bigint",
         str(base / "partials"),
         str(base / "ckpt"),
+        fresh=False,
     )
     folded = SKMV.folded_sketch(spark, str(base / "partials"))
     return _kmv_report(_kmv_union_and_summarize(folded), _kmv_exact_side(li))

@@ -966,9 +966,11 @@ def q_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     never proportional to document volume."""
     from ..sources.artifact import input_fingerprint, materialized_path
     from ..streaming import pii as SP
-    from ..streaming.ingest import stream_workdir
+    from ..streaming.ingest import resumable_workdir
 
-    base = stream_workdir(sf_dir, "pii")
+    # resumable: the first call drains the 3 micro-batches into epoch
+    # partials, later calls are an empty drain + a partials fold
+    base = resumable_workdir(sf_dir, "documents", "pii", "pii-v2")
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
     src = materialized_path(
         "documents_pii_src",
@@ -981,6 +983,7 @@ def q_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, source string, text string",
         str(base / "partials"),
         str(base / "ckpt"),
+        fresh=False,
     )
     return SP.folded_census(spark, str(base / "partials"))
 

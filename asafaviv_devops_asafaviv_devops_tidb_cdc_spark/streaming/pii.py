@@ -33,11 +33,16 @@ def run_pii_stream(
     partials_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    fresh: bool = True,
 ) -> None:
     """Drain a documents backlog, folding each micro-batch's per-source
-    PII census into an idempotent ``epoch=<id>`` partial."""
-    for d in (partials_dir, checkpoint_dir):
-        shutil.rmtree(Path(d), ignore_errors=True)
+    PII census into an idempotent ``epoch=<id>`` partial.
+    ``fresh=False`` resumes from the existing checkpoint: an
+    already-drained backlog is an empty availableNow pass and the
+    committed partials keep serving (the resumable-workdir posture)."""
+    if fresh:
+        for d in (partials_dir, checkpoint_dir):
+            shutil.rmtree(Path(d), ignore_errors=True)
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
