@@ -229,15 +229,19 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB/day attribution join's state finite. Unlike the other
     q_stream_* queries this one IS oracle-backed — the joined output
     is deterministic, so the driver hash-compares it against the
-    equivalent batch interval join in DuckDB."""
-    import shutil
+    equivalent batch interval join in DuckDB. Resumable (r7): the
+    drain + join-state build runs once per source fingerprint; later
+    calls are an empty availableNow pass + a sink read."""
+    from ..sources.artifact import input_fingerprint, materialized_path
 
-    base = _stream_workdir(sf_dir, "ssjoin")
-    if base.exists():
-        shutil.rmtree(base)
     events = load_table(spark, sf_dir, "events")
-    events.write.mode("overwrite").parquet(str(base / "src"))
-    stream = spark.readStream.schema(events.schema).parquet(str(base / "src"))
+    src = materialized_path(
+        "events_ssjoin_src",
+        input_fingerprint(sf_dir, "events", "ssjoin-src-v1"),
+        lambda dest: events.write.mode("overwrite").parquet(dest),
+    )
+    base = ingest.resumable_workdir(sf_dir, "events", "ssjoin", "ssjoin-v2")
+    stream = spark.readStream.schema(events.schema).parquet(src)
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .withWatermark("ts", "12 hours")
@@ -254,18 +258,20 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS"))
         & (F.col("click_ts") <= F.col("purchase_ts")),
     )
-    name = f"ssjoin_{abs(hash(sf_dir)) % 10_000_000}"
     with ingest.scoped_shuffle_partitions(spark, ingest.STREAM_SHUFFLE_PARTITIONS):
         q = (
             joined.select("user_id", "click_ts", "purchase_ts")
-            .writeStream.format("memory")
-            .queryName(name)
+            .writeStream.format("parquet")
+            .option("path", str(base / "sink"))
+            .option("checkpointLocation", str(base / "ckpt"))
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.sql(f"SELECT user_id, click_ts, purchase_ts FROM {name}")
+    return spark.read.parquet(str(base / "sink")).select(
+        "user_id", "click_ts", "purchase_ts"
+    )
 
 
 # The streaming results are deterministic, so they get REAL oracles —

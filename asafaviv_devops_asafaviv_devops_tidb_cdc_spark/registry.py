@@ -104,6 +104,7 @@ _CHECK_FIRST = [
     "q_stream_funnel",
     "q_stream_join_view",
     "q_stream_dedupe",
+    "q_stream_stream_join",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh entries keep registration order after these
 ]
