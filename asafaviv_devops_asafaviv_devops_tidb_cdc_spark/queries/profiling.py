@@ -745,16 +745,17 @@ def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # resumable: the first call drains the 6 interleaved micro-batches
     # through the history state; later calls are an empty drain + a
-    # delta-sink read (bump the version on any splice-fold change)
-    base = resumable_workdir(sf_dir, "events", "transitions", "trans-v2")
-    emissions = ST.run_transitions_resumable(
+    # fold of the compacted grid partials (bump the version on any
+    # splice-fold change)
+    base = resumable_workdir(sf_dir, "events", "transitions", "trans-v3")
+    counts = ST.run_transitions_resumable(
         spark,
         src,
         "user_id bigint, event_id bigint, ts timestamp, event_type string",
-        str(base / "sink"),
+        str(base / "partials"),
         str(base / "ckpt"),
     )
-    return transition_report(ST.final_pair_counts(emissions))
+    return transition_report(counts)
 
 
 # the per-user recomputed pairs aggregate to the identical count

@@ -115,16 +115,45 @@ def _live_paths(partials_dir: str) -> list[str]:
     return paths
 
 
-def folded_totals(spark: SparkSession, partials_dir: str) -> DataFrame:
-    """Serving view: sum the live partials into current totals."""
-    parts = spark.read.parquet(*_live_paths(partials_dir))
-    return parts.groupBy("table_name").agg(
-        F.sum("net_rows").cast("long").alias("net_rows"),
-        F.sum("net_sum_micro").cast("long").alias("net_sum_micro"),
+def fold_generic(
+    df: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """The commutative integer-sum fold every partial family shares:
+    group by the grid columns, SUM the delta columns (kept as int64).
+    Using ONE fold expression for the per-batch partial, the serving
+    read, and the compaction base is what makes
+    serve(compact(partials)) == serve(partials) an identity instead
+    of a hope."""
+    return df.groupBy(*group_cols).agg(
+        *[F.sum(c).cast("long").alias(c) for c in sum_cols]
     )
 
 
-def compact_partials(spark: SparkSession, partials_dir: str) -> None:
+def folded_generic(
+    spark: SparkSession,
+    partials_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Serving view: fold the live partials (newest base + epochs
+    above its version) into current totals."""
+    parts = spark.read.parquet(*_live_paths(partials_dir))
+    return fold_generic(parts, group_cols, sum_cols)
+
+
+def folded_totals(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Serving view: sum the live partials into current totals."""
+    return folded_generic(
+        spark, partials_dir, ["table_name"], ["net_rows", "net_sum_micro"]
+    )
+
+
+def compact_generic(
+    spark: SparkSession,
+    partials_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> None:
     """Fold every live partial into one new base (copy-on-write,
     versioned by the newest folded epoch), then drop what it folded.
 
@@ -146,13 +175,8 @@ def compact_partials(spark: SparkSession, partials_dir: str) -> None:
     new_ver = max((e for e, _ in epochs), default=old_ver)
     if new_ver <= old_ver:
         return  # nothing newer than the base — no-op
-    folded = (
-        spark.read.parquet(*_live_paths(partials_dir))
-        .groupBy("table_name")
-        .agg(
-            F.sum("net_rows").cast("long").alias("net_rows"),
-            F.sum("net_sum_micro").cast("long").alias("net_sum_micro"),
-        )
+    folded = fold_generic(
+        spark.read.parquet(*_live_paths(partials_dir)), group_cols, sum_cols
     )
     # Stage the fold under a _tmp name, then rename into place: the
     # rename is the atomic commit point. A crash during the write
@@ -169,3 +193,10 @@ def compact_partials(spark: SparkSession, partials_dir: str) -> None:
             shutil.rmtree(p, ignore_errors=True)
     if old_base is not None:
         shutil.rmtree(old_base, ignore_errors=True)
+
+
+def compact_partials(spark: SparkSession, partials_dir: str) -> None:
+    """The delta-agg family's compaction (see compact_generic)."""
+    compact_generic(
+        spark, partials_dir, ["table_name"], ["net_rows", "net_sum_micro"]
+    )

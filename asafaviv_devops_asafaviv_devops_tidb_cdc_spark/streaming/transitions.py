@@ -139,35 +139,51 @@ def run_transitions_stream(
     return spark.table(name)
 
 
+_GRID_COLS = ["from_type", "to_type"]
+
+
 def run_transitions_resumable(
     spark: SparkSession,
     src_dir: str,
     schema: str,
-    sink_dir: str,
+    partials_dir: str,
     checkpoint_dir: str,
 ) -> DataFrame:
-    """Resumable drain: delta emissions land in a parquet sink with a
-    persistent checkpoint + state store, so the FIRST invocation pays
-    the real drain and every later one is an empty availableNow pass
-    plus a sink read — the steady-state trigger cost a production
-    census pays (the r6 resumable-checkpoint pattern of merge/scd2/
-    join_view). Deltas are append-only facts, so the sink needs no
-    compaction to serve; the fold happens at read in
-    final_pair_counts."""
+    """Resumable drain with BOUNDED serving state: each micro-batch's
+    deltas fold onto the (from_type, to_type) grid as an idempotent
+    ``epoch=<id>`` partial (<= type^2 rows — a retried batch
+    overwrites its own partial), with a persistent checkpoint + state
+    store, so the FIRST invocation pays the real drain and every later
+    one is an empty availableNow pass plus a grid fold. Appending raw
+    deltas to a sink would grow the serving read O(events) forever;
+    the per-epoch grid fold + the shared crash-safe compaction
+    (streaming/delta.py::compact_generic, called here after each
+    drain — a no-op unless new epochs landed) bound it at O(grid)
+    regardless of stream length. Returns the served count frame."""
+    from . import delta as D
     from .ingest import STREAM_SHUFFLE_PARTITIONS, scoped_shuffle_partitions
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            D.fold_generic(batch_df, _GRID_COLS, ["delta"])
+            .write.mode("overwrite")
+            .parquet(f"{partials_dir}/epoch={epoch_id}")
+        )
 
     with scoped_shuffle_partitions(spark, STREAM_SHUFFLE_PARTITIONS):
         q = (
             _delta_stream(spark, src_dir, schema)
-            .writeStream.format("parquet")
-            .option("path", sink_dir)
+            .writeStream.foreachBatch(fold)
             .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(sink_dir)
+    D.compact_generic(spark, partials_dir, _GRID_COLS, ["delta"])
+    counts = D.folded_generic(spark, partials_dir, _GRID_COLS, ["delta"])
+    return counts.select(
+        "from_type", "to_type", F.col("delta").cast("long").alias("n")
+    ).filter(F.col("n") > 0)
 
 
 def final_pair_counts(emissions: DataFrame) -> DataFrame:

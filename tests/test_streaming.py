@@ -947,24 +947,30 @@ def test_transitions_resumable_incremental_update(spark, tmp_path):
         ).coalesce(1).write.mode("append").parquet(dest)
 
     src = str(tmp_path / "src")
-    sink = str(tmp_path / "sink")
+    parts = str(tmp_path / "partials")
     ckpt = str(tmp_path / "ckpt")
     schema = "user_id long, event_id long, event_type string, ts timestamp"
 
+    def counts():
+        return {
+            (r["from_type"], r["to_type"]): r["n"]
+            for r in TR.run_transitions_resumable(
+                spark, src, schema, parts, ckpt
+            ).collect()
+        }
+
     write_chunk(src, rows[:70])
-    TR.run_transitions_resumable(spark, src, schema, sink, ckpt)
-    # no-op re-drain: no new files -> no new deltas
-    before = TR.run_transitions_resumable(spark, src, schema, sink, ckpt).count()
-    again = TR.run_transitions_resumable(spark, src, schema, sink, ckpt).count()
-    assert again == before
+    before = counts()
+    # no-op re-drain: no new files -> identical served counts
+    assert counts() == before
+    # bounded serving: compaction folded every epoch into ONE base —
+    # the partials dir must hold only base_v* (O(grid), not O(events))
+    names = {p.name for p in (tmp_path / "partials").iterdir()}
+    assert names and all(n.startswith("base_v") for n in names), names
 
     # late chunk: its events land BETWEEN already-spliced ones
     write_chunk(src, rows[70:])
-    emissions = TR.run_transitions_resumable(spark, src, schema, sink, ckpt)
-    got = {
-        (r["from_type"], r["to_type"]): r["n"]
-        for r in TR.final_pair_counts(emissions).collect()
-    }
+    got = counts()
     hist: dict = {}
     for (i, u, et, us) in rows:
         hist.setdefault(u, []).append((us, i, et))
