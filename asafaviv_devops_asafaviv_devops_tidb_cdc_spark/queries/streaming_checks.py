@@ -587,11 +587,13 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(dest),
     )
-    base = ingest.resumable_workdir(sf_dir, "events", "funnel", "funnel-v2")
-    emissions = FU.run_funnel_resumable(
-        spark, src, events.schema, str(base / "sink"), str(base / "ckpt")
+    base = ingest.resumable_workdir(sf_dir, "events", "funnel", "funnel-v3")
+    served = FU.run_funnel_resumable(
+        spark, src, events.schema, str(base / "partials"), str(base / "ckpt")
     )
-    return FU.final_stage_counts(emissions)
+    # `served` is already last-per-user; final_stage_counts' window
+    # pass over it is a no-op selection, keeping one serving path
+    return FU.final_stage_counts(served)
 
 
 @register(

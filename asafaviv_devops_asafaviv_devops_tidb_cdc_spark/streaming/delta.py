@@ -129,6 +129,17 @@ def fold_generic(
     )
 
 
+def folded_with(
+    spark: SparkSession, partials_dir: str, fold_fn
+) -> DataFrame:
+    """Serving view under an arbitrary commutative idempotent-on-
+    refold monoid: apply ``fold_fn`` to the live partials (newest base
+    + epochs above its version). ``fold_fn`` must satisfy
+    fold(fold(A) ∪ fold(B)) == fold(A ∪ B) — integer sums
+    (fold_generic), per-key argmax (funnel), bottom-k (KMV) all do."""
+    return fold_fn(spark.read.parquet(*_live_paths(partials_dir)))
+
+
 def folded_generic(
     spark: SparkSession,
     partials_dir: str,
@@ -137,8 +148,9 @@ def folded_generic(
 ) -> DataFrame:
     """Serving view: fold the live partials (newest base + epochs
     above its version) into current totals."""
-    parts = spark.read.parquet(*_live_paths(partials_dir))
-    return fold_generic(parts, group_cols, sum_cols)
+    return folded_with(
+        spark, partials_dir, lambda df: fold_generic(df, group_cols, sum_cols)
+    )
 
 
 def folded_totals(spark: SparkSession, partials_dir: str) -> DataFrame:
@@ -148,14 +160,14 @@ def folded_totals(spark: SparkSession, partials_dir: str) -> DataFrame:
     )
 
 
-def compact_generic(
-    spark: SparkSession,
-    partials_dir: str,
-    group_cols: list[str],
-    sum_cols: list[str],
+def compact_with(
+    spark: SparkSession, partials_dir: str, fold_fn
 ) -> None:
     """Fold every live partial into one new base (copy-on-write,
     versioned by the newest folded epoch), then drop what it folded.
+    ``fold_fn`` is the family's serving monoid (see folded_with) —
+    using the SAME fold for partials, serving, and the base is what
+    makes serve(compact(partials)) == serve(partials) an identity.
 
     Crash safety without a manifest: the base commit is the atomic
     point. Before it, serving sees the old base + epochs (complete);
@@ -175,9 +187,7 @@ def compact_generic(
     new_ver = max((e for e, _ in epochs), default=old_ver)
     if new_ver <= old_ver:
         return  # nothing newer than the base — no-op
-    folded = fold_generic(
-        spark.read.parquet(*_live_paths(partials_dir)), group_cols, sum_cols
-    )
+    folded = fold_fn(spark.read.parquet(*_live_paths(partials_dir)))
     # Stage the fold under a _tmp name, then rename into place: the
     # rename is the atomic commit point. A crash during the write
     # leaves only a _tmp dir (invisible to _base_version and cleaned
@@ -195,8 +205,20 @@ def compact_generic(
         shutil.rmtree(old_base, ignore_errors=True)
 
 
+def compact_generic(
+    spark: SparkSession,
+    partials_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> None:
+    """compact_with under the integer-sum fold."""
+    compact_with(
+        spark, partials_dir, lambda df: fold_generic(df, group_cols, sum_cols)
+    )
+
+
 def compact_partials(spark: SparkSession, partials_dir: str) -> None:
-    """The delta-agg family's compaction (see compact_generic)."""
+    """The delta-agg family's compaction (see compact_with)."""
     compact_generic(
         spark, partials_dir, ["table_name"], ["net_rows", "net_sum_micro"]
     )

@@ -167,20 +167,40 @@ def run_funnel_stream(
     return spark.table(name)
 
 
+def last_per_user(emissions: DataFrame) -> DataFrame:
+    """The funnel family's serving monoid: newest emission per user by
+    the state-held ``n_updates`` counter (strictly rising per user
+    across batches AND query restarts, so argmax is unambiguous and
+    refold-idempotent: last(last(A) ∪ last(B)) == last(A ∪ B))."""
+    m = emissions.groupBy("user_id").agg(
+        F.max(F.struct("n_updates", "v_ms", "c_ms", "p_ms")).alias("s")
+    )
+    return m.select(
+        "user_id",
+        F.col("s.n_updates").alias("n_updates"),
+        F.col("s.v_ms").alias("v_ms"),
+        F.col("s.c_ms").alias("c_ms"),
+        F.col("s.p_ms").alias("p_ms"),
+    )
+
+
 def run_funnel_resumable(
     spark: SparkSession,
     src_dir: str,
     schema,
-    sink_dir: str,
+    partials_dir: str,
     checkpoint_dir: str,
 ) -> DataFrame:
-    """Resumable drain: emissions land in a parquet sink with a
-    persistent checkpoint + state store (the transitions/merge/scd2
-    pattern) — first invocation pays the drain, later ones are an
-    empty availableNow pass + a sink read. The per-user ``n_updates``
-    counter lives in the STATE, so it keeps rising across separate
-    query starts and max-counter-per-user still selects the newest
-    emission among everything the sink has accumulated."""
+    """Resumable drain with BOUNDED serving state: each micro-batch's
+    emissions fold to last-per-user as an idempotent ``epoch=<id>``
+    partial (<= touched users rows), with a persistent checkpoint +
+    state store — first invocation pays the drain, later ones are an
+    empty availableNow pass + a fold of the compacted partials. The
+    shared crash-safe compaction (streaming/delta.py::compact_with)
+    runs after each drain under the last-per-user monoid, bounding
+    serving at O(users) regardless of how many drains accumulated
+    (an append-only emission sink would grow O(users x drains))."""
+    from . import delta as D
     from .ingest import STREAM_SHUFFLE_PARTITIONS, scoped_shuffle_partitions
 
     stream = (
@@ -188,15 +208,22 @@ def run_funnel_resumable(
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            last_per_user(batch_df)
+            .write.mode("overwrite")
+            .parquet(f"{partials_dir}/epoch={epoch_id}")
+        )
+
     with scoped_shuffle_partitions(spark, STREAM_SHUFFLE_PARTITIONS):
         q = (
             funnel_stream(stream)
-            .writeStream.format("parquet")
-            .option("path", sink_dir)
+            .writeStream.foreachBatch(fold)
             .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(sink_dir)
+    D.compact_with(spark, partials_dir, last_per_user)
+    return D.folded_with(spark, partials_dir, last_per_user)
