@@ -84,6 +84,8 @@ def _base_version(partials_dir: str) -> tuple[int, Path | None]:
     check is belt-and-braces against a base produced by an older writer
     or a copy that raced the marker."""
     root = Path(partials_dir)
+    if not root.exists():
+        return -1, None
     bases = sorted(
         p
         for p in root.iterdir()
@@ -97,6 +99,8 @@ def _base_version(partials_dir: str) -> tuple[int, Path | None]:
 
 def _epoch_dirs(partials_dir: str) -> list[tuple[int, Path]]:
     root = Path(partials_dir)
+    if not root.exists():
+        return []
     out = []
     for p in root.iterdir():
         if p.name.startswith("epoch="):
@@ -176,6 +180,8 @@ def compact_with(
     Re-running compaction is idempotent. The same recipe at 100 TB —
     compaction is a background fold, never a correctness event."""
     root = Path(partials_dir)
+    if not root.exists():  # zero batches ever folded — nothing to do
+        return
     for p in root.iterdir():  # sweep crash debris: staged folds and
         # uncommitted bases (no _SUCCESS) are garbage by construction
         if p.name.startswith("_tmp_") or (

@@ -77,15 +77,33 @@ def run_kmv_stream(
             .start()
         )
         q.awaitTermination()
+    # bound the serving read at O(groups x K): bottom-K is a
+    # refold-idempotent monoid, so the shared crash-safe compaction
+    # folds the epoch partials into one base sketch (no-op when no
+    # new epochs landed)
+    from . import delta as D
+
+    D.compact_with(spark, partials_dir, _base_sketch)
+
+
+def _base_sketch(parts: DataFrame) -> DataFrame:
+    """The KMV compaction/serving monoid: global per-group bottom-K
+    over any union of partial sketches (rank column dropped — a base
+    is itself a partial)."""
+    return KMV.bottom_k(
+        parts.select("member_set", "hv").distinct()
+    ).select("member_set", "hv")
 
 
 def folded_sketch(spark: SparkSession, partials_dir: str) -> DataFrame:
     """Serving view: the exact global per-group bottom-K sketch over
-    the per-epoch partials (distinct absorbs epoch overlap — the fold
-    is idempotent)."""
-    parts = (
-        spark.read.parquet(f"{partials_dir}/epoch=*")
-        .select("member_set", "hv")
-        .distinct()
+    the live partials (base + epochs past it; distinct absorbs epoch
+    overlap — the fold is idempotent)."""
+    from . import delta as D
+
+    parts = D.folded_with(
+        spark,
+        partials_dir,
+        lambda df: df.select("member_set", "hv").distinct(),
     )
     return KMV.bottom_k(parts)

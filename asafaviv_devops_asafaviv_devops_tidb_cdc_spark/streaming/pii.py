@@ -64,9 +64,17 @@ def run_pii_stream(
             .start()
         )
         q.awaitTermination()
+    # bound the serving read at O(sources): the census is a pure sum
+    # monoid, so the shared crash-safe compaction folds the epoch
+    # partials into one base (no-op when no new epochs landed)
+    from . import delta as D
+
+    D.compact_with(spark, partials_dir, P.fold_rollups)
 
 
 def folded_census(spark: SparkSession, partials_dir: str) -> DataFrame:
-    """Serving view: the exact per-source census summed across epochs."""
-    parts = spark.read.parquet(f"{partials_dir}/epoch=*")
-    return P.fold_rollups(parts)
+    """Serving view: the exact per-source census summed over the live
+    partials (base + epochs past it)."""
+    from . import delta as D
+
+    return D.folded_with(spark, partials_dir, P.fold_rollups)
