@@ -350,9 +350,9 @@ def q_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume."""
     from ..sources.artifact import input_fingerprint, materialized_path
     from ..streaming import gapfill as SG
-    from ..streaming.ingest import stream_workdir
+    from ..streaming.ingest import resumable_workdir
 
-    base = stream_workdir(sf_dir, "gapfill")
+    base = resumable_workdir(sf_dir, "events", "gapfill", "gapfill-v2")
     ev = load_table(spark, sf_dir, "events")
     # share the normalized landing with the drift/DQ monitors
     src = materialized_path(
@@ -364,7 +364,8 @@ def q_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields
     )
     SG.run_gapfill_stream(
-        spark, src, schema, str(base / "partials"), str(base / "ckpt")
+        spark, src, schema, str(base / "partials"), str(base / "ckpt"),
+        fresh=False,
     )
     return gapfill_series(SG.folded_obs(spark, str(base / "partials")))
 
@@ -1422,9 +1423,9 @@ def q_stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     'error revenue rising' alerting at 100 TB/day."""
     from ..sources.artifact import input_fingerprint, materialized_path
     from ..streaming import trend as STR
-    from ..streaming.ingest import stream_workdir
+    from ..streaming.ingest import resumable_workdir
 
-    base = stream_workdir(sf_dir, "trend")
+    base = resumable_workdir(sf_dir, "events", "trend", "trend-v2")
     ev = load_table(spark, sf_dir, "events")
     src = materialized_path(
         "events_normalized",
@@ -1435,7 +1436,8 @@ def q_stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields
     )
     STR.run_trend_stream(
-        spark, src, schema, str(base / "partials"), str(base / "ckpt")
+        spark, src, schema, str(base / "partials"), str(base / "ckpt"),
+        fresh=False,
     )
     return trend_from_daily(STR.folded_daily(spark, str(base / "partials")))
 
@@ -1631,9 +1633,9 @@ def q_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from ..sources.artifact import input_fingerprint, materialized_path
     from ..streaming import trend as STR
-    from ..streaming.ingest import stream_workdir
+    from ..streaming.ingest import resumable_workdir
 
-    base = stream_workdir(sf_dir, "trend")
+    base = resumable_workdir(sf_dir, "events", "trend", "trend-v2")
     ev = load_table(spark, sf_dir, "events")
     src = materialized_path(
         "events_normalized",
@@ -1644,7 +1646,8 @@ def q_stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields
     )
     STR.run_trend_stream(
-        spark, src, schema, str(base / "partials"), str(base / "ckpt")
+        spark, src, schema, str(base / "partials"), str(base / "ckpt"),
+        fresh=False,
     )
     daily = (
         STR.folded_daily(spark, str(base / "partials"))

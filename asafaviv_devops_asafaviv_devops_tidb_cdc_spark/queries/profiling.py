@@ -412,9 +412,9 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     kinds (unique/FK) are refused by the stream evaluator by design."""
     from ..sources.artifact import input_fingerprint, materialized_path
     from ..streaming import dq as SDQ
-    from ..streaming.ingest import stream_workdir
+    from ..streaming.ingest import resumable_workdir
 
-    base = stream_workdir(sf_dir, "dq")
+    base = resumable_workdir(sf_dir, "events", "dq", "dq-v2")
     ev = load_table(spark, sf_dir, "events")
     # the stream's file source is the normalized events table, landed
     # once per fingerprint (same sharing contract as envelope_files)
@@ -427,6 +427,7 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     SDQ.run_dq_stream(
         spark, src, schema, STREAM_DQ_CHECKS,
         str(base / "partials"), str(base / "ckpt"),
+        fresh=False,
     )
     return SDQ.folded_violations(spark, str(base / "partials"))
 
@@ -524,9 +525,9 @@ def q_stream_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     key grid, not the event volume."""
     from ..sources.artifact import input_fingerprint, materialized_path
     from ..streaming import drift as SD
-    from ..streaming.ingest import stream_workdir
+    from ..streaming.ingest import resumable_workdir
 
-    base = stream_workdir(sf_dir, "drift")
+    base = resumable_workdir(sf_dir, "events", "drift", "drift-v2")
     ev = load_table(spark, sf_dir, "events")
     # share the normalized landing with the stream-DQ monitor
     src = materialized_path(
@@ -538,7 +539,8 @@ def q_stream_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields
     )
     SD.run_drift_stream(
-        spark, src, schema, str(base / "partials"), str(base / "ckpt")
+        spark, src, schema, str(base / "partials"), str(base / "ckpt"),
+        fresh=False,
     )
     return drift_census(SD.folded_counts(spark, str(base / "partials")))
 

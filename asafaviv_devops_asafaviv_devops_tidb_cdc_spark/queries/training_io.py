@@ -742,9 +742,9 @@ def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling (whose membership depends on arrival order and RNG)."""
     from ..sources.artifact import input_fingerprint, materialized_path
     from ..streaming import sample as SS
-    from ..streaming.ingest import stream_workdir
+    from ..streaming.ingest import resumable_workdir
 
-    base = stream_workdir(sf_dir, "sample")
+    base = resumable_workdir(sf_dir, "documents", "sample", "sample-v2")
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     src = materialized_path(
         "documents_sample_src",
@@ -757,6 +757,7 @@ def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, source string",
         str(base / "partials"),
         str(base / "ckpt"),
+        fresh=False,
     )
     return SS.folded_sample(spark, str(base / "partials"))
 

@@ -105,6 +105,8 @@ _CHECK_FIRST = [
     "q_stream_join_view",
     "q_stream_dedupe",
     "q_stream_stream_join",
+    "q_stream_sample",
+    "q_stream_dq",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh entries keep registration order after these
 ]

@@ -52,17 +52,20 @@ def run_dq_stream(
     partials_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    fresh: bool = True,
 ) -> None:
     """Drain a file backlog, folding each micro-batch's row-level
     violation counts into an idempotent ``epoch=<id>`` partial (ONE
-    tiny row per check per batch)."""
+    tiny row per check per batch). ``fresh=False`` resumes from the
+    existing checkpoint (the resumable-workdir posture)."""
     bad = [c["id"] for c in checks if c["kind"] not in _ROW_KINDS]
     if bad:
         raise ValueError(
             f"stream DQ accepts only row-level kinds; not decomposable: {bad}"
         )
-    for d in (partials_dir, checkpoint_dir):
-        shutil.rmtree(Path(d), ignore_errors=True)
+    if fresh:
+        for d in (partials_dir, checkpoint_dir):
+            shutil.rmtree(Path(d), ignore_errors=True)
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -82,11 +85,16 @@ def run_dq_stream(
             .start()
         )
         q.awaitTermination()
+    # the fold is a pure integer-sum monoid: compact the epoch
+    # partials into one crash-safe base (no-op when nothing new)
+    from . import delta as D
+
+    D.compact_generic(spark, partials_dir, ["check_id"], ["violations"])
 
 
 def folded_violations(spark: SparkSession, partials_dir: str) -> DataFrame:
-    """Serving view: per-check violation totals across all epochs."""
-    parts = spark.read.parquet(f"{partials_dir}/epoch=*")
-    return parts.groupBy("check_id").agg(
-        F.sum("violations").cast("long").alias("violations")
-    )
+    """Serving view: per-check violation totals over the live partials
+    (base + epochs past it)."""
+    from . import delta as D
+
+    return D.folded_generic(spark, partials_dir, ["check_id"], ["violations"])

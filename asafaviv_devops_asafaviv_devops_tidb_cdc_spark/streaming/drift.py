@@ -32,11 +32,13 @@ def run_drift_stream(
     partials_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    fresh: bool = True,
 ) -> None:
     """Drain a file backlog, folding each micro-batch's (day, type)
     counts into an idempotent ``epoch=<id>`` partial."""
-    for d in (partials_dir, checkpoint_dir):
-        shutil.rmtree(Path(d), ignore_errors=True)
+    if fresh:
+        for d in (partials_dir, checkpoint_dir):
+            shutil.rmtree(Path(d), ignore_errors=True)
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -65,12 +67,16 @@ def run_drift_stream(
             .start()
         )
         q.awaitTermination()
+    # the fold is a pure integer-sum monoid: compact the epoch
+    # partials into one crash-safe base (no-op when nothing new)
+    from . import delta as D
+
+    D.compact_generic(spark, partials_dir, ["day_num", "event_type"], ["o"])
 
 
 def folded_counts(spark: SparkSession, partials_dir: str) -> DataFrame:
     """Serving view: the (day_num, event_type, o) obs frame summed
     across all epochs — feed to queries.profiling.drift_census."""
-    parts = spark.read.parquet(f"{partials_dir}/epoch=*")
-    return parts.groupBy("day_num", "event_type").agg(
-        F.sum("o").cast("long").alias("o")
-    )
+    from . import delta as D
+
+    return D.folded_generic(spark, partials_dir, ["day_num", "event_type"], ["o"])

@@ -32,11 +32,13 @@ def run_gapfill_stream(
     partials_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    fresh: bool = True,
 ) -> None:
     """Drain a file backlog, folding each micro-batch's (type, hour)
     cent-sums into an idempotent ``epoch=<id>`` partial."""
-    for d in (partials_dir, checkpoint_dir):
-        shutil.rmtree(Path(d), ignore_errors=True)
+    if fresh:
+        for d in (partials_dir, checkpoint_dir):
+            shutil.rmtree(Path(d), ignore_errors=True)
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -64,12 +66,16 @@ def run_gapfill_stream(
             .start()
         )
         q.awaitTermination()
+    # the fold is a pure integer-sum monoid: compact the epoch
+    # partials into one crash-safe base (no-op when nothing new)
+    from . import delta as D
+
+    D.compact_generic(spark, partials_dir, ["event_type", "hr"], ["cents"])
 
 
 def folded_obs(spark: SparkSession, partials_dir: str) -> DataFrame:
     """Serving view: the (event_type, hr, cents) obs frame summed
     across all epochs — feed to queries.advanced_ops.gapfill_series."""
-    parts = spark.read.parquet(f"{partials_dir}/epoch=*")
-    return parts.groupBy("event_type", "hr").agg(
-        F.sum("cents").cast("long").alias("cents")
-    )
+    from . import delta as D
+
+    return D.folded_generic(spark, partials_dir, ["event_type", "hr"], ["cents"])

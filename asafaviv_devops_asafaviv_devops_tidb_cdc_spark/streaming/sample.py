@@ -41,11 +41,14 @@ def run_sample_stream(
     partials_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    fresh: bool = True,
 ) -> None:
     """Drain a file backlog, folding each micro-batch's local bottom-k
-    into an idempotent ``epoch=<id>`` partial."""
-    for d in (partials_dir, checkpoint_dir):
-        shutil.rmtree(Path(d), ignore_errors=True)
+    into an idempotent ``epoch=<id>`` partial. ``fresh=False`` resumes
+    from the existing checkpoint (the resumable-workdir posture)."""
+    if fresh:
+        for d in (partials_dir, checkpoint_dir):
+            shutil.rmtree(Path(d), ignore_errors=True)
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -69,10 +72,21 @@ def run_sample_stream(
             .start()
         )
         q.awaitTermination()
+    # bottom-k is a refold-idempotent monoid: compact the epoch
+    # partials into one crash-safe base (no-op when nothing new)
+    from . import delta as D
+
+    D.compact_with(spark, partials_dir, _bottom_k)
+
+
+def _bottom_k(parts: DataFrame) -> DataFrame:
+    """The sample family's serving/compaction monoid."""
+    return parts.orderBy("h").limit(SAMPLE_K).select("doc_id", "source", "h")
 
 
 def folded_sample(spark: SparkSession, partials_dir: str) -> DataFrame:
-    """Serving view: exact global bottom-k over the per-epoch local
-    bottom-k partials."""
-    parts = spark.read.parquet(f"{partials_dir}/epoch=*")
-    return parts.orderBy("h").limit(SAMPLE_K).select("doc_id", "source", "h")
+    """Serving view: exact global bottom-k over the live partials
+    (base + epochs past it)."""
+    from . import delta as D
+
+    return D.folded_with(spark, partials_dir, _bottom_k)

@@ -30,11 +30,13 @@ def run_trend_stream(
     partials_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 2,
+    fresh: bool = True,
 ) -> None:
     """Drain a file backlog, folding each micro-batch's (type, day)
     cent-sums into an idempotent ``epoch=<id>`` partial."""
-    for d in (partials_dir, checkpoint_dir):
-        shutil.rmtree(Path(d), ignore_errors=True)
+    if fresh:
+        for d in (partials_dir, checkpoint_dir):
+            shutil.rmtree(Path(d), ignore_errors=True)
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -62,12 +64,16 @@ def run_trend_stream(
             .start()
         )
         q.awaitTermination()
+    # the fold is a pure integer-sum monoid: compact the epoch
+    # partials into one crash-safe base (no-op when nothing new)
+    from . import delta as D
+
+    D.compact_generic(spark, partials_dir, ["event_type", "day_num"], ["y"])
 
 
 def folded_daily(spark: SparkSession, partials_dir: str) -> DataFrame:
     """Serving view: the (event_type, day_num, y) daily frame summed
     across epochs — feed to queries.advanced_ops.trend_from_daily."""
-    parts = spark.read.parquet(f"{partials_dir}/epoch=*")
-    return parts.groupBy("event_type", "day_num").agg(
-        F.sum("y").cast("long").alias("y")
-    )
+    from . import delta as D
+
+    return D.folded_generic(spark, partials_dir, ["event_type", "day_num"], ["y"])
