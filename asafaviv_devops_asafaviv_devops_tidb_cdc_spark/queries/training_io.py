@@ -777,15 +777,15 @@ def q_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the batch manifest built from the written files
     (q_shard_manifest's oracle). At 100 TB/day this is how the
     manifest stays current without ever rescanning the corpus: the
-    fold state is n_shards rows per epoch, compactable like
-    streaming/delta.py."""
-    import shutil
-
+    fold state is n_shards rows per epoch, COMPACTED after each drain
+    through the shared crash-safe base protocol and resumed across
+    invocations (provider-keyed workdir)."""
     from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import delta as D
     from ..streaming import ingest as I
-    from ..streaming.ingest import stream_workdir
+    from ..streaming.ingest import resumable_workdir
 
-    base = stream_workdir(sf_dir, "manifest")
+    base = resumable_workdir(sf_dir, "documents", "manifest", "manifest-v2")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     src = materialized_path(
         "documents_manifest_src",
@@ -794,8 +794,6 @@ def q_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partials_dir = base / "partials"
     ckpt = base / "ckpt"
-    for d in (partials_dir, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 2)
@@ -819,8 +817,10 @@ def q_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    parts = spark.read.parquet(f"{partials_dir}/epoch=*")
-    return SK.manifest_select(SK.fold_manifests(parts))
+    D.compact_with(spark, str(partials_dir), SK.fold_manifests)
+    return SK.manifest_select(
+        D.folded_with(spark, str(partials_dir), SK.fold_manifests)
+    )
 
 
 # every manifest stat folds commutatively, so the batch manifest's
