@@ -813,26 +813,30 @@ def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming dropDuplicates which keeps the nondeterministic first
     arrival). The oracle is the SAME SQL as batch q_dedup_exact — the
     driver hash-compares the STREAMED survivor set against it."""
+    from ..sources.artifact import input_fingerprint, materialized_path
     from ..streaming import corpus as C
-    from ..streaming.ingest import stream_workdir
+    from ..streaming.ingest import resumable_workdir
     from .llm_pipeline import _doubled_docs
 
-    base = stream_workdir(sf_dir, "docdedup")
-    src = base / "src"
-    if src.exists():
-        import shutil
-
-        shutil.rmtree(src)
-    doubled = _doubled_docs(spark, sf_dir)
     # 4 source files -> multiple micro-batches; file split is arbitrary
-    # (the fold is order-robust by construction)
-    doubled.repartition(4).write.mode("overwrite").parquet(str(src))
+    # (the fold is order-robust by construction). Resumable (r7): the
+    # drain + survivor-state build runs once per corpus fingerprint.
+    src = materialized_path(
+        "documents_docdedup_src",
+        input_fingerprint(sf_dir, "documents", "docdedup-src-v1"),
+        lambda dest: _doubled_docs(spark, sf_dir)
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(dest),
+    )
+    base = resumable_workdir(sf_dir, "documents", "docdedup", "docdedup-v2")
     C.run_dedup_stream(
         spark,
-        str(src),
+        src,
         str(base / "state"),
         str(base / "ckpt"),
         schema="doc_id long, text string, lang string, source string, n_chars long",
+        fresh=False,
     )
     return C.survivors(spark, str(base / "state")).select(
         "doc_id", "lang", "source", "n_chars"

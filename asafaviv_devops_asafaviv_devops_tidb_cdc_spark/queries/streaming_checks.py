@@ -312,15 +312,19 @@ def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming operator family at the gate: its output is
     hash-compared against the same gaps-and-islands batch oracle as
     q_alert_sustained — custom stateful Python streaming == batch SQL,
-    proven end to end."""
-    import shutil
+    proven end to end. Resumable (r7): the drain runs once per source
+    fingerprint; later calls are an empty availableNow pass + a sink
+    read."""
+    from ..sources.artifact import input_fingerprint, materialized_path
 
-    base = _stream_workdir(sf_dir, "alerts")
-    if base.exists():
-        shutil.rmtree(base)
     events = load_table(spark, sf_dir, "events")
-    events.write.mode("overwrite").parquet(str(base / "src"))
-    stream_src = spark.readStream.schema(events.schema).parquet(str(base / "src"))
+    src = materialized_path(
+        "events_alerts_src",
+        input_fingerprint(sf_dir, "events", "alerts-src-v1"),
+        lambda dest: events.write.mode("overwrite").parquet(dest),
+    )
+    base = ingest.resumable_workdir(sf_dir, "events", "alerts", "alerts-v2")
+    stream_src = spark.readStream.schema(events.schema).parquet(src)
     out = alerts.sustained_alerts_stream(stream_src)
     with ingest.scoped_shuffle_partitions(spark, ingest.STREAM_SHUFFLE_PARTITIONS):
         q = (

@@ -42,11 +42,14 @@ def run_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_files_per_trigger: int = 2,
+    fresh: bool = True,
 ) -> None:
     """Drain a document backlog maintaining min-id-per-content-hash
-    survivor state."""
-    for d in (state_dir, checkpoint_dir):
-        shutil.rmtree(Path(d), ignore_errors=True)
+    survivor state. ``fresh=False`` resumes from the existing
+    checkpoint (the resumable-workdir posture)."""
+    if fresh:
+        for d in (state_dir, checkpoint_dir):
+            shutil.rmtree(Path(d), ignore_errors=True)
 
     stream = (
         spark.readStream.schema(schema)
