@@ -2554,3 +2554,175 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "adc_pico", "rank"
     )
+
+
+# --- E32/E33: unigram-LM filtering + retention sweep (r7) ------------------
+
+
+@register(
+    "q_unigram_surprise",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+lm AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM lm),
+scored AS (
+  SELECT t.doc_id,
+         CAST(length(bin(tot.n // lm.c)) - 1 AS BIGINT) AS bits
+  FROM toks t JOIN lm USING (tok) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(bits) AS BIGINT) AS total_bits
+  FROM scored GROUP BY 1
+),
+corpus AS (
+  SELECT CAST(CAST(SUM(total_bits) AS BIGINT) * 100
+              // CAST(SUM(n_tokens) AS BIGINT) AS BIGINT) AS mean_x100
+  FROM per_doc
+)
+SELECT doc_id, n_tokens, total_bits,
+       CAST(total_bits * 100 // n_tokens AS BIGINT) AS bits_per_token_x100,
+       (total_bits * 100 // n_tokens) * 4 >= corpus.mean_x100 * 5 AS flag_high
+FROM per_doc CROSS JOIN corpus
+""",
+)
+def q_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E32 — unigram-LM perplexity filtering (the CCNet/Wenzek-style
+    quality signal: score every document by its perplexity under a
+    language model trained on the corpus itself, flag the
+    high-perplexity tail), in EXACT integer bit arithmetic so the
+    verdict hash-matches across engines: a token with corpus count c
+    out of N total carries floor(log2(N/c)) bits of surprise, computed
+    as length(bin(N div c)) - 1 — ``bin`` renders the same minimal
+    binary string in Spark and DuckDB, so no floating-point log ever
+    enters the plan. A document's score is its mean bits/token (x100,
+    integer); flag_high marks docs >= 1.25x the corpus mean (the
+    "surprising = low-quality or out-of-domain" tail a real pipeline
+    routes to review).
+
+    Scale: tokenize+explode is map-only; the LM is one groupBy over
+    tokens (vocab-bounded output); scoring joins tokens to the LM on
+    the token key — left to AQE, which broadcasts when the vocab fits
+    and shuffles otherwise (an open-vocab 100 TB corpus shuffles; both
+    sides are already keyed by tok). The per-doc rollup and the one-row
+    corpus mean are ordinary partial aggs; the mean attaches back as a
+    broadcast scalar."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(TX.tokens()).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    tot = lm.agg(F.sum("c").cast("long").alias("n"))
+    scored = (
+        toks.join(lm, "tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("bits", F.expr("length(bin(n div c)) - 1").cast("long"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("bits").cast("long").alias("total_bits"),
+    )
+    corpus = per_doc.agg(
+        F.expr("CAST(sum(total_bits) * 100 div sum(n_tokens) AS BIGINT)").alias(
+            "mean_x100"
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_tokens",
+        "total_bits",
+        F.expr("CAST(total_bits * 100 div n_tokens AS BIGINT)").alias(
+            "bits_per_token_x100"
+        ),
+        F.expr("(total_bits * 100 div n_tokens) * 4 >= mean_x100 * 5").alias(
+            "flag_high"
+        ),
+    )
+
+
+@register(
+    "q_filter_sweep",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> list_contains({_STOP_LIST}, x))) * 1000000
+              // len(string_split(text, ' ')) AS BIGINT) AS ppm
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS t_toks FROM m),
+g AS (SELECT CAST(k AS BIGINT) * 100000 AS threshold_ppm
+      FROM generate_series(1, 10) t(k))
+SELECT g.threshold_ppm,
+       CAST(COALESCE(SUM(CASE WHEN m.ppm < g.threshold_ppm THEN 1 END), 0)
+            AS BIGINT) AS docs_kept,
+       CAST(COALESCE(SUM(CASE WHEN m.ppm < g.threshold_ppm THEN m.n_tokens END),
+            0) AS BIGINT) AS tokens_kept,
+       CAST(COALESCE(SUM(CASE WHEN m.ppm < g.threshold_ppm THEN 1 END), 0)
+            * 1000000 // MAX(tot.t_docs) AS BIGINT) AS docs_kept_ppm,
+       CAST(COALESCE(SUM(CASE WHEN m.ppm < g.threshold_ppm THEN m.n_tokens END),
+            0) * 1000000 // MAX(tot.t_toks) AS BIGINT) AS tokens_kept_ppm
+FROM g CROSS JOIN m CROSS JOIN tot
+GROUP BY 1
+""",
+)
+def q_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E33 — filter-threshold retention sweep: for a grid of stopword-
+    ppm quality cutoffs (100k..1M in 100k steps), how many documents
+    and how many TOKENS survive ``stopword_ppm < t`` — the curve a
+    pipeline owner reads before picking a cutoff (the token column is
+    the one that matters: quality filters are tuned against training-
+    token yield, not doc counts). Integer-exact: ppm and the retention
+    ratios are all integer division.
+
+    Scale: ONE metrics scan buckets every doc into its ppm decile
+    (map-only, reuses functions/text.py::with_quality_metrics), one
+    O(grid)-row agg per bucket, and the 10-threshold sweep is a
+    broadcast range-join over the <= 11-row bucket frame — the corpus
+    is never rescanned per threshold (the naive sweep is 10 scans;
+    this is 1)."""
+    m = TX.with_quality_metrics(_docs(spark, sf_dir)).select(
+        "n_tokens", "stopword_ppm"
+    )
+    buckets = (
+        m.withColumn("bucket", F.expr("stopword_ppm div 100000").cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("b_docs"),
+            F.sum("n_tokens").cast("long").alias("b_toks"),
+        )
+    )
+    grid = spark.range(1, 11).select(
+        (F.col("id") * 100000).cast("long").alias("threshold_ppm"),
+        F.col("id").cast("long").alias("k"),
+    )
+    # grid x bucket frame is <= 10 x 11 broadcast rows; every threshold
+    # group then sees ALL buckets, so kept (conditional) and total
+    # (unconditional) sums come out of the SAME aggregation — one
+    # corpus scan, no duplicated agg subtree (Catalyst would otherwise
+    # re-derive the bucket rollup per derived statistic)
+    joined = grid.join(F.broadcast(buckets), how="cross")
+    kept = F.when(F.col("bucket") < F.col("k"), F.col("b_docs"))
+    kept_t = F.when(F.col("bucket") < F.col("k"), F.col("b_toks"))
+    return (
+        joined.groupBy("threshold_ppm")
+        .agg(
+            F.coalesce(F.sum(kept), F.lit(0)).cast("long").alias("docs_kept"),
+            F.coalesce(F.sum(kept_t), F.lit(0)).cast("long").alias("tokens_kept"),
+            F.sum("b_docs").cast("long").alias("t_docs"),
+            F.sum("b_toks").cast("long").alias("t_toks"),
+        )
+        .select(
+            "threshold_ppm",
+            "docs_kept",
+            "tokens_kept",
+            F.expr("docs_kept * 1000000 div t_docs").cast("long").alias(
+                "docs_kept_ppm"
+            ),
+            F.expr("tokens_kept * 1000000 div t_toks").cast("long").alias(
+                "tokens_kept_ppm"
+            ),
+        )
+    )

@@ -1004,3 +1004,32 @@ def test_join_order_advice_matches_actual_cardinalities(spark):
     chosen = next(k for k, r in rows.items() if r["chosen"])
     other = next(k for k, r in rows.items() if not r["chosen"])
     assert actual[chosen] <= actual[other], (chosen, actual)
+
+
+def test_unigram_surprise_prunes_and_no_cartesian(spark):
+    """E32 unigram surprise: the documents scan reads only (doc_id,
+    text); the LM attach is an equi-join on the token key and the
+    corpus mean attaches as a broadcast 1-row scalar — no
+    CartesianProduct, no floating-point log anywhere in the plan
+    (the bit arithmetic is length(bin(..)), codegen-side)."""
+    df = _df("q_unigram_surprise", spark)
+    cols = checks.scan_columns(df, "documents")
+    assert cols == {"doc_id", "text"}, cols
+    assert not checks.has_cartesian(df)
+    plan = checks.plan_string(df)
+    assert "LOG(" not in plan.upper().replace("LOG2", "LOG("), plan[:500]
+
+
+def test_filter_sweep_single_scan_bounded_sweep(spark):
+    """E33 filter sweep: the corpus is scanned ONCE (text column
+    only); the 10-threshold sweep runs as a broadcast range-join over
+    the bucket grid, never as a per-threshold rescan."""
+    df = _df("q_filter_sweep", spark)
+    plan = checks.plan_string(df)
+    n_doc_scans = sum(
+        1 for line in plan.splitlines()
+        if "parquet" in line.lower() and "documents" in line
+    )
+    assert n_doc_scans == 1, plan
+    assert checks.scan_columns(df, "documents") == {"text"}
+    assert not checks.has_cartesian(df)
