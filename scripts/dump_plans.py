@@ -167,6 +167,16 @@ HEADLINE = {
         "aggregations, then pure broadcast scalar algebra; the only "
         "scans are the stats legs (r7)"
     ),
+    "q_unigram_surprise": (
+        "unigram-LM perplexity filter — map-only tokenize/explode, "
+        "vocab-bounded LM agg, token-key join (AQE-sized), integer "
+        "bit-surprise in codegen, broadcast corpus-mean scalar (r7b)"
+    ),
+    "q_filter_sweep": (
+        "filter-threshold retention sweep — ONE corpus scan into a "
+        "ppm-decile rollup, 10x11 broadcast grid cross-join, kept + "
+        "total sums in one aggregation (r7b)"
+    ),
 }
 
 
