@@ -559,3 +559,76 @@ def test_changepoint_matches_bruteforce(spark, ys):
         got["mean_right_mcents"],
         got["shift_mcents"],
     ) == (day, ml, mr, abs(mr - ml))
+
+
+# ---------------------------------------------------------------------------
+# E32 integer bit-surprise: length(bin(x)) - 1 IS floor(log2(x)) (r7b)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=2**62), min_size=1, max_size=30))
+def test_bit_surprise_is_floor_log2(spark, xs):
+    """The perplexity filter's engine-portable surprise primitive —
+    length(bin(x)) - 1 — must equal Python's exact int.bit_length - 1
+    (= floor(log2 x)) for any positive int64, including powers of two
+    and their neighbors, where a float log2 rounds the wrong way."""
+    df = spark.createDataFrame([(x,) for x in xs], "x long").selectExpr(
+        "x", "length(bin(x)) - 1 AS bits"
+    )
+    got = {r["x"]: r["bits"] for r in df.collect()}
+    assert got == {x: x.bit_length() - 1 for x in xs}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=200),     # n_tokens
+            st.integers(min_value=0, max_value=1_000_000),  # stopword ppm
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_filter_sweep_retention_is_monotone_and_exact(spark, docs):
+    """E33 invariants under random (n_tokens, ppm) corpora: the bucket
+    rollup + grid cross-join sweep must equal the brute-force
+    per-threshold filter at every cutoff, and retention must be
+    nondecreasing in the threshold."""
+    from pyspark.sql import functions as F
+
+    m = spark.createDataFrame(docs, "n_tokens long, stopword_ppm long")
+    buckets = (
+        m.withColumn("bucket", F.expr("stopword_ppm div 100000"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("b_docs"),
+            F.sum("n_tokens").alias("b_toks"),
+        )
+    )
+    grid = spark.range(1, 11).select(
+        (F.col("id") * 100000).alias("threshold_ppm"), F.col("id").alias("k")
+    )
+    kept = F.when(F.col("bucket") < F.col("k"), F.col("b_docs"))
+    kept_t = F.when(F.col("bucket") < F.col("k"), F.col("b_toks"))
+    swept = {
+        r["threshold_ppm"]: (r["d"], r["t"])
+        for r in grid.join(F.broadcast(buckets), how="cross")
+        .groupBy("threshold_ppm")
+        .agg(
+            F.coalesce(F.sum(kept), F.lit(0)).alias("d"),
+            F.coalesce(F.sum(kept_t), F.lit(0)).alias("t"),
+        )
+        .collect()
+    }
+    prev = (0, 0)
+    for kk in range(1, 11):
+        t = kk * 100000
+        brute = (
+            sum(1 for _, p in docs if p < t),
+            sum(n for n, p in docs if p < t),
+        )
+        assert swept[t] == brute, (t, swept[t], brute)
+        assert swept[t][0] >= prev[0] and swept[t][1] >= prev[1]
+        prev = swept[t]
