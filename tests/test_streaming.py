@@ -981,3 +981,120 @@ def test_transitions_resumable_incremental_update(spark, tmp_path):
             k = (a[2], b[2])
             want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def test_dedup_stream_resume_incremental(spark, tmp_path):
+    """The resumable doc-dedup maintainer (r7 conversion) across
+    SEPARATE query starts: drain chunk A, no-op re-drain (identical
+    survivors), then land chunk B containing a duplicate whose doc_id
+    is SMALLER than the already-committed survivor — the state bucket
+    must rewrite to the new min-id row, and the final survivor set
+    must equal the batch min-id dedup over A ∪ B."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import corpus as C
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        C.run_dedup_stream(spark, src, state, ckpt, schema=schema, fresh=False)
+        return {
+            (r["doc_id"], r["text"])
+            for r in C.survivors(spark, state).collect()
+        }
+
+    a = [(10 + i, f"t{i % 4}") for i in range(10)]  # texts t0..t3, dups
+    write_chunk(a)
+    first = drain()
+    assert first == {(10, "t0"), (11, "t1"), (12, "t2"), (13, "t3")}
+    # no-op re-drain: no new files -> state untouched
+    assert drain() == first
+
+    # chunk B: smaller-id duplicates of t0/t1 (survivor must FLIP) +
+    # a brand-new text
+    b = [(0, "t0"), (1, "t1"), (50, "t9")]
+    write_chunk(b)
+    want = {}
+    for i, t in a + b:
+        if t not in want or i < want[t]:
+            want[t] = i
+    assert drain() == {(i, t) for t, i in want.items()}
+
+
+def test_alerts_stream_resume_continues_streaks(spark, tmp_path):
+    """The resumable sustained-alert stream (r7 conversion) across
+    SEPARATE query starts: the checkpointed applyInPandasWithState
+    state must carry the OPEN window's partial counts and the streak
+    through a restart — window 3 straddles the two drains and must
+    merge, not double-fire; streaks must continue, not reset. Final
+    sink == the batch gaps-and-islands evaluator over everything
+    (all-error events make partial-window ppm == final ppm, so even
+    the at-most-once early fire matches the batch answer)."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import alerts
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    w = alerts.WINDOW_MS // 1000  # 300 s windows
+
+    def write_chunk(secs):
+        spark.createDataFrame(
+            [(s,) for s in secs], "s long"
+        ).select(
+            F.timestamp_seconds(F.col("s")).alias("ts"),
+            F.lit("error").alias("event_type"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream_src = spark.readStream.schema(
+            "ts timestamp, event_type string"
+        ).parquet(src)
+        q = (
+            alerts.sustained_alerts_stream(stream_src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["window_ms"], r["error_ppm"], r["streak"])
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    # drain 1: windows 0-2 complete, window 3 partial (one event)
+    write_chunk(
+        [k * w + off for k in range(3) for off in (0, 60, 120)] + [3 * w]
+    )
+    first = drain()
+    # windows 0,1 below the for: gate; 2 fires at streak 3; 3 fires
+    # early (streak 4) on its partial-but-all-error counts
+    assert [(ms // 1000 // w, st) for ms, _, st in first] == [(2, 3), (3, 4)]
+    # no-op re-drain: nothing new -> no re-fire of the open window
+    assert drain() == first
+
+    # drain 2: rest of window 3 (straddle) + windows 4, 5
+    write_chunk([3 * w + 60, 3 * w + 120, 4 * w, 4 * w + 60, 5 * w])
+    got = drain()
+
+    events = spark.createDataFrame(
+        [(s,) for k in range(6) for s in (
+            [k * w, k * w + 60, k * w + 120] if k != 5 else [k * w]
+        )],
+        "s long",
+    ).select(
+        F.timestamp_seconds(F.col("s")).alias("ts"),
+        F.lit("error").alias("event_type"),
+    )
+    want = sorted(
+        (r["window_start"].timestamp() * 1000, r["error_ppm"], r["streak"])
+        for r in alerts.sustained_alerts(events).collect()
+    )
+    assert got == [(int(ms), ppm, st) for ms, ppm, st in want]
