@@ -2726,3 +2726,158 @@ def q_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_BODY}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(0, len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [text] END AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+dfq AS (SELECT sg, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS novelty_ppm
+FROM ex e JOIN dfq d USING (sg)
+GROUP BY 1
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E34 — per-document n-gram NOVELTY: what fraction of a doc's
+    distinct 3-gram shingles appear in NO other document (document
+    frequency 1) — the diversity/memorization signal a corpus curator
+    reads next to the dedup verdicts: planted copies crater to ~0
+    novelty (every shingle shared with the original), boilerplate
+    families sit low, unique long-tail content scores high. Runs over
+    the planted near-dup corpus so the answer is bimodal by
+    construction. Integer-ppm exact.
+
+    Scale: shingle explode is map-only; the df table is one
+    inverted-index aggregation (the same shuffle class as the E17
+    containment index); novelty joins the exploded shingles back on
+    the shingle key — at 100 TB both sides are already partitioned by
+    that key from the agg, and no all-pairs structure exists
+    anywhere."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = corpus.withColumn("_toks", TX.tokens()).select(
+        "doc_id", F.explode(TX.shingles_from_tokens("_toks")).alias("s")
+    )
+    df_counts = sh.groupBy("s").agg(F.count("*").cast("long").alias("df"))
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("n_novel * 1000000 div n_shingles").cast("long"),
+        )
+    )
+
+
+@register(
+    "q_cluster_leakage",
+    oracle=f"WITH RECURSIVE corpus AS ({_CORPUS_BODY}),\n"
+    + _NGRAM_PAIRS_CTES.strip()
+    + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+),
+labeled AS (
+  SELECT cluster_id,
+         CASE WHEN substr(sha256('split1_' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < 'e666' THEN 1 ELSE 0 END AS is_train
+  FROM clusters
+),
+per AS (
+  SELECT cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(is_train) AS BIGINT) AS n_train
+  FROM labeled GROUP BY 1
+)
+SELECT CASE WHEN n_train = n_docs THEN 'train_only'
+            WHEN n_train = 0 THEN 'holdout_only'
+            ELSE 'leaking' END AS cluster_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_train > 0 AND n_train < n_docs
+                     THEN n_docs - n_train ELSE 0 END) AS BIGINT)
+         AS leaked_holdout_docs
+FROM per GROUP BY 1
+""",
+)
+def q_cluster_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35 — train/holdout leakage at NEAR-DUP-CLUSTER granularity:
+    exact-text decontamination (E7) misses a holdout doc whose
+    near-duplicate sits in train — the leakage studies measure; this
+    audit joins the deterministic sha-split (q_split_assign's salt)
+    against the near-dup cluster artifact (E2d) and censuses clusters
+    as train_only / holdout_only / LEAKING, counting the holdout docs
+    whose cluster leaks (the eval rows to re-draw). Composition of two
+    committed artifacts — no new detection pass.
+
+    Scale: the cluster table is the once-per-fingerprint CC artifact;
+    split assignment is a map-only sha expression on it; the census is
+    one cluster-key agg over near-dup docs only (singletons can't
+    leak), then a 3-row rollup."""
+    from ..sources.cluster_store import neardup_cluster_table
+
+    cl = neardup_cluster_table(spark, sf_dir)
+    is_train = (
+        F.substring(
+            F.sha2(
+                F.concat(F.lit("split1_"), F.col("doc_id").cast("string")), 256
+            ),
+            1,
+            4,
+        )
+        < "e666"
+    ).cast("long")
+    per = (
+        cl.withColumn("is_train", is_train)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_train").cast("long").alias("n_train"),
+        )
+    )
+    kind = (
+        F.when(F.col("n_train") == F.col("n_docs"), F.lit("train_only"))
+        .when(F.col("n_train") == 0, F.lit("holdout_only"))
+        .otherwise(F.lit("leaking"))
+    )
+    leaked = F.when(
+        (F.col("n_train") > 0) & (F.col("n_train") < F.col("n_docs")),
+        F.col("n_docs") - F.col("n_train"),
+    ).otherwise(F.lit(0))
+    return (
+        per.select(kind.alias("cluster_kind"), "n_docs", leaked.alias("leaked"))
+        .groupBy("cluster_kind")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("leaked").cast("long").alias("leaked_holdout_docs"),
+        )
+    )

@@ -1033,3 +1033,25 @@ def test_filter_sweep_single_scan_bounded_sweep(spark):
     assert n_doc_scans == 1, plan
     assert checks.scan_columns(df, "documents") == {"text"}
     assert not checks.has_cartesian(df)
+
+
+def test_ngram_novelty_inverted_index_no_cartesian(spark):
+    """E34 novelty: the df attach is an equi-join on the shingle key
+    (both sides partitioned by it from the agg) — no CartesianProduct;
+    the documents scan reads only (doc_id, text)."""
+    df = _df("q_ngram_novelty", spark)
+    assert checks.scan_columns(df, "documents") == {"doc_id", "text"}
+    assert not checks.has_cartesian(df)
+
+
+def test_cluster_leakage_serves_artifact_single_rollup(spark):
+    """E35 leakage: the census reads the committed cluster ARTIFACT
+    (never re-derives pairs/CC inline — no documents scan in the
+    plan), applies the map-only sha split, and rolls up; no cartesian
+    product, no window."""
+    df = _df("q_cluster_leakage", spark)
+    plan = checks.plan_string(df)
+    assert "neardup_clusters" in plan, plan[:800]
+    assert "documents" not in plan, plan[:800]
+    assert not checks.has_cartesian(df)
+    assert "Window" not in plan
