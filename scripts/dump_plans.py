@@ -177,6 +177,14 @@ HEADLINE = {
         "ppm-decile rollup, 10x11 broadcast grid cross-join, kept + "
         "total sums in one aggregation (r7b)"
     ),
+    "q_ngram_novelty": (
+        "per-doc shingle novelty — inverted-index df agg + "
+        "shingle-key join back, integer-ppm, no all-pairs (r7b)"
+    ),
+    "q_cluster_leakage": (
+        "split-leakage census — committed CC artifact scan, map-only "
+        "sha split, one cluster agg + 3-row rollup (r7b)"
+    ),
 }
 
 
