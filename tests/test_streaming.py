@@ -1098,3 +1098,63 @@ def test_alerts_stream_resume_continues_streaks(spark, tmp_path):
         for r in alerts.sustained_alerts(events).collect()
     )
     assert got == [(int(ms), ppm, st) for ms, ppm, st in want]
+
+
+def test_compaction_crash_debris_never_corrupts_serving(spark):
+    """The shared compaction protocol's two crash points, pinned: a
+    staged ``_tmp_base_*`` fold (crash before the rename commit) and a
+    higher-versioned base WITHOUT ``_SUCCESS`` (a copy that raced the
+    marker) must both be invisible to serving — totals unchanged, even
+    though the fake base contains doubled counts — and the next
+    compaction sweeps them and commits normally."""
+    import shutil as sh
+    import tempfile
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import delta, ingest
+
+    base = Path(tempfile.mkdtemp())
+    src = ingest.write_envelope_files(
+        spark, SF_SMOKE, str(base / "src"), None, n_files=4
+    )
+    delta.run_delta_stream(
+        spark, src, str(base / "partials"), str(base / "ckpt"),
+        max_files_per_trigger=2,
+    )
+    pdir = str(base / "partials")
+
+    def totals():
+        return sorted(
+            (r["table_name"], r["net_rows"], r["net_sum_micro"])
+            for r in delta.folded_totals(spark, pdir).collect()
+        )
+
+    before = totals()
+    delta.compact_partials(spark, pdir)
+    ver, committed = delta._base_version(pdir)
+    assert committed is not None
+
+    # crash point 1: a staged fold that never renamed into place
+    staged = Path(pdir) / f"_tmp_{delta._BASE_PREFIX}{ver + 7:09d}"
+    sh.copytree(committed, staged)
+    assert totals() == before
+
+    # crash point 2: a HIGHER-versioned base with no _SUCCESS marker,
+    # carrying doubled counts — committed-looking garbage
+    fake = Path(pdir) / f"{delta._BASE_PREFIX}{ver + 9:09d}"
+    sh.copytree(committed, fake)
+    (fake / "_SUCCESS").unlink()
+    doubled = spark.read.parquet(str(committed)).unionAll(
+        spark.read.parquet(str(committed))
+    )
+    doubled.write.mode("overwrite").parquet(str(fake))
+    import os
+    if (fake / "_SUCCESS").exists():
+        os.remove(fake / "_SUCCESS")
+    assert totals() == before
+
+    # the sweep removes both debris dirs; serving still identical
+    delta.compact_partials(spark, pdir)
+    assert totals() == before
+    names = {p.name for p in Path(pdir).iterdir()}
+    assert not any(n.startswith("_tmp_") for n in names), names
+    assert fake.name not in names, names
