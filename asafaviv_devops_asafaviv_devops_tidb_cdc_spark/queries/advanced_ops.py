@@ -1781,3 +1781,188 @@ def q_join_order_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chosen",
         F.col("cost") == F.min("cost").over(Window.partitionBy()),
     )
+
+
+# ---------------------------------------------------------------------------
+# X34/X35 — recursive hierarchy traversal (round 7)
+# ---------------------------------------------------------------------------
+
+# Deterministic forest over the customer keys (contiguous 0..n-1 in the
+# testdata): parent(k) = sha48("tree1_" || k) % k for k >= 1, root = 0.
+# A salted counter-mode hash draw (house rule, queries/_money.py /
+# q_batch_insert_gen) makes the tree a uniform random recursive tree —
+# expected depth O(log n) — and bit-identical in both engines, so the
+# RECURSIVE traversal itself is what the oracle checks, not a fixture.
+_TREE_PARENT_SQL = (
+    "('0x' || substr(sha256('tree1_' || CAST({k} AS VARCHAR)), 1, 12))::BIGINT % {k}"
+)
+
+
+def _tree_parent(node: str) -> F.Column:
+    """Spark twin of _TREE_PARENT_SQL: sha-derived parent, root 0 fixed."""
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit("tree1_"), F.col(node).cast("string")), 256), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.when(F.col(node) <= 0, F.lit(0).cast("long")).otherwise(
+        h % F.col(node)
+    )
+
+
+_HIERARCHY_DEPTH_ORACLE = f"""
+WITH RECURSIVE chain(node, cur, depth) AS (
+  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT), CAST(0 AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT node, {_TREE_PARENT_SQL.format(k="cur")}, depth + 1
+  FROM chain WHERE cur > 0
+),
+d AS (SELECT node, MAX(depth) AS depth FROM chain GROUP BY 1)
+SELECT d.depth AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM({CENTS_SQL.format(x="c.c_acctbal")}) AS BIGINT) AS bal_cents
+FROM d JOIN customer c ON d.node = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register("q_hierarchy_depth", oracle=_HIERARCHY_DEPTH_ORACLE)
+def q_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34 — recursive-hierarchy depth census (the WITH RECURSIVE shape
+    Spark lacks), via POINTER DOUBLING instead of the oracle's
+    one-step-per-level recursion: each round every node jumps to its
+    current ancestor's current ancestor and adds the two hop counts, so
+    a depth-D chain resolves in ceil(log2 D) rounds — 64 rounds cover
+    any realizable key domain, vs the D rounds (thousands, at 100 TB
+    key counts) a naive parent-step loop would shuffle through. Each
+    round is ONE self-join on the jump pointer with lineage truncated
+    by a reliable checkpoint (functions/dedup.py discipline), and the
+    only driver-side action per round is the 1-row "anyone not at the
+    root yet?" probe. Output is the per-depth (count, exact-cents
+    balance) histogram — a bounded O(log n)-row frame that audits every
+    node's full root path. Reference parity: the reference engine
+    (node-consumer/index.js) has no recursive traversal; this is the
+    classic warehouse org-chart / BOM-explosion shape over the same
+    deterministic sha forest the oracle rebuilds with WITH RECURSIVE."""
+    from ..functions.dedup import reliable_checkpoint
+
+    cust = load_table(spark, sf_dir, "customer")
+    f = cust.select(
+        F.col("c_custkey").cast("long").alias("node"),
+        cents("c_acctbal").alias("bal"),
+    ).select(
+        "node",
+        "bal",
+        _tree_parent("node").alias("anc"),
+        F.when(F.col("node") <= 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("d"),
+    )
+    f = reliable_checkpoint(f, None)
+    for _ in range(64):
+        if f.filter(F.col("anc") != 0).limit(1).count() == 0:
+            break
+        g = f.select(
+            F.col("node").alias("g_node"),
+            F.col("anc").alias("g_anc"),
+            F.col("d").alias("g_d"),
+        )
+        f = reliable_checkpoint(
+            f.join(g, f["anc"] == g["g_node"]).select(
+                "node",
+                "bal",
+                F.col("g_anc").alias("anc"),
+                (F.col("d") + F.col("g_d")).alias("d"),
+            ),
+            None,
+        )
+    else:  # pragma: no cover - 2^64 exceeds any key domain
+        raise RuntimeError("q_hierarchy_depth: pointer doubling did not converge")
+    return f.groupBy(F.col("d").alias("depth")).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("bal").cast("long").alias("bal_cents"),
+    )
+
+
+_SUBTREE_ROLLUP_ORACLE = f"""
+WITH RECURSIVE ac(node, anc) AS (
+  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT) FROM customer
+  UNION ALL
+  SELECT node, {_TREE_PARENT_SQL.format(k="anc")}
+  FROM ac WHERE anc > 0
+)
+SELECT a.anc AS node,
+       CAST(COUNT(*) AS BIGINT) AS subtree_n,
+       CAST(SUM({CENTS_SQL.format(x="c.c_acctbal")}) AS BIGINT) AS subtree_bal_cents
+FROM ac a JOIN customer c ON a.node = c.c_custkey
+GROUP BY 1
+ORDER BY subtree_n DESC, node ASC
+LIMIT 20
+"""
+
+
+@register("q_subtree_rollup", oracle=_SUBTREE_ROLLUP_ORACLE)
+def q_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 — hierarchical subtree rollup: inclusive descendant count and
+    exact-cents balance for every node, top-20 heaviest subtrees
+    (deterministic tie-break on node). The Spark plan materializes the
+    ancestor CLOSURE by transitive-closure doubling: seeding the pair
+    set with self-pairs makes one self-join per round square the
+    reachability relation (distances 0..2^k after k rounds), so the
+    closure completes in ceil(log2 depth) shuffle rounds with a
+    count-fixpoint as the only driver action — vs one round per level
+    for the oracle's WITH RECURSIVE descent. Closure size is
+    O(n * avg_depth) = O(n log n) rows on the sha forest — the rollup
+    IS that closure aggregated, there is no smaller exact
+    representation when every node wants its full subtree — and the
+    final top-20 is a TakeOrderedAndProject, never a global sort.
+    100 TB posture: rounds stay O(log log-depth)-few, per-round
+    shuffles are pair-set-sized, and the depth histogram twin (X34)
+    bounds avg_depth before anyone runs the closure."""
+    from ..functions.dedup import reliable_checkpoint
+
+    cust = load_table(spark, sf_dir, "customer")
+    nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    pairs = (
+        nodes.select("node", F.col("node").alias("anc"))
+        .unionByName(
+            nodes.filter(F.col("node") > 0).select(
+                "node", _tree_parent("node").alias("anc")
+            )
+        )
+        .distinct()
+    )
+    pairs = reliable_checkpoint(pairs, None)
+    prev_n = pairs.count()
+    for _ in range(64):
+        pairs = reliable_checkpoint(
+            pairs.alias("p")
+            .join(pairs.alias("q"), F.col("p.anc") == F.col("q.node"))
+            .select(F.col("p.node").alias("node"), F.col("q.anc").alias("anc"))
+            .distinct(),
+            None,
+        )
+        n = pairs.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    else:  # pragma: no cover - 2^64 exceeds any key domain
+        raise RuntimeError("q_subtree_rollup: closure doubling did not converge")
+    bal = cust.select(
+        F.col("c_custkey").cast("long").alias("node"),
+        cents("c_acctbal").alias("bal"),
+    )
+    return (
+        pairs.join(bal, "node")
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count("*").cast("long").alias("subtree_n"),
+            F.sum("bal").cast("long").alias("subtree_bal_cents"),
+        )
+        .orderBy(F.desc("subtree_n"), F.asc("node"))
+        .limit(20)
+    )

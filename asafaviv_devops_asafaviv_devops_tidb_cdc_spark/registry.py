@@ -51,9 +51,11 @@ _CHECK_FIRST = [
     # locally parity-swept) — hash-greening them converts 28 components
     # from claimed to proven. Positions 33-42 are the r1/r2-stale tail
     # (last driver verdict predates four rounds of rewrites) plus
-    # q_hll_distinct's rows-only slot. The remaining slots take queries
-    # whose implementation changes in round 7 (the stream-transitions
-    # delta rewrite and the skew-stressed join-view twin).
+    # q_hll_distinct's rows-only slot. Positions 43-50 take the
+    # remaining never-checked queries (late-r6/r7 registrations:
+    # X33 join-order choice, E32/E33/E34/E35, X34/X35) plus the
+    # round-7 skew-stressed join-view twin — with these the window
+    # covers EVERY never-driver-checked query in the registry.
     # --- (a) never driver-checked (round-6 cohort, 32 queries) ---
     "q_pii_census",
     "q_edit_neardup",
@@ -98,15 +100,15 @@ _CHECK_FIRST = [
     "q_props_json",
     "q_sha2",
     "q_hll_distinct",
-    # --- (c) paths changed or added in round 7 ---
+    # --- (c) never checked: late-r6/r7 registrations ---
     "q_stream_join_view_skew",
     "q_join_order_choice",
-    "q_stream_funnel",
-    "q_stream_join_view",
-    "q_stream_dedupe",
-    "q_stream_stream_join",
-    "q_stream_sample",
-    "q_stream_dq",
+    "q_unigram_surprise",
+    "q_filter_sweep",
+    "q_ngram_novelty",
+    "q_cluster_leakage",
+    "q_hierarchy_depth",
+    "q_subtree_rollup",
     # everything below kept its round-3+ verdict on an unchanged path;
     # fresh entries keep registration order after these
 ]

@@ -185,6 +185,16 @@ HEADLINE = {
         "split-leakage census — committed CC artifact scan, map-only "
         "sha split, one cluster agg + 3-row rollup (r7b)"
     ),
+    "q_hierarchy_depth": (
+        "recursive hierarchy depth — pointer-doubling self-joins "
+        "(log2 D rounds, lineage-truncated), served frame is ONE agg "
+        "over the converged pointers (r7c)"
+    ),
+    "q_subtree_rollup": (
+        "subtree rollup — ancestor closure by transitive-closure "
+        "doubling, one keyed join + agg, TakeOrderedAndProject top-20 "
+        "(r7c)"
+    ),
 }
 
 

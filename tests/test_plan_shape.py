@@ -1055,3 +1055,29 @@ def test_cluster_leakage_serves_artifact_single_rollup(spark):
     assert "documents" not in plan, plan[:800]
     assert not checks.has_cartesian(df)
     assert "Window" not in plan
+
+
+def test_hierarchy_depth_doubling_converges_one_agg(spark):
+    """X34: pointer doubling resolves the sf0.001 sha forest in
+    log-rounds of lineage-truncated self-joins; the served frame is a
+    single aggregation — no window, no cartesian — and the histogram
+    partitions all 150 nodes with exactly one root at depth 0."""
+    df = _df("q_hierarchy_depth", spark)
+    plan = checks.plan_string(df)
+    assert "Window" not in plan
+    assert not checks.has_cartesian(df)
+    rows = {r["depth"]: r["n_nodes"] for r in df.collect()}
+    assert rows[0] == 1
+    assert sum(rows.values()) == 150
+
+
+def test_subtree_rollup_topk_no_global_sort(spark):
+    """X35: the top-20 heaviest subtrees must plan as
+    TakeOrderedAndProject (per-partition top-k + driver merge, never a
+    global sort), and the root's inclusive subtree is the whole
+    forest."""
+    df = _df("q_subtree_rollup", spark)
+    plan = checks.plan_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    top = df.collect()[0]
+    assert top["node"] == 0 and top["subtree_n"] == 150

@@ -632,3 +632,88 @@ def test_filter_sweep_retention_is_monotone_and_exact(spark, docs):
         assert swept[t] == brute, (t, swept[t], brute)
         assert swept[t][0] >= prev[0] and swept[t][1] >= prev[1]
         prev = swept[t]
+
+
+# --- X34/X35 recursive hierarchy vs direct Python recursion ----------------
+
+
+def _tree_parent_py(k: int) -> int:
+    """Pure-Python twin of advanced_ops._tree_parent / _TREE_PARENT_SQL."""
+    import hashlib
+
+    if k <= 0:
+        return 0
+    return int(hashlib.sha256(f"tree1_{k}".encode()).hexdigest()[:12], 16) % k
+
+
+def _customer_forest():
+    """(depths, bal_cents) for the sf0.001 customer sha forest, by
+    direct per-node recursion — a third implementation independent of
+    both the Spark pointer-doubling and the DuckDB WITH RECURSIVE."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/customer.parquet",
+        columns=["c_custkey", "c_acctbal"],
+    ).to_pydict()
+    keys = [int(k) for k in t["c_custkey"]]
+    bal = {
+        int(k): int(math.floor(b * 100 + 0.5))
+        for k, b in zip(t["c_custkey"], t["c_acctbal"])
+    }
+    depth: dict[int, int] = {}
+
+    def d(k: int) -> int:
+        if k not in depth:
+            depth[k] = 0 if k == 0 else 1 + d(_tree_parent_py(k))
+        return depth[k]
+
+    for k in keys:
+        d(k)
+    return keys, depth, bal
+
+
+def test_hierarchy_depth_matches_python_recursion(spark):
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.advanced_ops import (
+        q_hierarchy_depth,
+    )
+
+    keys, depth, bal = _customer_forest()
+    want: dict[int, tuple[int, int]] = {}
+    for k in keys:
+        n, b = want.get(depth[k], (0, 0))
+        want[depth[k]] = (n + 1, b + bal[k])
+    got = {
+        r["depth"]: (r["n_nodes"], r["bal_cents"])
+        for r in q_hierarchy_depth(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
+
+
+def test_subtree_rollup_matches_python_recursion(spark):
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.advanced_ops import (
+        q_subtree_rollup,
+    )
+
+    keys, _depth, bal = _customer_forest()
+    roll = {k: [0, 0] for k in keys}
+    for k in keys:
+        cur = k
+        while True:
+            roll[cur][0] += 1
+            roll[cur][1] += bal[k]
+            if cur == 0:
+                break
+            cur = _tree_parent_py(cur)
+    want = sorted(
+        ((n, b, k) for k, (n, b) in roll.items()),
+        key=lambda t: (-t[0], t[2]),
+    )[:20]
+    got = [
+        (r["subtree_n"], r["subtree_bal_cents"], r["node"])
+        for r in q_subtree_rollup(spark, "/root/testdata/sf0.001").collect()
+    ]
+    # result is top-20 by (subtree_n desc, node asc); compare as ordered sets
+    assert sorted(got, key=lambda t: (-t[0], t[2])) == want
