@@ -1158,3 +1158,22 @@ def test_compaction_crash_debris_never_corrupts_serving(spark):
     names = {p.name for p in Path(pdir).iterdir()}
     assert not any(n.startswith("_tmp_") for n in names), names
     assert fake.name not in names, names
+
+
+def test_ingest_resumable_second_call_is_empty_pass(spark):
+    """The r7 ingest conversion: q_stream_ingest_counts /
+    q_stream_dedupe persist sink + checkpoint per (events fingerprint,
+    dup_mod, version), so a SECOND invocation must be an empty
+    availableNow pass — identical counts, and not one new file
+    committed to the sink's transaction log."""
+    from pathlib import Path
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.streaming import ingest
+
+    first = _counts(registry.QUERIES["q_stream_dedupe"](spark, SF_SMOKE))
+    base = ingest.resumable_workdir(SF_SMOKE, "events", "ing_dup", "ingest-v1")
+    meta = Path(base) / "sink" / "_spark_metadata"
+    committed = sorted(p.name for p in meta.iterdir())
+    again = _counts(registry.QUERIES["q_stream_dedupe"](spark, SF_SMOKE))
+    assert again == first
+    assert sorted(p.name for p in meta.iterdir()) == committed
