@@ -18,6 +18,8 @@ They extend the mandated north-star surface (SURVEY §2.11/§2.12).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import kmv as KMV, similarity
@@ -1812,6 +1814,31 @@ def _tree_parent(node: str) -> F.Column:
     )
 
 
+def _doubling_partitions(spark: SparkSession, approx_rows: int) -> int:
+    """Shuffle domain for the log-round doubling loops. The pointer /
+    pair frames are O(n log n) NARROW rows, so at test scale the
+    per-round cost is task+checkpoint overhead, not data — paying the
+    session default (32) for a 15k-node forest made each round ~4x
+    slower than an ~row-count-sized domain (measured at sf0.1). Size
+    partitions from the expected frame rows (~50k rows each, floor 2,
+    never above the session setting): at 10^9 nodes the same formula
+    asks for 20k+ partitions and the session cap governs — the loop
+    scales by configuration, not rewrite (plans/scale.py discipline)."""
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(2, min(cur, approx_rows // 50_000 + 2))
+
+
+@contextmanager
+def _scoped_shuffle(spark: SparkSession, n: int):
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 _HIERARCHY_DEPTH_ORACLE = f"""
 WITH RECURSIVE chain(node, cur, depth) AS (
   SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT), CAST(0 AS BIGINT)
@@ -1850,6 +1877,7 @@ def q_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import reliable_checkpoint
 
     cust = load_table(spark, sf_dir, "customer")
+    n_nodes = cust.count()  # driver scalar sizing the loop's shuffle domain
     f = cust.select(
         F.col("c_custkey").cast("long").alias("node"),
         cents("c_acctbal").alias("bal"),
@@ -1862,26 +1890,29 @@ def q_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d"),
     )
-    f = reliable_checkpoint(f, None)
-    for _ in range(64):
-        if f.filter(F.col("anc") != 0).limit(1).count() == 0:
-            break
-        g = f.select(
-            F.col("node").alias("g_node"),
-            F.col("anc").alias("g_anc"),
-            F.col("d").alias("g_d"),
-        )
-        f = reliable_checkpoint(
-            f.join(g, f["anc"] == g["g_node"]).select(
-                "node",
-                "bal",
-                F.col("g_anc").alias("anc"),
-                (F.col("d") + F.col("g_d")).alias("d"),
-            ),
-            None,
-        )
-    else:  # pragma: no cover - 2^64 exceeds any key domain
-        raise RuntimeError("q_hierarchy_depth: pointer doubling did not converge")
+    with _scoped_shuffle(spark, _doubling_partitions(spark, n_nodes)):
+        f = reliable_checkpoint(f, None)
+        for _ in range(64):
+            if f.filter(F.col("anc") != 0).limit(1).count() == 0:
+                break
+            g = f.select(
+                F.col("node").alias("g_node"),
+                F.col("anc").alias("g_anc"),
+                F.col("d").alias("g_d"),
+            )
+            f = reliable_checkpoint(
+                f.join(g, f["anc"] == g["g_node"]).select(
+                    "node",
+                    "bal",
+                    F.col("g_anc").alias("anc"),
+                    (F.col("d") + F.col("g_d")).alias("d"),
+                ),
+                None,
+            )
+        else:  # pragma: no cover - 2^64 exceeds any key domain
+            raise RuntimeError(
+                "q_hierarchy_depth: pointer doubling did not converge"
+            )
     return f.groupBy(F.col("d").alias("depth")).agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.sum("bal").cast("long").alias("bal_cents"),
@@ -1936,22 +1967,29 @@ def q_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pairs = reliable_checkpoint(pairs, None)
-    prev_n = pairs.count()
-    for _ in range(64):
-        pairs = reliable_checkpoint(
-            pairs.alias("p")
-            .join(pairs.alias("q"), F.col("p.anc") == F.col("q.node"))
-            .select(F.col("p.node").alias("node"), F.col("q.anc").alias("anc"))
-            .distinct(),
-            None,
-        )
-        n = pairs.count()
-        if n == prev_n:
-            break
-        prev_n = n
-    else:  # pragma: no cover - 2^64 exceeds any key domain
-        raise RuntimeError("q_subtree_rollup: closure doubling did not converge")
+    with _scoped_shuffle(
+        spark, _doubling_partitions(spark, nodes.count() * 8)
+    ):  # closure frame is ~n x avg_depth rows, not n
+        pairs = reliable_checkpoint(pairs, None)
+        prev_n = pairs.count()
+        for _ in range(64):
+            pairs = reliable_checkpoint(
+                pairs.alias("p")
+                .join(pairs.alias("q"), F.col("p.anc") == F.col("q.node"))
+                .select(
+                    F.col("p.node").alias("node"), F.col("q.anc").alias("anc")
+                )
+                .distinct(),
+                None,
+            )
+            n = pairs.count()
+            if n == prev_n:
+                break
+            prev_n = n
+        else:  # pragma: no cover - 2^64 exceeds any key domain
+            raise RuntimeError(
+                "q_subtree_rollup: closure doubling did not converge"
+            )
     bal = cust.select(
         F.col("c_custkey").cast("long").alias("node"),
         cents("c_acctbal").alias("bal"),
