@@ -1323,16 +1323,30 @@ _DBSCAN_MINPTS = 4
 
 
 def _dbscan_oracle() -> str:
+    # components quantized to exact integer micro-units BEFORE any
+    # summation, mirroring the engine's int64-matmul neighbor graph
+    # (functions/similarity.py::allpairs_cosine_x10k): integer sums
+    # are order-free, and the remaining float ops (one divide, one
+    # sqrt, one multiply, one floor) are single IEEE operations —
+    # bit-identical in both engines. A raw-double list_sum here put
+    # threshold-boundary pairs (cosine_x10k exactly 3000) on the
+    # wrong side at sf0.1 — caught by the full-scale sweep, invisible
+    # at sf0.01 pair counts.
+    def m(t: str) -> str:
+        return (
+            f"CAST(floor(CAST({t}.embedding[i] AS DOUBLE) * 1000000 + 0.5) "
+            f"AS BIGINT)"
+        )
+
     def lsum(a: str, b: str) -> str:
         return (
-            f"list_sum(list_transform(range(1, 65), "
-            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+            f"list_sum(list_transform(range(1, 65), i -> {m(a)} * {m(b)}))"
         )
 
     cos = (
-        f"CAST(floor({lsum('a.embedding', 'b.embedding')} / "
-        f"sqrt({lsum('a.embedding', 'a.embedding')} * "
-        f"{lsum('b.embedding', 'b.embedding')}) * 10000 + 0.5) AS BIGINT)"
+        f"CAST(floor(CAST({lsum('a', 'b')} AS DOUBLE) / "
+        f"sqrt(CAST({lsum('a', 'a')} AS DOUBLE) * "
+        f"CAST({lsum('b', 'b')} AS DOUBLE)) * 10000 + 0.5) AS BIGINT)"
     )
     return f"""
 WITH p AS (

@@ -717,3 +717,53 @@ def test_subtree_rollup_matches_python_recursion(spark):
     ]
     # result is top-20 by (subtree_n desc, node asc); compare as ordered sets
     assert sorted(got, key=lambda t: (-t[0], t[2])) == want
+
+
+# --- quantized-cosine contract of the blocked all-pairs matmul ------------
+
+
+def test_allpairs_cosine_quantization_contract(spark):
+    """The neighbor-graph primitive behind E2e/E31 quantizes vector
+    components to integer micro-units BEFORE any summation; every
+    oracle over it must use the same formula (the r7b q_dbscan_roles
+    sf0.1 mismatch was an oracle written with raw-double sums —
+    threshold-boundary pairs landed at 2999 vs 3000). Pin the engine
+    against an independent pure-python evaluation of the quantized
+    formula over a seeded corpus, comparing the FULL pair set at a
+    threshold low enough to include boundary-adjacent pairs."""
+    import math
+    import random
+
+    import numpy as np
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.similarity import (
+        allpairs_cosine_x10k,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_x10k"]
+        for r in allpairs_cosine_x10k(df, threshold_x10k=1000).collect()
+    }
+
+    units = {
+        i: np.floor(np.asarray(v, dtype=np.float64) * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+        for i, v in rows
+    }
+    want = {}
+    for i in range(60):
+        for j in range(i + 1, 60):
+            a, b = units[i], units[j]
+            cos = float(int(a @ b)) / math.sqrt(
+                float(int(a @ a)) * float(int(b @ b))
+            )
+            x10k = math.floor(cos * 10000 + 0.5)
+            if x10k >= 1000:
+                want[(i, j)] = x10k
+    assert got == want
