@@ -1944,8 +1944,15 @@ def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grown index is EXACTLY the full-rebuild index: the probe over
     it hash-matches the same static IVF oracle as q_ivf_topk. This is
     what lets a 100 TB vector table grow per-ingest instead of
-    re-assigning the corpus per refresh."""
+    re-assigning the corpus per refresh. Growth is per-INGEST work,
+    not per-read (r7b): the three-installment fold runs once per
+    (embeddings fingerprint, version) into a cid-partitioned artifact
+    — every read (including the gate's) probes the GROWN index with
+    partition pruning, and the stepwise incremental == full-rebuild
+    identity is pinned by
+    tests/test_aux_ops.py::test_incremental_ivf_equals_full_rebuild."""
     from ..sources.ann_store import _cents_mod, incremental_index
+    from ..sources.artifact import input_fingerprint, materialized
     from ..streaming.ingest import stream_workdir
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1955,8 +1962,18 @@ def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 3 == 1),
         emb.filter(F.col("vec_id") % 3 == 2),
     ]
-    state_dir = str(stream_workdir(sf_dir, "ivf_inc") / "state")
-    index = incremental_index(spark, base, deltas, cents, state_dir)
+
+    def grow() -> DataFrame:
+        state_dir = str(stream_workdir(sf_dir, "ivf_inc") / "state")
+        return incremental_index(spark, base, deltas, cents, state_dir)
+
+    index = materialized(
+        spark,
+        "ivf_grown",
+        input_fingerprint(sf_dir, "embeddings", "ivf-inc-v1"),
+        grow,
+        partition_by=["cid"],
+    )
     qv_df = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
     )

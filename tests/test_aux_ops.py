@@ -334,3 +334,35 @@ def test_bench_stdout_line_fits_driver_parse_window():
     )
     assert len(line) < 2000, len(line)
     assert fitted, "line must carry at least one per-query timing"
+
+
+def test_incremental_ivf_equals_full_rebuild(spark, tmp_path):
+    """The q_ivf_incremental growth identity, proven stepwise (the
+    query itself serves the grown artifact): folding the corpus in as
+    base + two append installments through the bucketed copy-on-write
+    state must yield EXACTLY the rows of a one-shot full-corpus
+    assignment — cell choice is a pure function of the frozen
+    centroids, so growth order cannot matter."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import similarity
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources.ann_store import (
+        incremental_index,
+    )
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    deltas = [
+        emb.filter(F.col("vec_id") % 3 == 1),
+        emb.filter(F.col("vec_id") % 3 == 2),
+    ]
+    grown = incremental_index(
+        spark, base, deltas, cents, str(tmp_path / "state")
+    )
+    full = similarity.ivf_assignment(emb, cents)
+    g = {(r["vec_id"], r["cid"]) for r in grown.select("vec_id", "cid").collect()}
+    f = {(r["vec_id"], r["cid"]) for r in full.select("vec_id", "cid").collect()}
+    assert g == f and len(g) == emb.count()
