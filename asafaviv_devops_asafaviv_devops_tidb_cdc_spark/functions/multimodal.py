@@ -91,13 +91,56 @@ def decode_payload(payload: bytes, mime: str | None = None) -> dict:
 
 
 def decode_pixels(payload: bytes, mime: str):
-    """Full pixel/sample decode — the declared library boundary:
-    requires codecs (PIL/ffmpeg) not present in this container."""
+    """Full pixel/sample decode. Uncompressed 24-bit BMP is decoded
+    IN-ENGINE (pure stdlib + numpy — the format is spec-trivial:
+    fixed headers, bottom-up rows, 4-byte row padding); every other
+    container remains the declared library boundary (PNG/JPEG/GIF/WAV
+    payload decode requires codecs — PIL/ffmpeg — not present in this
+    container)."""
+    if (mime or "").lower() in ("image/bmp", "bmp") or (
+        payload or b""
+    )[:2] == b"BM":
+        return decode_bmp_pixels(payload)
     raise NotImplementedError(
-        "pixel decoding requires optional codecs (PIL/ffmpeg); "
-        "decode_payload provides header metadata, fake_decode_features "
-        "the deterministic feature stand-in"
+        "pixel decoding beyond uncompressed BMP requires optional "
+        "codecs (PIL/ffmpeg); decode_payload provides header metadata, "
+        "fake_decode_features the deterministic feature stand-in"
     )
+
+
+def decode_bmp_pixels(payload: bytes):
+    """REAL uncompressed 24-bit BMP pixel decoder: parses the file
+    header for the pixel-data offset, the DIB header for
+    width/height/bpp/compression, strips the 4-byte row padding, and
+    un-flips the bottom-up row order (negative height = top-down) into
+    a ``numpy.uint8`` array of raster-order BGR bytes of shape
+    (height, width, 3). Returns None for anything it cannot decode
+    exactly (wrong magic, compressed, non-24bpp, truncated pixel
+    data) — never guesses on hostile input."""
+    import numpy as np
+
+    b = payload or b""
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    try:
+        data_off = struct.unpack("<I", b[10:14])[0]
+        width, height = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        compression = struct.unpack("<I", b[30:34])[0]
+    except struct.error:
+        return None
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if data_off + stride * h > len(b):
+        return None
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : width * 3]
+    if height > 0:  # bottom-up storage: file row 0 is the BOTTOM row
+        rows = rows[::-1]
+    return rows.reshape(h, width, 3)
 
 
 def as_media_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -230,6 +273,104 @@ def synth_container_payloads(media_ids: DataFrame) -> DataFrame:
     return media_ids.select("media_id").repartition(n_parts).mapInPandas(
         _build, SYNTH_SCHEMA
     )
+
+
+BMP_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_px long, "
+    "px_sum long, px_wsum long, mean_millibyte long"
+)
+
+
+def synth_bmp_payloads(media_ids: DataFrame) -> DataFrame:
+    """Build COMPLETE valid uncompressed 24-bit BMP files (file header
+    + 40-byte DIB header + bottom-up padded pixel rows) with
+    formula-derived content: width = id % 48 + 4, height =
+    id*7 % 48 + 4, and raster-order pixel byte j = (id + j) % 256 —
+    so a DuckDB oracle can recompute the decoded pixel statistics
+    from the id alone, without parsing binary. The byte formula runs
+    over the UNPADDED raster; the file stores it bottom-up WITH row
+    padding, so a decoder only matches the oracle if it strips
+    padding and un-flips rows correctly."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = mid % 48 + 4
+                h = (mid * 7) % 48 + 4
+                raster = (
+                    (mid + np.arange(3 * w * h, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(h, w * 3)
+                stride = (w * 3 + 3) & ~3
+                padded = np.zeros((h, stride), dtype=np.uint8)
+                padded[:, : w * 3] = raster[::-1]  # bottom-up rows
+                data = padded.tobytes()
+                header = (
+                    b"BM"
+                    + struct.pack("<I", 54 + len(data))
+                    + b"\x00\x00\x00\x00"
+                    + struct.pack("<I", 54)
+                    + struct.pack("<I", 40)
+                    + struct.pack("<ii", w, h)
+                    + struct.pack("<HH", 1, 24)
+                    + struct.pack("<II", 0, len(data))
+                    + struct.pack("<iiII", 0, 0, 0, 0)
+                )
+                rows.append((mid, header + data))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sc = media_ids.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism // 2, 1)
+    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
+        _build, SYNTH_SCHEMA
+    )
+
+
+def bmp_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL pixel decode over a (media_id, payload) BMP
+    table: ``decode_bmp_pixels`` parses each file and the stage emits
+    order-sensitive statistics of the reconstructed raster —
+    ``px_sum`` (order-invariant byte sum), ``px_wsum``
+    (position-weighted sum, sum over (j+1)*byte_j in raster order:
+    only correct if padding is stripped AND bottom-up rows are
+    un-flipped), and integer mean in millibytes. Undecodable payloads
+    yield NULL stats rather than poisoning the batch."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp_pixels(bytes(payload or b""))
+                if px is None:
+                    rows.append((int(mid), None, None, None, None, None, None))
+                    continue
+                h, w, _ = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                px_sum = int(flat.sum())
+                px_wsum = int(
+                    ((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum()
+                )
+                rows.append(
+                    (
+                        int(mid), w, h, w * h,
+                        px_sum, px_wsum,
+                        px_sum * 1000 // flat.size,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_px",
+                    "px_sum", "px_wsum", "mean_millibyte",
+                ],
+            )
+
+    return media.mapInPandas(_stats, BMP_STATS_SCHEMA)
 
 
 def decode_headers(media: DataFrame) -> DataFrame:

@@ -1424,6 +1424,53 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_headers(payloads)
 
 
+@register(
+    "q_bmp_pixel_stats",
+    oracle="""
+WITH b AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 48 + 4 AS INTEGER) AS width,
+         CAST((doc_id * 7) % 48 + 4 AS INTEGER) AS height
+  FROM documents
+),
+s AS (
+  SELECT b.media_id, b.width, b.height,
+         SUM((b.media_id + u.i) % 256) AS px_sum,
+         SUM((u.i + 1) * ((b.media_id + u.i) % 256)) AS px_wsum
+  FROM b, LATERAL (
+    SELECT unnest(range(3 * b.width * b.height)) AS i
+  ) u
+  GROUP BY 1, 2, 3
+)
+SELECT media_id, width, height,
+       CAST(width * height AS BIGINT) AS n_px,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_wsum AS BIGINT) AS px_wsum,
+       CAST(px_sum * 1000 // (3 * width * height) AS BIGINT)
+         AS mean_millibyte
+FROM s
+""",
+)
+def q_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5b — REAL pixel decode, oracle-verified end-to-end: complete
+    valid uncompressed 24-bit BMP files are synthesized with
+    formula-derived pixel bytes (raster byte j = (id + j) % 256,
+    stored bottom-up WITH 4-byte row padding), cross the Arrow
+    boundary, and a separate mapInPandas stage parses the file/DIB
+    headers, strips padding, un-flips row order, and emits
+    position-weighted pixel statistics
+    (functions/multimodal.py::decode_bmp_pixels / bmp_pixel_stats).
+    The oracle recomputes px_sum AND the order-sensitive px_wsum from
+    the id formula by brute force — px_wsum only matches if the
+    decoder reconstructed the exact raster byte order, so this proves
+    genuine pixel decoding, not header echo. PNG/JPEG pixel decode
+    remains the declared codec-library boundary (reference has no
+    multimodal analogue; north-star E5)."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = multimodal.synth_bmp_payloads(ids)
+    return multimodal.bmp_pixel_stats(payloads)
+
+
 def _batch_ann_oracle_sql() -> str:
     def lsum(a: str, b: str) -> str:
         return (

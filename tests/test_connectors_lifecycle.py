@@ -254,3 +254,79 @@ def test_gap_resets_streak():
     fired = _run(update, state, [(0, True), (3 * W, True), (4 * W, True)])
     # 0 and 3W are not consecutive -> streak restarts; fires at 4W
     assert [(w, s) for w, _, s in fired] == [(4 * W, 2)]
+
+
+# ---------------------------------------------------------------- BMP pixels
+
+
+def _full_bmp(mid: int) -> bytes:
+    """Reference-independent re-derivation of the synth formula so the
+    decoder test does not share code with the builder under test."""
+    import numpy as np
+
+    w, h = mid % 48 + 4, (mid * 7) % 48 + 4
+    raster = ((mid + np.arange(3 * w * h)) % 256).astype(np.uint8)
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = raster[y * 3 * w : (y + 1) * 3 * w].tobytes()
+        body += row + b"\x00" * (stride - 3 * w)
+    return (
+        b"BM" + struct.pack("<I", 54 + len(body)) + b"\x00" * 4
+        + struct.pack("<I", 54) + struct.pack("<I", 40)
+        + struct.pack("<ii", w, h) + struct.pack("<HH", 1, 24)
+        + struct.pack("<II", 0, len(body)) + struct.pack("<iiII", 0, 0, 0, 0)
+        + body
+    )
+
+
+def test_bmp_pixel_decoder_reconstructs_exact_raster():
+    import numpy as np
+
+    for mid in (0, 7, 13, 41, 1000003):
+        w, h = mid % 48 + 4, (mid * 7) % 48 + 4
+        px = multimodal.decode_bmp_pixels(_full_bmp(mid))
+        assert px.shape == (h, w, 3)
+        want = ((mid + np.arange(3 * w * h)) % 256).reshape(h, w, 3)
+        assert (px == want).all(), f"raster mismatch for mid={mid}"
+
+
+def test_bmp_pixel_decoder_handles_topdown_negative_height():
+    import numpy as np
+
+    w, h = 5, 3  # stride 16, one pad byte per row
+    raster = np.arange(3 * w * h, dtype=np.uint8).reshape(h, w * 3)
+    stride = (w * 3 + 3) & ~3
+    body = b"".join(
+        raster[y].tobytes() + b"\x00" * (stride - 3 * w) for y in range(h)
+    )
+    payload = (
+        b"BM" + struct.pack("<I", 54 + len(body)) + b"\x00" * 4
+        + struct.pack("<I", 54) + struct.pack("<I", 40)
+        + struct.pack("<ii", w, -h) + struct.pack("<HH", 1, 24)
+        + struct.pack("<II", 0, len(body)) + struct.pack("<iiII", 0, 0, 0, 0)
+        + body
+    )
+    px = multimodal.decode_bmp_pixels(payload)
+    assert (px.reshape(h, w * 3) == raster).all()
+
+
+def test_bmp_pixel_decoder_rejects_what_it_cannot_decode_exactly():
+    good = _full_bmp(9)
+    assert multimodal.decode_bmp_pixels(b"") is None
+    assert multimodal.decode_bmp_pixels(b"BM" + b"\x00" * 10) is None
+    assert multimodal.decode_bmp_pixels(good[:60]) is None  # truncated pixels
+    compressed = bytearray(good)
+    compressed[30] = 1  # BI_RLE8
+    assert multimodal.decode_bmp_pixels(bytes(compressed)) is None
+    eight_bit = bytearray(good)
+    eight_bit[28] = 8
+    assert multimodal.decode_bmp_pixels(bytes(eight_bit)) is None
+
+
+def test_decode_pixels_routes_bmp_and_keeps_codec_boundary():
+    import pytest as _pytest
+
+    assert multimodal.decode_pixels(_full_bmp(3), "image/bmp") is not None
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_pixels(_png(4, 4), "image/png")
