@@ -44,73 +44,86 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-7 window: the driver oracle-checks a 50-query prefix of the
-    # registered order. Priority policy (r6 verdict item 1): positions
-    # 1-32 are EXACTLY the round-6 cohort that has never had a driver
-    # verdict (registered past the r6 window edge; all oracle-backed and
-    # locally parity-swept) — hash-greening them converts 28 components
-    # from claimed to proven. Positions 33-42 are the r1/r2-stale tail
-    # (last driver verdict predates four rounds of rewrites) plus
-    # q_hll_distinct's rows-only slot. Positions 43-50 take the
-    # remaining never-checked queries (late-r6/r7 registrations:
-    # X33 join-order choice, E32/E33/E34/E35, X34/X35) plus the
-    # round-7 skew-stressed join-view twin — with these the window
-    # covers EVERY never-driver-checked query in the registry.
-    # --- (a) never driver-checked (round-6 cohort, 32 queries) ---
-    "q_pii_census",
-    "q_edit_neardup",
-    "q_content_chunks",
-    "q_stream_pii",
-    "q_graph_triangles",
-    "q_schema_evolution",
-    "q_phrase_search",
-    "q_overlap_profile",
-    "q_table_stats",
-    "q_event_transitions",
-    "q_bm25_search",
-    "q_kmv_distinct",
-    "q_stream_kmv",
-    "q_gapfill_interpolate",
-    "q_attribution",
-    "q_skyline",
-    "q_basket_pairs",
-    "q_decay_engagement",
-    "q_equidepth_hist",
-    "q_join_card_est",
-    "q_label_prop",
-    "q_stream_gapfill",
-    "q_stream_transitions",
-    "q_rfm_segments",
-    "q_journey_paths",
-    "q_trend_slope",
-    "q_knn_classify",
-    "q_dbscan_roles",
-    "q_stream_trend",
-    "q_dow_seasonality",
-    "q_changepoint",
-    "q_stream_changepoint",
-    # --- (b) r1/r2-stale tail (ledger positions 51-59 + hll) ---
-    "q_scrub_text",
-    "q_fingerprint",
-    "q_split_assign",
-    "q_stratified_sample",
-    "q_lsh_buckets",
-    "q_multimodal_meta",
-    "q_media_chunks",
-    "q_props_json",
-    "q_sha2",
-    "q_hll_distinct",
-    # --- (c) never checked: late-r6/r7 registrations ---
-    "q_stream_join_view_skew",
-    "q_join_order_choice",
-    "q_unigram_surprise",
-    "q_filter_sweep",
-    "q_ngram_novelty",
-    "q_cluster_leakage",
-    "q_hierarchy_depth",
-    "q_subtree_rollup",
-    # everything below kept its round-3+ verdict on an unchanged path;
-    # fresh entries keep registration order after these
+    # Round-8 window: the driver oracle-checks a 50-query prefix of the
+    # registered order. Priority policy (r7 verdict items 1-2-4):
+    # positions 1-26 are every query whose code path changed AFTER its
+    # latest green verdict, as detected MECHANICALLY by
+    # scripts/freshness.py (function-granular reference-closure diff
+    # against each query's verdict-round commit) — the hand-maintained
+    # r8 queue of 16 missed ten of these (q_stream_alerts,
+    # q_stream_cdc_replay, q_stream_scd2, q_stream_delta_agg,
+    # q_stream_doc_dedup, q_dedup_yield_by_source, q_canonical_pick,
+    # q_value_parts + two already queued), which is exactly why the
+    # detector now exists and tests/test_freshness.py enforces it.
+    # Positions 27-50 rotate the oldest latest-verdict entries (the r3
+    # cohort): first the queries the r7 verdict called out by name
+    # (SCD2 pair, the W10 window battery, E7/E8/E9
+    # decontaminate/pack/mix, kmeans, boilerplate), then registration
+    # order; the r3 entries that don't fit lead the r9 window — the
+    # freshness test's oldest-first invariant makes that mechanical.
+    # --- (a) changed-path since latest verdict (26, freshness.py) ---
+    "q_stream_ingest_counts",
+    "q_stream_dedupe",
+    "q_stream_window_counts",
+    "q_stream_sessions",
+    "q_stream_topk",
+    "q_stream_late_drops",
+    "q_compact_partials",
+    "q_compaction_parity",
+    "q_ivf_incremental",
+    "q_stream_funnel",
+    "q_stream_join_view",
+    "q_stream_stream_join",
+    "q_stream_sample",
+    "q_stream_dq",
+    "q_stream_manifest",
+    "q_stream_event_drift",
+    "q_stream_alerts",
+    "q_stream_cdc_replay",
+    "q_stream_scd2",
+    "q_stream_delta_agg",
+    "q_stream_doc_dedup",
+    "q_dedup_yield_by_source",
+    "q_canonical_pick",
+    "q_value_parts",
+    "q_cluster_sizes",
+    "q_ann_recall",
+    # --- (a2) new in r8, never driver-checked ---
+    "q_bmp_pixel_stats",
+    # --- (b) r3-stale cohort, judge-named first (14) ---
+    "q_scd2_history",
+    "q_scd2_asof",
+    "q_moving_avg",
+    "q_lag_delta",
+    "q_first_last",
+    "q_ntile",
+    "q_topn_per_group",
+    "q_rolling_1h_count",
+    "q_rank_stats",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_corpus_mix",
+    "q_kmeans_iter",
+    "q_boilerplate_grams",
+    # --- (c) r3-stale cohort, registration order (10) ---
+    "q_intersect_active",
+    "q_median_value",
+    "q_grouping_sets",
+    "q_ops_unpivot",
+    "q_nation_volume",
+    "q_market_share",
+    "q_order_count_dist",
+    "q_small_qty_revenue",
+    "q_big_orders",
+    # r3 leftovers lead the r9 window head (oldest-first invariant in
+    # tests/test_freshness.py): q_sql_region_revenue, q_forecast_revenue,
+    # q_idle_rich_customers, q_pii_scan, q_term_stats,
+    # q_embedding_stats, q_multimodal_decode, q_ann_batch,
+    # q_doc_search, q_bigram_counts, q_doc_len_histogram,
+    # q_null_profile, q_key_skew, q_schema_drift, q_pruned_scan,
+    # q_vec_quantize, q_delta_agg.
+    # Everything below kept its round-4+ verdict on an unchanged path;
+    # fresh entries keep registration order after these.
 ]
 
 _loaded = False

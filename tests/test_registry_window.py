@@ -1,8 +1,9 @@
 """The driver-check window (the first 50 registered queries) IS
-coverage policy: the r7 allocation points every slot at a query that
-has either never had a driver verdict or holds an r1/r2-stale one.
-Pin its composition so a registry edit cannot silently push a
-never-checked query back out of the gate."""
+coverage policy: the r8 allocation points every slot at a query that
+either changed after its latest verdict (scripts/freshness.py), is
+brand-new, or holds the oldest (r3) verdict. Pin its structure so a
+registry edit cannot silently push a due query back out of the gate;
+tests/test_freshness.py enforces the composition policy itself."""
 
 from __future__ import annotations
 
@@ -22,10 +23,12 @@ def test_every_window_name_is_registered():
     assert not missing, missing
 
 
-def test_window_is_oracle_backed_except_hll():
-    # q_hll_distinct is rows-only BY CONSTRUCTION (its error bound is
-    # hash-checked by q_hll_error_bound); everything else in the gate
-    # window must carry a DuckDB oracle so the driver records a full
-    # rows+schema+hash verdict, not the weaker rows-only check
+def test_window_is_fully_oracle_backed():
+    # Every gate-window slot must carry a DuckDB oracle so the driver
+    # records a full rows+schema+hash verdict, not the weaker
+    # rows-only check. (q_hll_distinct — rows-only BY CONSTRUCTION,
+    # its error bound hash-checked by q_hll_error_bound — got its
+    # rows-only verdict in r7 and stays out of the window: a slot
+    # spent on it can never upgrade the verdict.)
     unbacked = [n for n in _CHECK_FIRST if n not in registry.ORACLES]
-    assert unbacked == ["q_hll_distinct"], unbacked
+    assert unbacked == [], unbacked
