@@ -1,0 +1,250 @@
+"""Scale-stress harness (r7 verdict item 5): measure how the hottest
+query families actually scale, instead of arguing from plan shape.
+
+Synthesizes mult-x copies of the three driver-generated tables the
+flagship families read — ``documents``, ``embeddings``, ``events`` —
+by replicating sf0.1 with per-replica perturbations chosen so the
+WORK scales linearly by construction:
+
+* documents: per-replica alphabet rotation (``translate``) — an
+  injective char map, so intra-replica shingle/near-dup structure is
+  preserved exactly while nothing matches across replicas;
+* embeddings: per-replica deterministic sign-flip of dimensions — an
+  orthogonal transform, so intra-replica cosine geometry is exact and
+  cross-replica vectors scatter;
+* events: id/user shift — same time range, mult-x keys, so stream
+  state and shuffle width grow mult-x.
+
+Every replica dir is FRESH (new files, new artifact fingerprint), so
+each measurement is a cold run including index/artifact builds — the
+cost a first-time 100 TB run would pay. Runs each stress query at
+mult 1/3/10, fits the scaling exponent alpha from t ~ c * n^alpha
+(least squares over log-log), and writes STRESS_r08.json; BASELINE.md
+cites the numbers.
+
+Usage: python scripts/scale_stress.py [--mults 1,3,10] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SRC_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+STRESS_ROOT = REPO / "spark-warehouse" / "scale_stress"
+ID_STRIDE = 10**9  # far above any driver-generated id
+
+# Flagship queries per family — each is blocking/banded/bucketed by
+# design, so the MEASURED exponent should sit near 1.0 (near-dup pair
+# emission is linear in pairs, which this perturbation keeps linear
+# in replicas by construction).
+STRESS_QUERIES = {
+    "neardup": [
+        "q_dedup_exact",
+        "q_minhash_neardup",
+        "q_simhash_neardup",
+        "q_neardup_clusters",
+        "q_cluster_sizes",
+        "q_edit_neardup",
+    ],
+    "ann": [
+        "q_ann_batch",
+        "q_ivf_topk",
+        "q_pq_topk",
+        "q_ann_batch_ivf",
+    ],
+    "stream_state": [
+        "q_stream_window_counts",
+        "q_stream_join_view",
+        "q_stream_dedupe",
+    ],
+}
+
+ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_scaled_dir(spark, mult: int) -> str:
+    """Materialize a mult-x dir next to spark-warehouse; symlink the
+    seven unscaled TPC-H tables, replicate the three scaled ones."""
+    from pyspark.sql import functions as F
+
+    out = STRESS_ROOT / f"m{mult}"
+    if (out / "_DONE").exists():
+        return str(out)
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        (out / f"{t}.parquet").symlink_to(f"{SRC_DIR}/{t}.parquet")
+
+    docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet")
+    ev = spark.read.parquet(f"{SRC_DIR}/events.parquet")
+    dim = len(emb.select("embedding").first()[0])
+
+    doc_parts = []
+    emb_parts = []
+    ev_parts = []
+    for k in range(mult):
+        rot = ALPHABET[k % 26:] + ALPHABET[: k % 26]
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
+                F.translate(
+                    "text", ALPHABET + ALPHABET.upper(),
+                    rot + rot.upper(),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        signs = [
+            1.0 if ((k * 2654435761 + d * 40503) >> 3) % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + k * ID_STRIDE).alias("vec_id"),
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(s) for s in signs]),
+                    lambda x, s: (x * s).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+        ev_parts.append(
+            ev.select(
+                (F.col("event_id") + k * ID_STRIDE).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * ID_STRIDE).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+
+    def _union_all(parts):
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    _union_all(doc_parts).repartition(max(4, 2 * mult)).write.mode(
+        "overwrite"
+    ).parquet(str(out / "documents.parquet"))
+    _union_all(emb_parts).repartition(max(4, 2 * mult)).write.mode(
+        "overwrite"
+    ).parquet(str(out / "embeddings.parquet"))
+    _union_all(ev_parts).repartition(max(8, 4 * mult)).write.mode(
+        "overwrite"
+    ).parquet(str(out / "events.parquet"))
+    (out / "_DONE").touch()
+    return str(out)
+
+
+def fit_alpha(points: list[tuple[int, float]]) -> float | None:
+    """Least-squares slope of log(t) vs log(n) — the scaling exponent."""
+    pts = [(m, t) for m, t in points if t and t > 0]
+    if len(pts) < 2:
+        return None
+    xs = [math.log(m) for m, _ in pts]
+    ys = [math.log(t) for _, t in pts]
+    n = len(pts)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return None
+    return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,3,10")
+    ap.add_argument("--out", default=str(REPO / "STRESS_r08.json"))
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.session import get_spark
+
+    spark = get_spark("scale_stress")
+    registry.load_all()
+
+    dirs: dict[int, str] = {}
+    build_secs: dict[int, float] = {}
+    for m in mults:
+        t0 = time.perf_counter()
+        dirs[m] = build_scaled_dir(spark, m)
+        build_secs[m] = round(time.perf_counter() - t0, 2)
+        print(f"built m{m} in {build_secs[m]}s -> {dirs[m]}", flush=True)
+
+    # one warm-up pass so worker-pool fork / JIT costs don't land on
+    # the first measured query (same rationale as bench.py)
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
+
+    # Two runs per (query, mult): the COLD run pays one-time costs
+    # (artifact/index build for this fingerprint, JIT of new code
+    # paths) — the first-run cost a fresh corpus pays; the WARM run
+    # reuses committed artifacts and measures the steady-state query
+    # work, which is what must scale ~linearly for the 100 TB
+    # argument. Resumable streams are the exception: their warm rerun
+    # short-circuits on the checkpoint (measuring the no-new-data
+    # path), so their exponent is read from the cold column.
+    results: dict[str, dict] = {}
+    for family, qnames in STRESS_QUERIES.items():
+        for qname in qnames:
+            fn = registry.QUERIES[qname]
+            cold: dict[str, float] = {}
+            warm: dict[str, float] = {}
+            rows: dict[str, int] = {}
+            for m in mults:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = fn(spark, dirs[m]).count()
+                cold[f"m{m}"] = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                fn(spark, dirs[m]).count()
+                warm[f"m{m}"] = round(time.perf_counter() - t0, 2)
+                rows[f"m{m}"] = n
+                print(
+                    f"{qname} m{m}: cold {cold[f'm{m}']}s / warm "
+                    f"{warm[f'm{m}']}s ({n} rows)",
+                    flush=True,
+                )
+            results[qname] = {
+                "family": family,
+                "cold_secs": cold,
+                "warm_secs": warm,
+                "rows": rows,
+                "alpha_cold": fit_alpha([(m, cold[f"m{m}"]) for m in mults]),
+                "alpha_warm": fit_alpha([(m, warm[f"m{m}"]) for m in mults]),
+            }
+
+    payload = {
+        "src": SRC_DIR,
+        "mults": mults,
+        "build_secs": build_secs,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "queries": results,
+    }
+    Path(args.out).write_text(json.dumps(payload, indent=2) + "\n")
+    print(json.dumps(
+        {q: (r["alpha_warm"], r["alpha_cold"]) for q, r in results.items()}
+    ))
+
+
+if __name__ == "__main__":
+    main()
