@@ -373,6 +373,187 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, BMP_STATS_SCHEMA)
 
 
+RESIZE_STATS_SCHEMA = (
+    "media_id long, out_w int, out_h int, "
+    "out_sum long, out_wsum long, mean_millibyte long"
+)
+
+
+def bmp_resize_stats(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL resize on REAL decoded pixels: block-mean downsample each
+    decoded BMP raster by ``factor`` (integer floor mean over each
+    factor x factor block, odd edges dropped — the deterministic
+    integer form of average-pooling) and emit order-sensitive stats of
+    the RESIZED raster. ``out_wsum`` (position-weighted sum over the
+    output raster) only matches the oracle if decode, block indexing,
+    and the floor-mean all agree byte-for-byte."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        f = factor
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp_pixels(bytes(payload or b""))
+                if px is None:
+                    rows.append((int(mid), None, None, None, None, None))
+                    continue
+                h, w, _ = px.shape
+                oh, ow = h // f, w // f
+                if oh == 0 or ow == 0:
+                    rows.append((int(mid), ow, oh, 0, 0, None))
+                    continue
+                a = px[: oh * f, : ow * f, :].astype(np.int64)
+                # sum each f x f block, then integer floor mean
+                block = a.reshape(oh, f, ow, f, 3).sum(axis=(1, 3)) // (f * f)
+                flat = block.reshape(-1)
+                out_sum = int(flat.sum())
+                out_wsum = int(
+                    ((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum()
+                )
+                rows.append(
+                    (
+                        int(mid), ow, oh, out_sum, out_wsum,
+                        out_sum * 1000 // flat.size,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "out_w", "out_h",
+                    "out_sum", "out_wsum", "mean_millibyte",
+                ],
+            )
+
+    return media.mapInPandas(_resize, RESIZE_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = (
+    "media_id long, channels int, sample_rate int, n_samples long, "
+    "s_sum long, s_wsum long, peak int"
+)
+
+
+def synth_wav_payloads(media_ids: DataFrame) -> DataFrame:
+    """Build COMPLETE valid PCM16 WAV files (RIFF container, `fmt `
+    chunk, `data` chunk) with formula-derived content: channels =
+    id % 4 + 1, sample_rate = 8000 + (id % 8) * 1000, n_samples =
+    id % 400 + 100, and sample i (signed 16-bit little-endian) =
+    ((id * 31 + i * 7) % 65536) - 32768 — so a DuckDB oracle can
+    recompute the decoded sample statistics from the id alone. A
+    decoy `LIST` chunk precedes `data`, so a decoder only matches if
+    it walks the RIFF chunk structure instead of assuming a fixed
+    44-byte layout."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                ch = mid % 4 + 1
+                sr = 8000 + (mid % 8) * 1000
+                n = mid % 400 + 100
+                samples = (
+                    (mid * 31 + 7 * np.arange(n, dtype=np.int64)) % 65536
+                    - 32768
+                ).astype("<i2")
+                data = samples.tobytes()
+                fmt = (
+                    b"fmt " + struct.pack("<I", 16)
+                    + struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+                )
+                decoy = b"LIST" + struct.pack("<I", 4) + b"INFO"
+                body = b"WAVE" + fmt + decoy + b"data" + struct.pack(
+                    "<I", len(data)
+                ) + data
+                rows.append((mid, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sc = media_ids.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism // 2, 1)
+    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
+        _build, SYNTH_SCHEMA
+    )
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL PCM16 WAV sample decoder: walks the RIFF chunk list (no
+    fixed-offset assumptions — skips unknown chunks, honors the
+    word-aligned chunk padding rule), requires an uncompressed PCM
+    16-bit `fmt ` chunk, and returns (channels, sample_rate,
+    int16-array of samples). Returns None for anything it cannot
+    decode exactly."""
+    import numpy as np
+
+    b = payload or b""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE" or len(b) < 12:
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        try:
+            size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        except struct.error:
+            return None
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or channels < 1:
+        return None
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    return channels, sample_rate, samples
+
+
+def wav_sample_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL sample decode over a (media_id, payload) WAV
+    table: RIFF chunk walk + PCM16 decode, emitting order-sensitive
+    sample statistics (plain and position-weighted sums, peak
+    amplitude). Undecodable payloads yield NULL stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = decode_wav_samples(bytes(payload or b""))
+                if got is None:
+                    rows.append(
+                        (int(mid), None, None, None, None, None, None)
+                    )
+                    continue
+                ch, sr, samples = got
+                s = samples.astype(np.int64)
+                rows.append(
+                    (
+                        int(mid), ch, sr, int(s.size),
+                        int(s.sum()),
+                        int(((np.arange(s.size, dtype=np.int64) + 1) * s).sum()),
+                        int(np.abs(s).max()) if s.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "channels", "sample_rate", "n_samples",
+                    "s_sum", "s_wsum", "peak",
+                ],
+            )
+
+    return media.mapInPandas(_stats, WAV_STATS_SCHEMA)
+
+
 def decode_headers(media: DataFrame) -> DataFrame:
     """Arrow-batched header decode over a (media_id, payload) table:
     the REAL ``decode_payload`` sniffing magic bytes and unpacking

@@ -1471,6 +1471,103 @@ def q_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.bmp_pixel_stats(payloads)
 
 
+@register(
+    "q_bmp_resize",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         doc_id % 48 + 4 AS w,
+         (doc_id * 7) % 48 + 4 AS h,
+         (doc_id % 48 + 4) // 2 AS ow,
+         ((doc_id * 7) % 48 + 4) // 2 AS oh
+  FROM documents
+),
+s AS (
+  SELECT d.media_id, d.ow, d.oh,
+         SUM(v.val) AS out_sum,
+         SUM((u.p + 1) * v.val) AS out_wsum
+  FROM d,
+  LATERAL (SELECT unnest(range(3 * d.ow * d.oh)) AS p) u,
+  LATERAL (SELECT u.p // (d.ow * 3) AS y,
+                  (u.p % (d.ow * 3)) // 3 AS x,
+                  u.p % 3 AS c) t,
+  LATERAL (SELECT (
+        ((d.media_id + ((2*t.y  )*d.w + 2*t.x  )*3 + t.c) % 256)
+      + ((d.media_id + ((2*t.y  )*d.w + 2*t.x+1)*3 + t.c) % 256)
+      + ((d.media_id + ((2*t.y+1)*d.w + 2*t.x  )*3 + t.c) % 256)
+      + ((d.media_id + ((2*t.y+1)*d.w + 2*t.x+1)*3 + t.c) % 256)
+    ) // 4 AS val) v
+  GROUP BY 1, 2, 3
+)
+SELECT media_id,
+       CAST(ow AS INTEGER) AS out_w,
+       CAST(oh AS INTEGER) AS out_h,
+       CAST(out_sum AS BIGINT) AS out_sum,
+       CAST(out_wsum AS BIGINT) AS out_wsum,
+       CAST(out_sum * 1000 // (3 * ow * oh) AS BIGINT) AS mean_millibyte
+FROM s
+""",
+)
+def q_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5b — REAL resize on REAL decoded pixels: the synthesized BMPs
+    are pixel-decoded, block-mean downsampled 2x with integer floor
+    math (functions/multimodal.py::bmp_resize_stats — deterministic
+    average-pooling, the resize a multimodal training pipeline runs
+    before feature extraction), and the RESIZED raster's
+    position-weighted checksum is recomputed by the oracle from the
+    id formula by brute force over every output byte. Matching
+    out_wsum requires decode, 2x2 block indexing, and floor-mean to
+    agree byte-for-byte with SQL integer arithmetic."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = multimodal.synth_bmp_payloads(ids)
+    return multimodal.bmp_resize_stats(payloads, factor=2)
+
+
+@register(
+    "q_wav_sample_stats",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 4 + 1 AS INTEGER) AS channels,
+         CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+         doc_id % 400 + 100 AS n
+  FROM documents
+),
+s AS (
+  SELECT p.media_id, p.channels, p.sample_rate, p.n,
+         SUM(v.smp) AS s_sum,
+         SUM((u.i + 1) * v.smp) AS s_wsum,
+         MAX(ABS(v.smp)) AS peak
+  FROM p,
+  LATERAL (SELECT unnest(range(p.n)) AS i) u,
+  LATERAL (SELECT (p.media_id * 31 + u.i * 7) % 65536 - 32768 AS smp) v
+  GROUP BY 1, 2, 3, 4
+)
+SELECT media_id, channels, sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(s_sum AS BIGINT) AS s_sum,
+       CAST(s_wsum AS BIGINT) AS s_wsum,
+       CAST(peak AS INTEGER) AS peak
+FROM s
+""",
+)
+def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5d — REAL audio sample decode, oracle-verified: complete valid
+    PCM16 WAV files are synthesized with formula-derived samples and
+    a decoy LIST chunk before the data chunk; a separate Arrow stage
+    walks the RIFF chunk list (honoring word-aligned padding — no
+    fixed-44-byte-offset shortcut), decodes the int16 samples, and
+    emits plain + position-weighted sums and peak amplitude
+    (functions/multimodal.py::decode_wav_samples / wav_sample_stats).
+    The oracle brute-forces all three from the id formula; s_wsum
+    only matches if the decoder found the data chunk at the right
+    offset and preserved sample order. Compressed/non-16-bit audio
+    remains the declared codec-library boundary."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = multimodal.synth_wav_payloads(ids)
+    return multimodal.wav_sample_stats(payloads)
+
+
 def _batch_ann_oracle_sql() -> str:
     def lsum(a: str, b: str) -> str:
         return (

@@ -90,6 +90,8 @@ _CHECK_FIRST = [
     "q_ann_recall",
     # --- (a2) new in r8, never driver-checked ---
     "q_bmp_pixel_stats",
+    "q_bmp_resize",
+    "q_wav_sample_stats",
     # --- (b) r3-stale cohort, judge-named first (14) ---
     "q_scd2_history",
     "q_scd2_asof",
@@ -113,10 +115,9 @@ _CHECK_FIRST = [
     "q_nation_volume",
     "q_market_share",
     "q_order_count_dist",
-    "q_small_qty_revenue",
-    "q_big_orders",
     # r3 leftovers lead the r9 window head (oldest-first invariant in
-    # tests/test_freshness.py): q_sql_region_revenue, q_forecast_revenue,
+    # tests/test_freshness.py): q_small_qty_revenue, q_big_orders,
+    # q_sql_region_revenue, q_forecast_revenue,
     # q_idle_rich_customers, q_pii_scan, q_term_stats,
     # q_embedding_stats, q_multimodal_decode, q_ann_batch,
     # q_doc_search, q_bigram_counts, q_doc_len_histogram,

@@ -330,3 +330,75 @@ def test_decode_pixels_routes_bmp_and_keeps_codec_boundary():
     assert multimodal.decode_pixels(_full_bmp(3), "image/bmp") is not None
     with _pytest.raises(NotImplementedError):
         multimodal.decode_pixels(_png(4, 4), "image/png")
+
+
+def _full_wav(mid: int) -> bytes:
+    """Independent re-derivation of the WAV synth formula."""
+    import numpy as np
+
+    ch, sr, n = mid % 4 + 1, 8000 + (mid % 8) * 1000, mid % 400 + 100
+    samples = ((mid * 31 + 7 * np.arange(n)) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16
+    )
+    decoy = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = b"WAVE" + fmt + decoy + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_sample_decoder_walks_chunks_past_decoys():
+    import numpy as np
+
+    for mid in (0, 5, 17, 123456):
+        ch, sr, samples = multimodal.decode_wav_samples(_full_wav(mid))
+        assert (ch, sr) == (mid % 4 + 1, 8000 + (mid % 8) * 1000)
+        n = mid % 400 + 100
+        want = ((mid * 31 + 7 * np.arange(n)) % 65536 - 32768).astype("<i2")
+        assert (samples == want).all()
+
+
+def test_wav_sample_decoder_honors_odd_chunk_padding():
+    # a 3-byte junk chunk must be padded to 4 when skipping; a decoder
+    # that forgets the pad byte lands mid-stream and misses `data`
+    import numpy as np
+
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    junk = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    samples = np.array([100, -200, 300], dtype="<i2")
+    body = (
+        b"WAVE" + fmt + junk
+        + b"data" + struct.pack("<I", 6) + samples.tobytes()
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = multimodal.decode_wav_samples(payload)
+    assert got is not None and (got[2] == samples).all()
+
+
+def test_wav_sample_decoder_rejects_non_pcm16():
+    good = _full_wav(9)
+    assert multimodal.decode_wav_samples(b"") is None
+    assert multimodal.decode_wav_samples(b"RIFF\x00\x00\x00\x00WAVE") is None
+    mutated = bytearray(good)
+    # audio_format lives right after the fmt chunk header (RIFF 12 +
+    # 'fmt '+size 8 = offset 20); flip PCM(1) -> IEEE float(3)
+    mutated[20] = 3
+    assert multimodal.decode_wav_samples(bytes(mutated)) is None
+
+
+def test_bmp_resize_matches_manual_block_mean():
+    import numpy as np
+
+    mid = 11  # w=15 h=33: odd both ways, exercises edge-drop
+    w, h = mid % 48 + 4, (mid * 7) % 48 + 4
+    px = ((mid + np.arange(3 * w * h)) % 256).reshape(h, w, 3)
+    oh, ow = h // 2, w // 2
+    a = px[: oh * 2, : ow * 2, :].astype(np.int64)
+    want = a.reshape(oh, 2, ow, 2, 3).sum(axis=(1, 3)) // 4
+    decoded = multimodal.decode_bmp_pixels(_full_bmp(mid)).astype(np.int64)
+    got = decoded[: oh * 2, : ow * 2, :].reshape(oh, 2, ow, 2, 3).sum(
+        axis=(1, 3)
+    ) // 4
+    assert (got == want).all()
