@@ -139,8 +139,15 @@ def main() -> None:
         "gc_ms_cold": gc_cold,
         "gc_ms_warm": gc_warm,
     }
+    # BENCH_SELF.json is the committed sf0.1 record the per-round
+    # analysis reads; iteration runs at other scale factors (the
+    # verify recipe uses sf0.01) get their own suffixed file so they
+    # cannot clobber it
+    self_name = (
+        "BENCH_SELF.json" if sf_val == 0.1 else f"BENCH_SELF_sf{sf}.json"
+    )
     try:
-        Path(REPO, "BENCH_SELF.json").write_text(
+        Path(REPO, self_name).write_text(
             json.dumps(full_payload, indent=1) + "\n"
         )
     except OSError:
