@@ -9,14 +9,16 @@ Scale posture:
       signature in a single projection (posexplode over a transform
       array — never a union-of-salts, which would recompute the whole
       signature expression once per salt);
-  (2) CANDIDATES: a NARROW self-join on (band, signature) carrying only
-      doc ids — cardinality ~n_docs*bands, never the n² pair space, and
-      never shuffling shingle arrays;
+  (2) CANDIDATES: per-bucket pair generation over NARROW (band, key,
+      doc_id) rows — MinHash uses 2-row bands (collision prob J^2, so
+      no single boilerplate shingle can key a corpus-wide bucket) plus
+      a deterministic bucket-size cap applied BEFORE any per-bucket
+      list materializes; emission is bounded by buckets * cap^2/2,
+      never the n² pair space, and shingle arrays never shuffle;
   (3) VERIFY: exact Jaccard / hamming on candidate pairs only, with the
       heavy shingle sets attached late by joining the (small) pair list
       back to the corpus — at scale the pair side broadcasts, so the
       arrays are never shuffled at all.
-  Skewed buckets (boilerplate docs) fall out of AQE skew-join handling.
 """
 
 from __future__ import annotations
@@ -28,7 +30,25 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import shingles_from_tokens
 
-N_HASHES = 4  # bands of 1 row each; candidate iff any minhash matches
+N_HASHES = 4  # single-row bands (legacy per-salt signature helper)
+
+# MinHash-LSH banding (r8): 4 bands x 2 rows. With 1-row bands a
+# single near-universal shingle — boilerplate, or the planted
+# ' zzz zzz zzz' mutant suffix, whose salted sha happens to sort tiny —
+# becomes the corpus-wide minimum and packs every such doc into ONE
+# bucket: candidates grow quadratically with corpus size (measured by
+# scripts/scale_stress.py at 10x sf0.1: a 2,725-doc bucket, 4.3 M
+# candidates for 10 k true pairs, 72 s build). A 2-row band collides
+# only when BOTH independent minima match (probability J^2 per band),
+# which breaks single-shingle dominance; MAX_BUCKET is the deterministic
+# backstop — buckets larger than it carry no near-dup signal (the band
+# value is effectively corpus-common boilerplate) and are excluded from
+# pair generation BEFORE any per-bucket list materializes.
+MINHASH_BANDS = 4
+MINHASH_ROWS_PER_BAND = 2
+MAX_BUCKET = 64
+
+SIMHASH_BITS = 64
 
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits/band; hamming<=3 pairs always share a band
@@ -84,6 +104,70 @@ def minhash_signatures(
     )
 
 
+def minhash_band_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, k, h) — one row per LSH band, where the band key is the
+    sha256 of the CONCATENATED per-salt minima of its ``rows_per_band``
+    salts (salts 2b and 2b+1 for band b at r=2). All salts and all band
+    keys are computed in ONE map pass over the persisted shingle frame.
+    Band collision probability is J^r, so no single common shingle can
+    key a corpus-wide bucket."""
+    n_salts = n_bands * rows_per_band
+    mins = (
+        f"transform(sequence(0, {n_salts - 1}), "
+        f"k -> array_min(transform(sh, x -> sha2(concat(cast(k as string), x), 256))))"
+    )
+    concat_rows = " , ".join(
+        f"element_at(_mins, {rows_per_band} * b + {j + 1})"
+        for j in range(rows_per_band)
+    )
+    bands = (
+        f"transform(sequence(0, {n_bands - 1}), "
+        f"b -> sha2(concat({concat_rows}), 256))"
+    )
+    return (
+        _with_shingles(df, text_col, id_col)
+        .withColumn("_mins", F.expr(mins))
+        .select("doc_id", F.posexplode(F.expr(bands)).alias("k", "h"))
+    )
+
+
+def banded_candidates(sigs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded signatures, generated
+    PER BUCKET instead of a signature self-join: bucket sizes are
+    counted first and oversized buckets (> max_bucket — boilerplate
+    band values with no near-dup signal) are dropped BEFORE any
+    collect, so per-task memory is bounded by max_bucket regardless of
+    input skew and pair emission is bounded by
+    n_buckets * max_bucket^2 / 2 — never the n^2 pair space."""
+    sized = (
+        sigs.groupBy("k", "h")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= max_bucket))
+        .select("k", "h")
+    )
+    buckets = (
+        sigs.join(sized, ["k", "h"])
+        .groupBy("k", "h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
+    pair_expr = (
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS doc_a, b AS doc_b))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def _attach_shingles(
     pairs: DataFrame, corpus: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -135,33 +219,20 @@ def neardup_pairs(
     Returns (doc_a, doc_b, jaccard_ppm) with doc_a < doc_b."""
     from pyspark import StorageLevel
 
-    # persist: both self-join sides read the signature rows (n_docs x
-    # n_hashes, narrow); without it the 4x-sha256-per-shingle signature
-    # expression re-runs once per join side (same AQE-broadcast
-    # no-ReusedExchange trap as the simhash path below)
-    sigs = minhash_signatures(df, text_col, id_col).persist(
+    # persist: the size-count pass and the bucket-collect pass both
+    # read the signature rows (n_docs x n_bands, narrow); without it
+    # the sha256-per-shingle signature expression re-runs per consumer
+    sigs = minhash_band_signatures(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # EAGER materialization: AQE submits both self-join sides as
-    # concurrent jobs; with a lazy cache they race to compute the same
-    # partitions under the cache's per-block locks — duplicated
-    # interpreted-HOF work plus lock serialization (observed as twin
-    # lockstep stages taking ~10x the single-pass time). One count()
-    # builds the cache once; both sides then only read it.
+    # EAGER materialization: AQE submits sibling jobs concurrently;
+    # with a lazy cache they race to compute the same partitions under
+    # the cache's per-block locks — duplicated interpreted-HOF work
+    # plus lock serialization. One count() builds the cache once.
     sigs.count()
-    cand = (
-        sigs.alias("a")
-        .join(
-            sigs.alias("b"),
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
     return _jaccard_verified(
-        _attach_shingles(cand, df, text_col, id_col), jaccard_ppm_threshold
+        _attach_shingles(banded_candidates(sigs), df, text_col, id_col),
+        jaccard_ppm_threshold,
     )
 
 

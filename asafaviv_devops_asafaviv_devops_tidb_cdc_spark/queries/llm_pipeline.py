@@ -81,15 +81,25 @@ sh AS (
          ELSE [array_to_string(t, ' ')] END AS s
   FROM toks
 ),
-sigs AS (
+mins AS (
   SELECT doc_id, k,
          list_aggregate(list_transform(s, x -> sha256(CAST(k AS VARCHAR) || x)),
                         'min') AS h
-  FROM sh, (SELECT unnest(range(4)) AS k)
+  FROM sh, (SELECT unnest(range(8)) AS k)
+),
+bands AS (
+  SELECT a.doc_id, a.k // 2 AS k, sha256(a.h || b.h) AS h
+  FROM mins a JOIN mins b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k % 2 = 0
+),
+sized AS (
+  SELECT k, h FROM bands GROUP BY k, h HAVING COUNT(*) BETWEEN 2 AND 64
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigs a JOIN sigs b ON a.k = b.k AND a.h = b.h AND a.doc_id < b.doc_id
+  FROM bands a
+  JOIN sized z ON z.k = a.k AND z.h = a.h
+  JOIN bands b ON b.k = a.k AND b.h = a.h AND a.doc_id < b.doc_id
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
@@ -1880,15 +1890,25 @@ sh AS (
          ELSE sha256(text) END AS fp
   FROM toks
 ),
-sigs AS (
+mins AS (
   SELECT doc_id, k,
          list_aggregate(list_transform(s, x -> sha256(CAST(k AS VARCHAR) || x)),
                         'min') AS h
-  FROM sh, (SELECT unnest(range(4)) AS k)
+  FROM sh, (SELECT unnest(range(8)) AS k)
+),
+bands AS (
+  SELECT a.doc_id, a.k // 2 AS k, sha256(a.h || b.h) AS h
+  FROM mins a JOIN mins b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k % 2 = 0
+),
+sized AS (
+  SELECT k, h FROM bands GROUP BY k, h HAVING COUNT(*) BETWEEN 2 AND 64
 ),
 mh_cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigs a JOIN sigs b ON a.k = b.k AND a.h = b.h AND a.doc_id < b.doc_id
+  FROM bands a
+  JOIN sized z ON z.k = a.k AND z.h = a.h
+  JOIN bands b ON b.k = a.k AND b.h = a.h AND a.doc_id < b.doc_id
 ),
 mh AS (
   SELECT c.doc_a, c.doc_b

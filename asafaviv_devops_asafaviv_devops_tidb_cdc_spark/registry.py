@@ -92,6 +92,12 @@ _CHECK_FIRST = [
     "q_bmp_pixel_stats",
     "q_bmp_resize",
     "q_wav_sample_stats",
+    # --- (a3) changed in r8: MinHash r=2 banding + bucket cap (the
+    # scale-stress harness measured quadratic candidate growth from the
+    # planted-mutant shingle under 1-row bands; fix changed both
+    # engines' pipelines, so both queries re-prove at the gate) ---
+    "q_minhash_neardup",
+    "q_neardup_recall",
     # --- (b) r3-stale cohort, judge-named first (14) ---
     "q_scd2_history",
     "q_scd2_asof",
@@ -113,10 +119,9 @@ _CHECK_FIRST = [
     "q_grouping_sets",
     "q_ops_unpivot",
     "q_nation_volume",
-    "q_market_share",
-    "q_order_count_dist",
     # r3 leftovers lead the r9 window head (oldest-first invariant in
-    # tests/test_freshness.py): q_small_qty_revenue, q_big_orders,
+    # tests/test_freshness.py): q_market_share, q_order_count_dist,
+    # q_small_qty_revenue, q_big_orders,
     # q_sql_region_revenue, q_forecast_revenue,
     # q_idle_rich_customers, q_pii_scan, q_term_stats,
     # q_embedding_stats, q_multimodal_decode, q_ann_batch,

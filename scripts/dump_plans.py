@@ -24,7 +24,8 @@ HEADLINE = {
     "q_filter_cmp": "filter pushdown — predicates reach the parquet scan",
     "q_cosine_topk": "brute-force cosine top-k — broadcast query vector, no shuffle until top-k",
     "q_minhash_neardup": (
-        "MinHash-LSH near-dup — narrow band self-join, late shingle "
+        "MinHash-LSH near-dup — 2-row bands, size-capped per-bucket "
+        "pair generation, late shingle "
         "attach (the query serves the committed pair artifact; the "
         "plan shown is the artifact's BUILD derivation)"
     ),

@@ -366,3 +366,50 @@ def test_incremental_ivf_equals_full_rebuild(spark, tmp_path):
     g = {(r["vec_id"], r["cid"]) for r in grown.select("vec_id", "cid").collect()}
     f = {(r["vec_id"], r["cid"]) for r in full.select("vec_id", "cid").collect()}
     assert g == f and len(g) == emb.count()
+
+
+def test_banded_minhash_bounds_boilerplate_buckets(spark):
+    """Scale-stress regression (r8): a shingle shared by EVERY doc (the
+    boilerplate / planted-mutant-suffix shape) must not key a
+    corpus-wide bucket. Under 1-row bands one tiny salted sha made the
+    common shingle the corpus minimum and candidates grew
+    quadratically (measured 4.3 M candidates at 10x sf0.1); 2-row
+    bands collide only when two independent minima BOTH match, and the
+    bucket cap bounds pair emission no matter what. True near-dup
+    pairs (doc + its suffix mutant) must still be caught."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.dedup import (
+        MAX_BUCKET,
+        banded_candidates,
+        minhash_band_signatures,
+        neardup_pairs,
+    )
+
+    n = 300
+    # every doc shares the 'common common common' shingle; otherwise
+    # disjoint vocab per doc
+    rows = [
+        (i, f"common common common w{i}a w{i}b w{i}c w{i}d w{i}e")
+        for i in range(n)
+    ]
+    # plus mutants of every 10th doc: a true near-dup pair each
+    rows += [
+        (i + 10_000, f"common common common w{i}a w{i}b w{i}c w{i}d w{i}e zzz")
+        for i in range(0, n, 10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_band_signatures(docs)
+    max_bucket = (
+        sigs.groupBy("k", "h").count().agg({"count": "max"}).first()[0]
+    )
+    cand = banded_candidates(sigs)
+    n_cand = cand.count()
+    # every bucket that feeds pairs is capped, so candidates are
+    # bounded by buckets * cap^2 / 2 and far below the ~47k pair space
+    assert n_cand < n * 20, f"candidate blowup: {n_cand} (max bucket {max_bucket})"
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in neardup_pairs(docs).collect()
+    }
+    caught = sum(1 for i in range(0, n, 10) if (i, i + 10_000) in verified)
+    # J(doc, mutant) = 6/8; per band p=J^2=0.56, 4 bands -> ~96% catch
+    assert caught >= 0.8 * (n // 10), f"only {caught} mutant pairs caught"
