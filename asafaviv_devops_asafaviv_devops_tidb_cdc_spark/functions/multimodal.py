@@ -554,6 +554,145 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, WAV_STATS_SCHEMA)
 
 
+FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx int, n_bytes int, b_sum long, b_wsum long"
+)
+
+
+def synth_avi_payloads(media_ids: DataFrame) -> DataFrame:
+    """Build structurally valid AVI containers (RIFF 'AVI ' + LIST
+    `hdrl` with an `avih` main header carrying the true frame count +
+    LIST `movi` with the frame chunks) with formula-derived content:
+    n_frames = id % 24 + 6; video frame f is a `00db` chunk of
+    (id + f) % 64 + 16 bytes where byte j = (id + f*131 + j) % 256.
+    A decoy `01wb` audio chunk follows every video frame and frame
+    sizes are frequently odd, so a sampler only matches the oracle if
+    it walks the movi LIST selecting video chunks and honors RIFF
+    word-alignment."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = mid % 24 + 6
+                movi = b"movi"
+                for f in range(n):
+                    fs = (mid + f) % 64 + 16
+                    data = (
+                        (mid + f * 131 + np.arange(fs, dtype=np.int64)) % 256
+                    ).astype(np.uint8).tobytes()
+                    movi += b"00db" + struct.pack("<I", fs) + data
+                    if fs & 1:
+                        movi += b"\x00"  # RIFF word alignment
+                    movi += b"01wb" + struct.pack("<I", 4) + b"\x00" * 4
+                avih_body = (
+                    struct.pack("<IIII", 33333, 0, 0, 0)
+                    + struct.pack("<I", n)  # dwTotalFrames
+                    + b"\x00" * 36
+                )
+                hdrl = b"hdrl" + b"avih" + struct.pack("<I", 56) + avih_body
+                body = (
+                    b"AVI "
+                    + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+                    + b"LIST" + struct.pack("<I", len(movi)) + movi
+                )
+                rows.append((mid, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sc = media_ids.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism // 2, 1)
+    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
+        _build, SYNTH_SCHEMA
+    )
+
+
+def decode_avi_frames(payload: bytes):
+    """REAL AVI frame walker: verifies the RIFF 'AVI ' container,
+    walks the top-level chunk list to the `movi` LIST, and collects
+    the `00db`/`00dc` video frame chunks in stream order (skipping
+    audio/index/decoy chunks, honoring word-aligned chunk padding).
+    Returns the list of frame byte-strings, or None if the container
+    cannot be parsed exactly."""
+    b = payload or b""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI " or len(b) < 12:
+        return None
+    pos, movi = 12, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        try:
+            size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        except struct.error:
+            return None
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"LIST" and body[:4] == b"movi":
+            movi = body
+            break
+        pos += 8 + size + (size & 1)
+    if movi is None:
+        return None
+    frames, pos = [], 4
+    while pos + 8 <= len(movi):
+        cid = movi[pos : pos + 4]
+        size = struct.unpack("<I", movi[pos + 4 : pos + 8])[0]
+        body = movi[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid in (b"00db", b"00dc"):
+            frames.append(body)
+        pos += 8 + size + (size & 1)
+    return frames
+
+
+def avi_frame_sample_stats(
+    media: DataFrame, step: int = 4, max_frames: int = 8
+) -> DataFrame:
+    """Arrow-batched REAL frame sampling over an (media_id, payload)
+    AVI table: the container walker extracts the video frames, every
+    ``step``-th frame (capped at ``max_frames`` — cost scales with
+    samples, not media length) is reduced to order-sensitive byte
+    statistics. Undecodable payloads contribute no rows (a corrupt
+    file yields an empty sample, not a poisoned batch)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_avi_frames(bytes(payload or b""))
+                if frames is None:
+                    continue
+                for i, f_idx in enumerate(
+                    range(0, len(frames), step)
+                ):
+                    if i >= max_frames:
+                        break
+                    fb = np.frombuffer(frames[f_idx], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    rows.append(
+                        (
+                            int(mid), f_idx, int(fb.size),
+                            int(fb.sum()),
+                            int(
+                                ((np.arange(fb.size, dtype=np.int64) + 1) * fb)
+                                .sum()
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "n_bytes", "b_sum", "b_wsum"],
+            )
+
+    return media.mapInPandas(_stats, FRAME_STATS_SCHEMA)
+
+
 def decode_headers(media: DataFrame) -> DataFrame:
     """Arrow-batched header decode over a (media_id, payload) table:
     the REAL ``decode_payload`` sniffing magic bytes and unpacking

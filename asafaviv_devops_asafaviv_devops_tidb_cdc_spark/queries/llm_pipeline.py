@@ -1578,6 +1578,50 @@ def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_sample_stats(payloads)
 
 
+@register(
+    "q_avi_frame_sample",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 24 + 6 AS n FROM documents
+),
+fr AS (
+  SELECT p.media_id, CAST(3 * s.s AS INTEGER) AS frame_idx,
+         CAST((p.media_id + 3 * s.s) % 64 + 16 AS INTEGER) AS n_bytes
+  FROM p, LATERAL (SELECT unnest(range(8)) AS s) s
+  WHERE 3 * s.s < p.n
+),
+st AS (
+  SELECT f.media_id, f.frame_idx, f.n_bytes,
+         SUM((f.media_id + f.frame_idx * 131 + u.j) % 256) AS b_sum,
+         SUM((u.j + 1) * ((f.media_id + f.frame_idx * 131 + u.j) % 256))
+           AS b_wsum
+  FROM fr f, LATERAL (SELECT unnest(range(f.n_bytes)) AS j) u
+  GROUP BY 1, 2, 3
+)
+SELECT media_id, frame_idx, n_bytes,
+       CAST(b_sum AS BIGINT) AS b_sum,
+       CAST(b_wsum AS BIGINT) AS b_wsum
+FROM st
+""",
+)
+def q_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5e — REAL container frame sampling, oracle-verified:
+    structurally valid AVI files (RIFF 'AVI ' + hdrl/avih + movi LIST)
+    are synthesized with formula-derived frame bytes, decoy interleaved
+    audio chunks, and frequently-odd frame sizes; the walker
+    (functions/multimodal.py::decode_avi_frames) finds the movi LIST,
+    collects only the video chunks honoring RIFF word alignment, and
+    every 3rd frame (capped at 8 — cost scales with samples, not media
+    length, the E5c doctrine on a real container) is reduced to
+    position-weighted byte stats the oracle brute-forces from the id
+    formula. Selecting a decoy chunk, missing the pad byte, or
+    sampling the wrong frames all break b_wsum. Compressed codecs
+    remain the declared library boundary."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = multimodal.synth_avi_payloads(ids)
+    return multimodal.avi_frame_sample_stats(payloads, step=3, max_frames=8)
+
+
 def _batch_ann_oracle_sql() -> str:
     def lsum(a: str, b: str) -> str:
         return (

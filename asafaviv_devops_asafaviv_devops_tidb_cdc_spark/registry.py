@@ -92,6 +92,7 @@ _CHECK_FIRST = [
     "q_bmp_pixel_stats",
     "q_bmp_resize",
     "q_wav_sample_stats",
+    "q_avi_frame_sample",
     # --- (a3) changed in r8: MinHash r=2 banding + bucket cap (the
     # scale-stress harness measured quadratic candidate growth from the
     # planted-mutant shingle under 1-row bands; fix changed both
@@ -118,9 +119,9 @@ _CHECK_FIRST = [
     "q_median_value",
     "q_grouping_sets",
     "q_ops_unpivot",
-    "q_nation_volume",
     # r3 leftovers lead the r9 window head (oldest-first invariant in
-    # tests/test_freshness.py): q_market_share, q_order_count_dist,
+    # tests/test_freshness.py): q_nation_volume,
+    # q_market_share, q_order_count_dist,
     # q_small_qty_revenue, q_big_orders,
     # q_sql_region_revenue, q_forecast_revenue,
     # q_idle_rich_customers, q_pii_scan, q_term_stats,

@@ -402,3 +402,47 @@ def test_bmp_resize_matches_manual_block_mean():
         axis=(1, 3)
     ) // 4
     assert (got == want).all()
+
+
+def _full_avi(mid: int) -> bytes:
+    """Independent re-derivation of the AVI synth formula."""
+    import numpy as np
+
+    n = mid % 24 + 6
+    movi = b"movi"
+    for f in range(n):
+        fs = (mid + f) % 64 + 16
+        data = ((mid + f * 131 + np.arange(fs)) % 256).astype(np.uint8).tobytes()
+        movi += b"00db" + struct.pack("<I", fs) + data
+        if fs & 1:
+            movi += b"\x00"
+        movi += b"01wb" + struct.pack("<I", 4) + b"\x00" * 4
+    avih = struct.pack("<IIII", 33333, 0, 0, 0) + struct.pack("<I", n) + b"\x00" * 36
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", 56) + avih
+    body = (
+        b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_walker_collects_video_frames_past_decoys():
+    import numpy as np
+
+    for mid in (0, 7, 15, 31, 99991):
+        n = mid % 24 + 6
+        frames = multimodal.decode_avi_frames(_full_avi(mid))
+        assert len(frames) == n  # decoy 01wb audio chunks skipped
+        for f, body in enumerate(frames):
+            fs = (mid + f) % 64 + 16
+            want = ((mid + f * 131 + np.arange(fs)) % 256).astype(np.uint8)
+            assert (np.frombuffer(body, dtype=np.uint8) == want).all()
+
+
+def test_avi_walker_rejects_corrupt_containers():
+    good = _full_avi(9)
+    assert multimodal.decode_avi_frames(b"") is None
+    assert multimodal.decode_avi_frames(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert multimodal.decode_avi_frames(good[:40]) is None  # truncated movi
+    no_movi = good.replace(b"movi", b"xxxx")
+    assert multimodal.decode_avi_frames(no_movi) is None
