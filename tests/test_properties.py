@@ -767,3 +767,80 @@ def test_allpairs_cosine_quantization_contract(spark):
             if x10k >= 1000:
                 want[(i, j)] = x10k
     assert got == want
+
+
+# --- E5: container codec round-trips under randomized geometry -----------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=80),
+    h=st.integers(min_value=1, max_value=80),
+    seed=st.integers(min_value=0, max_value=2**31),
+    topdown=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_any_geometry(w, h, seed, topdown):
+    """decode(encode(raster)) == raster for EVERY width (every padding
+    residue 0-3), both row orders — the invariant the fixed-example
+    tests can't sweep."""
+    import struct as _s
+
+    import numpy as np
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import multimodal
+
+    raster = ((seed + np.arange(3 * w * h)) % 256).astype(np.uint8).reshape(
+        h, w * 3
+    )
+    stride = (w * 3 + 3) & ~3
+    file_rows = raster if topdown else raster[::-1]
+    body = b"".join(
+        file_rows[y].tobytes() + b"\x00" * (stride - 3 * w) for y in range(h)
+    )
+    payload = (
+        b"BM" + _s.pack("<I", 54 + len(body)) + b"\x00" * 4
+        + _s.pack("<I", 54) + _s.pack("<I", 40)
+        + _s.pack("<ii", w, -h if topdown else h) + _s.pack("<HH", 1, 24)
+        + _s.pack("<II", 0, len(body)) + _s.pack("<iiII", 0, 0, 0, 0)
+        + body
+    )
+    px = multimodal.decode_bmp_pixels(payload)
+    assert px is not None and px.shape == (h, w, 3)
+    assert (px.reshape(h, w * 3) == raster).all()
+
+
+@given(
+    n_chunks=st.lists(
+        st.tuples(
+            st.sampled_from([b"00db", b"00dc", b"01wb", b"junk", b"idx1"]),
+            st.integers(min_value=0, max_value=33),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_walker_returns_exactly_the_video_chunks(n_chunks, seed):
+    """The movi walk must return precisely the 00db/00dc chunk bodies
+    in order, for ANY interleaving of decoys and ANY odd/even size mix
+    (every chunk boundary exercises the word-alignment rule)."""
+    import struct as _s
+
+    import numpy as np
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import multimodal
+
+    movi = b"movi"
+    want = []
+    for i, (cid, size) in enumerate(n_chunks):
+        data = ((seed + i + np.arange(size)) % 256).astype(np.uint8).tobytes()
+        movi += cid + _s.pack("<I", size) + data
+        if size & 1:
+            movi += b"\x00"
+        if cid in (b"00db", b"00dc"):
+            want.append(data)
+    body = b"AVI " + b"LIST" + _s.pack("<I", len(movi)) + movi
+    payload = b"RIFF" + _s.pack("<I", len(body)) + body
+    got = multimodal.decode_avi_frames(payload)
+    assert got == want
