@@ -49,8 +49,6 @@ MINHASH_ROWS_PER_BAND = 2
 MAX_BUCKET = 64
 
 SIMHASH_BITS = 64
-
-SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits/band; hamming<=3 pairs always share a band
 
 

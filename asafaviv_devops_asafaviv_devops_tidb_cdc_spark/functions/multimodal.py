@@ -131,6 +131,8 @@ def decode_bmp_pixels(payload: bytes):
         return None
     if bpp != 24 or compression != 0 or width <= 0 or height == 0:
         return None
+    if data_off < 54:  # pixel data cannot start inside the headers
+        return None
     h = abs(height)
     stride = (width * 3 + 3) & ~3
     if data_off + stride * h > len(b):
@@ -491,8 +493,11 @@ def decode_wav_samples(payload: bytes):
     b = payload or b""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE" or len(b) < 12:
         return None
+    # the RIFF size field delimits the payload: bytes past it (appended
+    # tags, padding) are NOT chunks and must not fail the parse
+    riff_end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
     pos, fmt, data = 12, None, None
-    while pos + 8 <= len(b):
+    while pos + 8 <= riff_end:
         cid = b[pos : pos + 4]
         try:
             size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
@@ -619,8 +624,9 @@ def decode_avi_frames(payload: bytes):
     b = payload or b""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI " or len(b) < 12:
         return None
+    riff_end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
     pos, movi = 12, None
-    while pos + 8 <= len(b):
+    while pos + 8 <= riff_end:
         cid = b[pos : pos + 4]
         try:
             size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
@@ -667,11 +673,9 @@ def avi_frame_sample_stats(
                 frames = decode_avi_frames(bytes(payload or b""))
                 if frames is None:
                     continue
-                for i, f_idx in enumerate(
-                    range(0, len(frames), step)
+                for f_idx in range(
+                    0, min(len(frames), step * max_frames), step
                 ):
-                    if i >= max_frames:
-                        break
                     fb = np.frombuffer(frames[f_idx], dtype=np.uint8).astype(
                         np.int64
                     )

@@ -130,7 +130,7 @@ class ModuleIndex:
                     continue
                 for a in node.names:
                     alias = a.asname or a.name
-                    sub = _mod_to_relpath(f"{base}.{a.name}", must_exist=False)
+                    sub = _mod_to_relpath(f"{base}.{a.name}")
                     if sub is not None:
                         # `from ..streaming import alerts` -> module alias
                         self.imports[alias] = sub
@@ -150,15 +150,18 @@ class ModuleIndex:
         return "\n".join(self.lines[start - 1 : node.end_lineno])
 
 
-def _mod_to_relpath(dotted: str, must_exist: bool = True) -> str | None:
-    """'PKG.queries.cdc' -> 'PKG/queries/cdc.py' (or pkg __init__)."""
+def _mod_to_relpath(dotted: str) -> str | None:
+    """'PKG.queries.cdc' -> 'PKG/queries/cdc.py' (or pkg __init__).
+    Existence is checked against the HEAD worktree — a module present
+    only in an old tree resolves to None there, which at worst
+    over-flags (the from-import falls back to a named-unit lookup)."""
     if not dotted.startswith(PKG):
         return None
     rel = dotted.replace(".", "/")
     for cand in (f"{rel}.py", f"{rel}/__init__.py"):
         if (REPO / cand).exists():
             return cand
-    return None if must_exist else None
+    return None
 
 
 def _resolve_from(node: ast.ImportFrom, pkg_parts: list[str]) -> str | None:
@@ -305,7 +308,13 @@ def changed_queries(
         rnd = v[0]
         sha = commits.get(rnd)
         if sha is None:
-            continue  # no marker commit recorded for that round
+            # FAIL LOUD, not open: without the verdict round's marker
+            # commit the diff cannot be computed, and silently
+            # reporting "unchanged" is exactly the stale-path escape
+            # this module exists to prevent. Flagging forces the query
+            # into the next window until a marker exists.
+            out[qname] = [f"no-marker-commit-for-r{rnd}"]
+            continue
         if rnd not in old_trees:
             old_trees[rnd] = TreeIndex(sha)
         old = old_trees[rnd]

@@ -77,9 +77,12 @@ def build_scaled_dir(spark, mult: int) -> str:
     seven unscaled TPC-H tables, replicate the three scaled ones."""
     from pyspark.sql import functions as F
 
+    # ALWAYS rebuild: reusing a previous run's dir would reuse its
+    # parquet files, hence its artifact fingerprints, hence the
+    # indexes/pair tables committed by that run — and the "cold"
+    # column would silently measure the warm artifact-serve path.
+    # Fresh files per run keep cold genuinely cold.
     out = STRESS_ROOT / f"m{mult}"
-    if (out / "_DONE").exists():
-        return str(out)
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True)
     for t in ("region", "nation", "customer", "supplier", "part",
@@ -149,7 +152,6 @@ def build_scaled_dir(spark, mult: int) -> str:
     _union_all(ev_parts).repartition(max(8, 4 * mult)).write.mode(
         "overwrite"
     ).parquet(str(out / "events.parquet"))
-    (out / "_DONE").touch()
     return str(out)
 
 

@@ -446,3 +446,24 @@ def test_avi_walker_rejects_corrupt_containers():
     assert multimodal.decode_avi_frames(good[:40]) is None  # truncated movi
     no_movi = good.replace(b"movi", b"xxxx")
     assert multimodal.decode_avi_frames(no_movi) is None
+
+
+def test_wav_decoder_accepts_trailing_bytes_after_riff_payload():
+    # appended tags/padding after the RIFF payload are common in the
+    # wild; the size field at bytes 4-8 delimits the real chunks
+    good = _full_wav(9)
+    got = multimodal.decode_wav_samples(good + b"TAGJUNKPADDING" * 3)
+    want = multimodal.decode_wav_samples(good)
+    assert got is not None and (got[2] == want[2]).all()
+
+
+def test_bmp_decoder_rejects_data_offset_inside_headers():
+    bad = bytearray(_full_bmp(9))
+    bad[10:14] = struct.pack("<I", 0)  # pixel data "at" the file header
+    assert multimodal.decode_bmp_pixels(bytes(bad)) is None
+
+
+def test_avi_walker_accepts_trailing_bytes_after_riff_payload():
+    good = _full_avi(9)
+    assert multimodal.decode_avi_frames(good + b"\x00" * 17) == \
+        multimodal.decode_avi_frames(good)

@@ -1081,3 +1081,28 @@ def test_subtree_rollup_topk_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
     top = df.collect()[0]
     assert top["node"] == 0 and top["subtree_n"] == 150
+
+
+def test_banded_minhash_candidates_capped_before_collect(spark):
+    """The r8 banding redesign's scale contract, pinned on the plan:
+    candidate generation must contain NO join of signatures against
+    signatures (the old self-join shape) and no CartesianProduct — the
+    bucket-size gate (an aggregate on (k, h)) must feed the join that
+    precedes the per-bucket collect_list, so oversized buckets are
+    dropped before any list materializes."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.dedup import (
+        banded_candidates,
+        minhash_band_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common common common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    cand = banded_candidates(minhash_band_signatures(docs))
+    plan = checks.plan_string(cand)
+    assert not checks.has_cartesian(cand)
+    # the cap is a count-aggregate gate joined back on the band key,
+    # feeding the per-bucket collect_list
+    assert "collect_list" in plan
+    assert "count(1)" in plan or "count(*)" in plan
