@@ -67,6 +67,19 @@ STRESS_QUERIES = {
         "q_stream_join_view",
         "q_stream_dedupe",
     ],
+    # the composed flagship + the inverted-index and broadcast-probe
+    # families — the end-to-end numbers a pipeline operator sizes by
+    "pipeline": [
+        "q_pipeline_e2e",
+    ],
+    "search": [
+        "q_bm25_search",
+        "q_phrase_search",
+    ],
+    "decontam": [
+        "q_decontaminate",
+        "q_bloom_decontaminate",
+    ],
 }
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
