@@ -413,3 +413,78 @@ def test_banded_minhash_bounds_boilerplate_buckets(spark):
     caught = sum(1 for i in range(0, n, 10) if (i, i + 10_000) in verified)
     # J(doc, mutant) = 6/8; per band p=J^2=0.56, 4 bands -> ~96% catch
     assert caught >= 0.8 * (n // 10), f"only {caught} mutant pairs caught"
+
+
+def test_scale_stress_perturbations_preserve_per_replica_work(spark, monkeypatch):
+    """The BASELINE scaling claims rest on the replica construction:
+    (a) alphabet rotation is injective, so each replica's exact-dup
+    structure equals the base corpus's and nothing matches across
+    replicas; (b) the per-replica embedding sign-flip is orthogonal,
+    so intra-replica dot products are EXACTLY preserved."""
+    import importlib.util
+    import sys as _sys
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_stress",
+        Path(__file__).resolve().parent.parent / "scripts" / "scale_stress.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    _sys.modules["scale_stress"] = mod
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "SRC_DIR", SF_SMOKE)
+    monkeypatch.setattr(
+        mod, "STRESS_ROOT", mod.STRESS_ROOT.parent / "scale_stress_test"
+    )
+
+    out = mod.build_scaled_dir(spark, 3)
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_base = base.count()
+    assert docs.count() == 3 * n_base
+
+    # (a) per-replica exact-dup group structure == base structure, and
+    # no text matches across replicas
+    def dup_profile(df):
+        return sorted(
+            r["c"]
+            for r in df.groupBy("text").agg(F.count("*").alias("c"))
+            .filter("c > 1").collect()
+        )
+
+    base_profile = dup_profile(base)
+    for k in range(3):
+        rep = docs.filter(
+            (F.col("doc_id") >= k * mod.ID_STRIDE)
+            & (F.col("doc_id") < (k + 1) * mod.ID_STRIDE)
+        )
+        assert dup_profile(rep) == base_profile
+    cross = (
+        docs.groupBy("text")
+        .agg(F.countDistinct((F.col("doc_id") / mod.ID_STRIDE).cast("long")).alias("nr"))
+        .filter("nr > 1")
+        .count()
+    )
+    assert cross == 0
+
+    # (b) intra-replica dot products preserved exactly: sign-flips are
+    # elementwise +-1, so x.y == (s*x).(s*y) for any pair in a replica
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    base_e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pairs = [(0, 1), (1, 2), (0, 5)]
+    def dot(df, a, b, shift):
+        ea = df.filter(F.col("vec_id") == a + shift).first()["embedding"]
+        eb = df.filter(F.col("vec_id") == b + shift).first()["embedding"]
+        return sum(float(x) * float(y) for x, y in zip(ea, eb))
+    for a, b in pairs:
+        want = dot(base_e, a, b, 0)
+        for k in (1, 2):
+            got = dot(emb, a, b, k * mod.ID_STRIDE)
+            assert abs(got - want) < 1e-6, (a, b, k, got, want)
+
+    import shutil
+    shutil.rmtree(mod.STRESS_ROOT, ignore_errors=True)
