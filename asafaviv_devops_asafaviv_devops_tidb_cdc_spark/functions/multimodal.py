@@ -493,9 +493,13 @@ def decode_wav_samples(payload: bytes):
     b = payload or b""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE" or len(b) < 12:
         return None
-    # the RIFF size field delimits the payload: bytes past it (appended
-    # tags, padding) are NOT chunks and must not fail the parse
-    riff_end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+    # The RIFF size field delimits the payload: bytes past it (appended
+    # tags, padding) are NOT chunks and must not fail the parse. Trust
+    # it only when plausible — streaming writers commonly leave it 0
+    # (written before the data length is known), in which case the
+    # buffer end is the only delimiter we have.
+    declared_end = 8 + struct.unpack("<I", b[4:8])[0]
+    riff_end = min(len(b), declared_end) if declared_end >= 12 else len(b)
     pos, fmt, data = 12, None, None
     while pos + 8 <= riff_end:
         cid = b[pos : pos + 4]
@@ -503,9 +507,9 @@ def decode_wav_samples(payload: bytes):
             size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         except struct.error:
             return None
-        body = b[pos + 8 : pos + 8 + size]
-        if len(body) < size:
+        if pos + 8 + size > riff_end:  # chunk must fit INSIDE the payload
             return None
+        body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and size >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
@@ -624,7 +628,8 @@ def decode_avi_frames(payload: bytes):
     b = payload or b""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI " or len(b) < 12:
         return None
-    riff_end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+    declared_end = 8 + struct.unpack("<I", b[4:8])[0]
+    riff_end = min(len(b), declared_end) if declared_end >= 12 else len(b)
     pos, movi = 12, None
     while pos + 8 <= riff_end:
         cid = b[pos : pos + 4]
@@ -632,9 +637,9 @@ def decode_avi_frames(payload: bytes):
             size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         except struct.error:
             return None
-        body = b[pos + 8 : pos + 8 + size]
-        if len(body) < size:
+        if pos + 8 + size > riff_end:
             return None
+        body = b[pos + 8 : pos + 8 + size]
         if cid == b"LIST" and body[:4] == b"movi":
             movi = body
             break

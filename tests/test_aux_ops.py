@@ -421,7 +421,6 @@ def test_scale_stress_perturbations_preserve_per_replica_work(spark, monkeypatch
     structure equals the base corpus's and nothing matches across
     replicas; (b) the per-replica embedding sign-flip is orthogonal,
     so intra-replica dot products are EXACTLY preserved."""
-    import importlib.util
     import sys as _sys
     from pathlib import Path
 
@@ -429,18 +428,23 @@ def test_scale_stress_perturbations_preserve_per_replica_work(spark, monkeypatch
 
     from tests.conftest import SF_SMOKE
 
-    spec = importlib.util.spec_from_file_location(
-        "scale_stress",
-        Path(__file__).resolve().parent.parent / "scripts" / "scale_stress.py",
-    )
-    mod = importlib.util.module_from_spec(spec)
-    _sys.modules["scale_stress"] = mod
-    spec.loader.exec_module(mod)
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import scale_stress as mod
+
     monkeypatch.setattr(mod, "SRC_DIR", SF_SMOKE)
     monkeypatch.setattr(
         mod, "STRESS_ROOT", mod.STRESS_ROOT.parent / "scale_stress_test"
     )
 
+    import shutil
+
+    try:
+        _run_perturbation_checks(spark, mod, SF_SMOKE, F)
+    finally:
+        shutil.rmtree(mod.STRESS_ROOT, ignore_errors=True)
+
+
+def _run_perturbation_checks(spark, mod, SF_SMOKE, F):
     out = mod.build_scaled_dir(spark, 3)
     docs = spark.read.parquet(f"{out}/documents.parquet")
     base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
@@ -485,6 +489,3 @@ def test_scale_stress_perturbations_preserve_per_replica_work(spark, monkeypatch
         for k in (1, 2):
             got = dot(emb, a, b, k * mod.ID_STRIDE)
             assert abs(got - want) < 1e-6, (a, b, k, got, want)
-
-    import shutil
-    shutil.rmtree(mod.STRESS_ROOT, ignore_errors=True)

@@ -467,3 +467,23 @@ def test_avi_walker_accepts_trailing_bytes_after_riff_payload():
     good = _full_avi(9)
     assert multimodal.decode_avi_frames(good + b"\x00" * 17) == \
         multimodal.decode_avi_frames(good)
+
+
+def test_wav_decoder_tolerates_zero_riff_size_field():
+    # streaming writers commonly leave the RIFF size 0 (written before
+    # the data length is known); the buffer end delimits instead
+    good = _full_wav(9)
+    zeroed = good[:4] + struct.pack("<I", 0) + good[8:]
+    got = multimodal.decode_wav_samples(zeroed)
+    want = multimodal.decode_wav_samples(good)
+    assert got is not None and (got[2] == want[2]).all()
+
+
+def test_wav_decoder_rejects_chunk_crossing_riff_end():
+    # a size field that under-reports while a chunk header sits just
+    # inside the boundary must not slice sample bytes from past it
+    good = _full_wav(9)
+    import struct as _s
+    true_size = _s.unpack("<I", good[4:8])[0]
+    shrunk = good[:4] + _s.pack("<I", true_size - 10) + good[8:]
+    assert multimodal.decode_wav_samples(shrunk) is None
