@@ -84,10 +84,27 @@ STRESS_QUERIES = {
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 
+# --skew mode: the queries whose state/shuffle is keyed by events'
+# user_id — the surfaces a hot key actually stresses
+SKEW_QUERIES = {
+    "stream_state_skew": [
+        "q_stream_window_counts",
+        "q_stream_join_view",
+        "q_stream_dedupe",
+    ],
+    "profiling_skew": [
+        "q_key_skew",
+    ],
+}
 
-def build_scaled_dir(spark, mult: int) -> str:
+
+def build_scaled_dir(spark, mult: int, skew: bool = False) -> str:
     """Materialize a mult-x dir next to spark-warehouse; symlink the
-    seven unscaled TPC-H tables, replicate the three scaled ones."""
+    seven unscaled TPC-H tables, replicate the three scaled ones.
+    With ``skew=True`` a deterministic HALF of every replica's events
+    (even event_id) collapse onto ONE global hot user, so at m10 a
+    single key owns ~500 k rows — the adversarial distribution the
+    co-bucketed maintainers and AQE skew handling must absorb."""
     from pyspark.sql import functions as F
 
     # ALWAYS rebuild: reusing a previous run's dir would reuse its
@@ -95,7 +112,7 @@ def build_scaled_dir(spark, mult: int) -> str:
     # indexes/pair tables committed by that run — and the "cold"
     # column would silently measure the warm artifact-serve path.
     # Fresh files per run keep cold genuinely cold.
-    out = STRESS_ROOT / f"m{mult}"
+    out = STRESS_ROOT / (f"m{mult}_skew" if skew else f"m{mult}")
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True)
     for t in ("region", "nation", "customer", "supplier", "part",
@@ -139,11 +156,18 @@ def build_scaled_dir(spark, mult: int) -> str:
                 "label",
             )
         )
+        shifted_user = F.col("user_id") + k * ID_STRIDE
         ev_parts.append(
             ev.select(
                 (F.col("event_id") + k * ID_STRIDE).alias("event_id"),
                 "ts",
-                (F.col("user_id") + k * ID_STRIDE).alias("user_id"),
+                (
+                    F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(
+                        shifted_user
+                    )
+                    if skew
+                    else shifted_user
+                ).alias("user_id"),
                 "event_type",
                 "value",
                 "props",
@@ -187,8 +211,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,3,10")
     ap.add_argument("--out", default=str(REPO / "STRESS_r08.json"))
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="collapse half of all events onto one hot user and run "
+        "only the user_id-keyed queries",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
+    queries_by_family = SKEW_QUERIES if args.skew else STRESS_QUERIES
 
     from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
     from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.session import get_spark
@@ -200,7 +231,7 @@ def main() -> None:
     build_secs: dict[int, float] = {}
     for m in mults:
         t0 = time.perf_counter()
-        dirs[m] = build_scaled_dir(spark, m)
+        dirs[m] = build_scaled_dir(spark, m, skew=args.skew)
         build_secs[m] = round(time.perf_counter() - t0, 2)
         print(f"built m{m} in {build_secs[m]}s -> {dirs[m]}", flush=True)
 
@@ -219,7 +250,7 @@ def main() -> None:
     # short-circuits on the checkpoint (measuring the no-new-data
     # path), so their exponent is read from the cold column.
     results: dict[str, dict] = {}
-    for family, qnames in STRESS_QUERIES.items():
+    for family, qnames in queries_by_family.items():
         for qname in qnames:
             fn = registry.QUERIES[qname]
             cold: dict[str, float] = {}
@@ -250,6 +281,7 @@ def main() -> None:
 
     payload = {
         "src": SRC_DIR,
+        "skew": args.skew,
         "mults": mults,
         "build_secs": build_secs,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
