@@ -95,6 +95,12 @@ SKEW_QUERIES = {
     "profiling_skew": [
         "q_key_skew",
     ],
+    # batch joins over the skew-scaled orders fact (hot o_custkey):
+    # the salted form vs the plain broadcast-FK form
+    "join_skew": [
+        "q_skew_salted_join",
+        "q_join_fk",
+    ],
 }
 
 
@@ -115,9 +121,37 @@ def build_scaled_dir(spark, mult: int, skew: bool = False) -> str:
     out = STRESS_ROOT / (f"m{mult}_skew" if skew else f"m{mult}")
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True)
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+    tables = ["region", "nation", "customer", "supplier", "part", "lineitem"]
+    if not skew:
+        tables.append("orders")
+    for t in tables:
         (out / f"{t}.parquet").symlink_to(f"{SRC_DIR}/{t}.parquet")
+
+    if skew:
+        # scale the orders FACT with a hot customer: half of every
+        # replica's orders (even o_orderkey) point at customer 1, the
+        # other half keep their ORIGINAL key — all keys stay inside
+        # the unscaled dim's domain, so join semantics are unchanged
+        # while one dim key fans out to ~half the fact
+        ords = spark.read.parquet(f"{SRC_DIR}/orders.parquet")
+        o_parts = []
+        for k in range(mult):
+            o_parts.append(
+                ords.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + k * ID_STRIDE
+                ).withColumn(
+                    "o_custkey",
+                    F.when(F.col("o_orderkey") % 2 == 0, F.lit(1)).otherwise(
+                        F.col("o_custkey")
+                    ),
+                )
+            )
+        odf = o_parts[0]
+        for p in o_parts[1:]:
+            odf = odf.unionByName(p)
+        odf.repartition(max(8, 4 * mult)).write.mode("overwrite").parquet(
+            str(out / "orders.parquet")
+        )
 
     docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet")
