@@ -44,94 +44,77 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-8 window: the driver oracle-checks a 50-query prefix of the
-    # registered order. Priority policy (r7 verdict items 1-2-4):
-    # positions 1-26 are every query whose code path changed AFTER its
-    # latest green verdict, as detected MECHANICALLY by
-    # scripts/freshness.py (function-granular reference-closure diff
-    # against each query's verdict-round commit) — the hand-maintained
-    # r8 queue of 16 missed ten of these (q_stream_alerts,
-    # q_stream_cdc_replay, q_stream_scd2, q_stream_delta_agg,
-    # q_stream_doc_dedup, q_dedup_yield_by_source, q_canonical_pick,
-    # q_value_parts + two already queued), which is exactly why the
-    # detector now exists and tests/test_freshness.py enforces it.
-    # Positions 27-50 rotate the oldest latest-verdict entries (the r3
-    # cohort): first the queries the r7 verdict called out by name
-    # (SCD2 pair, the W10 window battery, E7/E8/E9
-    # decontaminate/pack/mix, kmeans, boilerplate), then registration
-    # order; the r3 entries that don't fit lead the r9 window — the
-    # freshness test's oldest-first invariant makes that mechanical.
-    # --- (a) changed-path since latest verdict (26, freshness.py) ---
-    "q_stream_ingest_counts",
-    "q_stream_dedupe",
-    "q_stream_window_counts",
-    "q_stream_sessions",
-    "q_stream_topk",
-    "q_stream_late_drops",
-    "q_compact_partials",
-    "q_compaction_parity",
-    "q_ivf_incremental",
-    "q_stream_funnel",
-    "q_stream_join_view",
-    "q_stream_stream_join",
-    "q_stream_sample",
-    "q_stream_dq",
-    "q_stream_manifest",
-    "q_stream_event_drift",
-    "q_stream_alerts",
-    "q_stream_cdc_replay",
-    "q_stream_scd2",
-    "q_stream_delta_agg",
-    "q_stream_doc_dedup",
-    "q_dedup_yield_by_source",
-    "q_canonical_pick",
-    "q_value_parts",
-    "q_cluster_sizes",
-    "q_ann_recall",
-    # --- (a2) new in r8, never driver-checked ---
-    "q_bmp_pixel_stats",
-    "q_bmp_resize",
-    "q_wav_sample_stats",
-    "q_avi_frame_sample",
-    # --- (a3) changed in r8: MinHash r=2 banding + bucket cap (the
-    # scale-stress harness measured quadratic candidate growth from the
-    # planted-mutant shingle under 1-row bands; fix changed both
-    # engines' pipelines, so both queries re-prove at the gate) ---
-    "q_minhash_neardup",
-    "q_neardup_recall",
-    # --- (b) r3-stale cohort, judge-named first (14) ---
-    "q_scd2_history",
-    "q_scd2_asof",
-    "q_moving_avg",
-    "q_lag_delta",
-    "q_first_last",
-    "q_ntile",
-    "q_topn_per_group",
-    "q_rolling_1h_count",
-    "q_rank_stats",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_corpus_mix",
-    "q_kmeans_iter",
-    "q_boilerplate_grams",
-    # --- (c) r3-stale cohort, registration order (10) ---
-    "q_intersect_active",
-    "q_median_value",
-    "q_grouping_sets",
-    "q_ops_unpivot",
-    # r3 leftovers lead the r9 window head (oldest-first invariant in
-    # tests/test_freshness.py): q_nation_volume,
-    # q_market_share, q_order_count_dist,
-    # q_small_qty_revenue, q_big_orders,
-    # q_sql_region_revenue, q_forecast_revenue,
-    # q_idle_rich_customers, q_pii_scan, q_term_stats,
-    # q_embedding_stats, q_multimodal_decode, q_ann_batch,
-    # q_doc_search, q_bigram_counts, q_doc_len_histogram,
-    # q_null_profile, q_key_skew, q_schema_drift, q_pruned_scan,
-    # q_vec_quantize, q_delta_agg.
-    # Everything below kept its round-4+ verdict on an unchanged path;
-    # fresh entries keep registration order after these.
+    # Round-9 window: drain the verdict-staleness backlog (r8 verdict
+    # item 1). scripts/freshness.py reports 0 changed-path and 0
+    # never-checked at round start, so all 50 slots are rotation, taken
+    # oldest-first as tests/test_freshness.py requires:
+    # (a) the entire r3-latest cohort (22), (b) the 28 oldest r4-latest
+    # entries in registration order. Queries edited later this round
+    # (flagged by freshness.py) displace the NEWEST rotation entries —
+    # an outside-the-window r4 entry ties the newest r4 inside, which
+    # the oldest-first invariant allows.
+    # --- (a) r3-latest cohort, all 22 ---
+    "q_nation_volume",
+    "q_market_share",
+    "q_order_count_dist",
+    "q_small_qty_revenue",
+    "q_big_orders",
+    "q_sql_region_revenue",
+    "q_forecast_revenue",
+    "q_idle_rich_customers",
+    "q_pii_scan",
+    "q_term_stats",
+    "q_embedding_stats",
+    "q_multimodal_decode",
+    "q_ann_batch",
+    "q_doc_search",
+    "q_bigram_counts",
+    "q_doc_len_histogram",
+    "q_null_profile",
+    "q_key_skew",
+    "q_schema_drift",
+    "q_pruned_scan",
+    "q_vec_quantize",
+    "q_delta_agg",
+    # --- (b) oldest r4-latest entries (28 of 43) ---
+    "q_ops_by_table_op",
+    "q_status_counts",
+    "q_validate_events",
+    "q_parse_envelope",
+    "q_explode_rows",
+    "q_normalize",
+    "q_string_ops",
+    "q_batch_insert_gen",
+    "q_anti_orphans",
+    "q_semi_active",
+    "q_ratio_join",
+    "q_unique_check",
+    "q_asof_join",
+    "q_range_join",
+    "q_skew_salted_join",
+    "q_latency_histogram",
+    "q_totals_last",
+    "q_sums_filtered",
+    "q_rollup_ops",
+    "q_cube_ops",
+    "q_windowed_distinct",
+    "q_rate_5m",
+    "q_error_ratio",
+    "q_quantiles",
+    "q_hll_error_bound",
+    "q_alert_liveness",
+    "q_prom_quantile",
+    "q_rate_per_op",
+    # The 15 r4-latest leftovers (q_increase_1h, q_date_histogram,
+    # q_topk_recent, q_order_priority, q_supplier_parts,
+    # q_disjunctive_revenue, q_embedding_neardup, q_frame_sample,
+    # q_multimodal_features, q_cosine_pairs, q_vocab_growth,
+    # q_zorder_layout, q_embedding_norm_hist, q_udaf_median,
+    # q_udtf_explode) lead the r10 window. Everything below kept its
+    # round-5+ verdict on an unchanged path; fresh entries keep
+    # registration order after these.
 ]
+
 
 _loaded = False
 
