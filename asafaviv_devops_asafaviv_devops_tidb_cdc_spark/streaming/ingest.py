@@ -41,6 +41,16 @@ SOURCE_SCHEMA = "value string, partition int, offset long"
 KAFKA_TOPIC = "tidb-cdc-events"
 KAFKA_STARTING_OFFSETS = "earliest"
 KAFKA_MAX_OFFSETS_PER_TRIGGER = 10_000
+# per-partition fetch cap, byte-for-byte the reference consumer's
+# maxBytesPerPartition (reference node-consumer/index.js:32,175)
+KAFKA_MAX_PARTITION_FETCH_BYTES = 1_048_576
+
+# the exact record schema spark-sql-kafka emits per message — the wire
+# shape the golden-fixture contract tests replay without a broker
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
 
 
 def kafka_source_options(
@@ -62,6 +72,9 @@ def kafka_source_options(
     - ``failOnDataLoss=false``: a truncated/expired topic segment logs
       and continues, matching the consumer's never-crash posture
       (reference index.js:331, 373-380).
+    - ``kafka.max.partition.fetch.bytes=1048576``: the consumer's
+      1 MB ``maxBytesPerPartition`` (reference index.js:32,175),
+      passed through to the underlying Kafka client.
     """
     return {
         "kafka.bootstrap.servers": bootstrap_servers,
@@ -69,7 +82,30 @@ def kafka_source_options(
         "startingOffsets": starting_offsets,
         "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
         "failOnDataLoss": "false",
+        "kafka.max.partition.fetch.bytes": str(
+            KAFKA_MAX_PARTITION_FETCH_BYTES
+        ),
     }
+
+
+def kafka_envelope_projection(records: DataFrame) -> DataFrame:
+    """Normalize a Kafka record batch/stream (the exact columns
+    spark-sql-kafka emits — ``KAFKA_RECORD_SCHEMA``) into the
+    (value, partition, offset) envelope shape the P1->P6 chain
+    consumes. Shared by the live source (:func:`kafka_stream`) and the
+    broker-less golden-fixture contract tests
+    (tests/test_kafka_contract.py), so the projection the tests pin is
+    the projection production runs. The offset goes through an
+    explicit LONG cast: the Kafka source emits it as long, but the
+    reference consumer's wire shape carries it as a STRING (kafkajs
+    ``message.offset``, reference node-consumer/index.js:362,365), and
+    a replay of kafkajs-captured records must produce byte-identical
+    lineage columns."""
+    return records.selectExpr(
+        "CAST(value AS STRING) AS value",
+        "CAST(partition AS INT) AS partition",
+        "CAST(offset AS LONG) AS offset",
+    )
 
 
 def kafka_stream(
@@ -78,16 +114,13 @@ def kafka_stream(
     """S1/S2 — the production source: Kafka envelope stream in the same
     (value, partition, offset) shape the file-source stand-in and the
     whole P1->P6 chain consume. Requires the spark-sql-kafka package on
-    the classpath (not present in this sandbox — the option dict is
-    unit-tested instead; the file source replays identical bytes)."""
+    the classpath (not present in this sandbox — the option dict and
+    the record projection are golden-tested instead; the file source
+    replays identical bytes)."""
     reader = spark.readStream.format("kafka")
     for k, v in kafka_source_options(bootstrap_servers, topic, **kw).items():
         reader = reader.option(k, v)
-    return reader.load().selectExpr(
-        "CAST(value AS STRING) AS value",
-        "CAST(partition AS INT) AS partition",
-        "offset",
-    )
+    return kafka_envelope_projection(reader.load())
 
 
 # ES sink parity (S3): the reference's index template — 1 shard,
