@@ -41,12 +41,21 @@ N_HASHES = 4  # single-row bands (legacy per-salt signature helper)
 # candidates for 10 k true pairs, 72 s build). A 2-row band collides
 # only when BOTH independent minima match (probability J^2 per band),
 # which breaks single-shingle dominance; MAX_BUCKET is the deterministic
-# backstop — buckets larger than it carry no near-dup signal (the band
-# value is effectively corpus-common boilerplate) and are excluded from
-# pair generation BEFORE any per-bucket list materializes.
+# backstop on PAIRWISE emission. Oversized buckets are NOT dropped
+# wholesale (r8 did, which silently zeroed recall for any true-duplicate
+# cluster with > MAX_BUCKET members — e.g. templated docs): each member
+# instead pairs with the bucket's OVERSIZE_REPS smallest doc_ids, a star
+# topology that keeps emission LINEAR in bucket size while connected
+# components still collapse the whole cluster through the hub. The
+# recall bound that remains: an oversized MIXED bucket (boilerplate band
+# key over genuinely dissimilar docs) only tests members against the
+# reps, so a near-dup pair hiding in such a bucket is caught only via
+# its other 3 bands — by design, since exhaustive pairing there is
+# exactly the quadratic blowup the cap exists to prevent.
 MINHASH_BANDS = 4
 MINHASH_ROWS_PER_BAND = 2
 MAX_BUCKET = 64
+OVERSIZE_REPS = 4
 
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits/band; hamming<=3 pairs always share a band
@@ -135,18 +144,28 @@ def minhash_band_signatures(
     )
 
 
-def banded_candidates(sigs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+def banded_candidates(
+    sigs: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+    oversize_reps: int = OVERSIZE_REPS,
+) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded signatures, generated
-    PER BUCKET instead of a signature self-join: bucket sizes are
-    counted first and oversized buckets (> max_bucket — boilerplate
-    band values with no near-dup signal) are dropped BEFORE any
-    collect, so per-task memory is bounded by max_bucket regardless of
-    input skew and pair emission is bounded by
-    n_buckets * max_bucket^2 / 2 — never the n^2 pair space."""
+    PER BUCKET instead of a signature self-join. Bucket sizes are
+    counted first; buckets of 2..max_bucket emit all pairs (bounded by
+    n_buckets * max_bucket^2 / 2 — never the n^2 pair space), while
+    OVERSIZED buckets emit a STAR: every member against the bucket's
+    ``oversize_reps`` smallest doc_ids (linear in bucket size). The
+    star keeps >max_bucket true-duplicate clusters connected — each
+    member verifies against a hub and connected components collapse
+    the cluster — without reopening the quadratic path; near-dup pairs
+    inside an oversized MIXED bucket rely on their other bands. Per-
+    task memory stays bounded by max_bucket regardless of input skew
+    (the only per-bucket list collected is for capped buckets; the
+    star path is a window rank plus a join against the tiny rep set,
+    which broadcasts at scale)."""
+    counts = sigs.groupBy("k", "h").count()
     sized = (
-        sigs.groupBy("k", "h")
-        .count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= max_bucket))
+        counts.filter((F.col("count") >= 2) & (F.col("count") <= max_bucket))
         .select("k", "h")
     )
     buckets = (
@@ -159,11 +178,27 @@ def banded_candidates(sigs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFram
         "transform(slice(ids, i + 2, size(ids)), "
         "b -> struct(a AS doc_a, b AS doc_b))))"
     )
-    return (
+    small = (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    oversized = counts.filter(F.col("count") > max_bucket).select("k", "h")
+    over_rows = sigs.join(oversized, ["k", "h"])
+    rep_w = Window.partitionBy("k", "h").orderBy("doc_id")
+    reps = (
+        over_rows.withColumn("_rn", F.row_number().over(rep_w))
+        .filter(F.col("_rn") <= oversize_reps)
+        .select("k", "h", F.col("doc_id").alias("_rep"))
+    )
+    star = (
+        over_rows.join(reps, ["k", "h"])
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select(
+            F.least("doc_id", "_rep").alias("doc_a"),
+            F.greatest("doc_id", "_rep").alias("doc_b"),
+        )
+    )
+    return small.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
 
 
 def _attach_shingles(

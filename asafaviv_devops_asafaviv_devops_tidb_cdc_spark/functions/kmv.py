@@ -24,7 +24,8 @@ Why this spelling is engine-portable and streaming-exact:
   into the sketch of the group union (set algebra without re-reading
   data).
 
-Unlike HLL (functions/ — q_hll_distinct is rows-only), KMV is exactly
+Unlike HLL (q_hll_distinct, whose engine-specific estimates reduce to
+in-engine bound predicates for its hash verdict), KMV is exactly
 reproducible across engines, so the estimator itself gets a hash-green
 driver verdict, with the error bound asserted in-engine like
 q_hll_error_bound.

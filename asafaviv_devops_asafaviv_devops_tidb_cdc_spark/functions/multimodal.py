@@ -91,20 +91,29 @@ def decode_payload(payload: bytes, mime: str | None = None) -> dict:
 
 
 def decode_pixels(payload: bytes, mime: str):
-    """Full pixel/sample decode. Uncompressed 24-bit BMP is decoded
-    IN-ENGINE (pure stdlib + numpy — the format is spec-trivial:
-    fixed headers, bottom-up rows, 4-byte row padding); every other
-    container remains the declared library boundary (PNG/JPEG/GIF/WAV
-    payload decode requires codecs — PIL/ffmpeg — not present in this
-    container)."""
-    if (mime or "").lower() in ("image/bmp", "bmp") or (
-        payload or b""
-    )[:2] == b"BM":
+    """Full pixel/sample decode. Uncompressed 24-bit BMP and
+    stored-deflate PNG are decoded IN-ENGINE (pure stdlib + numpy —
+    fixed headers, chunk/block walks, filter reconstruction); Huffman-
+    compressed PNG and every other container remain the declared
+    library boundary (inflate/DCT requires codecs — PIL/ffmpeg — not
+    present in this container)."""
+    b = payload or b""
+    if (mime or "").lower() in ("image/bmp", "bmp") or b[:2] == b"BM":
         return decode_bmp_pixels(payload)
+    if (mime or "").lower() in ("image/png", "png") or b[:8] == b"\x89PNG\r\n\x1a\n":
+        px = decode_png_pixels(payload)
+        if px is not None:
+            return px
+        raise NotImplementedError(
+            "PNG with Huffman-compressed deflate blocks requires a "
+            "codec library (zlib inflate); stored-block streams decode "
+            "in-engine (decode_png_pixels)"
+        )
     raise NotImplementedError(
-        "pixel decoding beyond uncompressed BMP requires optional "
-        "codecs (PIL/ffmpeg); decode_payload provides header metadata, "
-        "fake_decode_features the deterministic feature stand-in"
+        "pixel decoding beyond uncompressed BMP and stored-deflate PNG "
+        "requires optional codecs (PIL/ffmpeg); decode_payload provides "
+        "header metadata, fake_decode_features the deterministic "
+        "feature stand-in"
     )
 
 
@@ -432,16 +441,19 @@ def bmp_resize_stats(media: DataFrame, factor: int = 2) -> DataFrame:
 
 
 WAV_STATS_SCHEMA = (
-    "media_id long, channels int, sample_rate int, n_samples long, "
-    "s_sum long, s_wsum long, peak int"
+    "media_id long, channels int, sample_rate int, n_frames long, "
+    "n_samples long, s_sum long, s_wsum long, peak int"
 )
 
 
 def synth_wav_payloads(media_ids: DataFrame) -> DataFrame:
     """Build COMPLETE valid PCM16 WAV files (RIFF container, `fmt `
     chunk, `data` chunk) with formula-derived content: channels =
-    id % 4 + 1, sample_rate = 8000 + (id % 8) * 1000, n_samples =
-    id % 400 + 100, and sample i (signed 16-bit little-endian) =
+    id % 4 + 1, sample_rate = 8000 + (id % 8) * 1000, n_frames =
+    id % 400 + 100 (the data chunk holds n_frames * channels int16
+    samples, so its length is always a whole multiple of the declared
+    block align — spec-clean PCM for every channel count), and raw
+    sample i (signed 16-bit little-endian, channel-interleaved order) =
     ((id * 31 + i * 7) % 65536) - 32768 — so a DuckDB oracle can
     recompute the decoded sample statistics from the id alone. A
     decoy `LIST` chunk precedes `data`, so a decoder only matches if
@@ -457,7 +469,7 @@ def synth_wav_payloads(media_ids: DataFrame) -> DataFrame:
                 mid = int(mid)
                 ch = mid % 4 + 1
                 sr = 8000 + (mid % 8) * 1000
-                n = mid % 400 + 100
+                n = (mid % 400 + 100) * ch
                 samples = (
                     (mid * 31 + 7 * np.arange(n, dtype=np.int64)) % 65536
                     - 32768
@@ -528,7 +540,10 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL sample decode over a (media_id, payload) WAV
     table: RIFF chunk walk + PCM16 decode, emitting order-sensitive
     sample statistics (plain and position-weighted sums, peak
-    amplitude). Undecodable payloads yield NULL stats."""
+    amplitude). ``n_samples`` counts RAW interleaved int16 samples;
+    ``n_frames`` = n_samples // channels is the per-channel frame
+    count (the two differ exactly by the channel factor for any
+    spec-clean PCM stream). Undecodable payloads yield NULL stats."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -539,14 +554,14 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
                 got = decode_wav_samples(bytes(payload or b""))
                 if got is None:
                     rows.append(
-                        (int(mid), None, None, None, None, None, None)
+                        (int(mid), None, None, None, None, None, None, None)
                     )
                     continue
                 ch, sr, samples = got
                 s = samples.astype(np.int64)
                 rows.append(
                     (
-                        int(mid), ch, sr, int(s.size),
+                        int(mid), ch, sr, int(s.size) // ch, int(s.size),
                         int(s.sum()),
                         int(((np.arange(s.size, dtype=np.int64) + 1) * s).sum()),
                         int(np.abs(s).max()) if s.size else 0,
@@ -555,8 +570,8 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "channels", "sample_rate", "n_samples",
-                    "s_sum", "s_wsum", "peak",
+                    "media_id", "channels", "sample_rate", "n_frames",
+                    "n_samples", "s_sum", "s_wsum", "peak",
                 ],
             )
 
@@ -732,3 +747,265 @@ def decode_headers(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# PNG (stored-deflate) — the compressed-codec boundary, partially
+# removed (r8 verdict item 7): a PNG whose zlib stream uses ONLY
+# stored (uncompressed) deflate blocks is decodable with pure integer
+# logic — chunk walk, stored-block walk, adler32/crc32 checksums, and
+# the full five-filter scanline reconstruction. Huffman-compressed
+# blocks (BTYPE 1/2) remain the declared codec-library boundary:
+# decode_png_pixels returns None for them, never guesses.
+# --------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png_payloads(media_ids: DataFrame) -> DataFrame:
+    """Build COMPLETE valid PNG files (signature, IHDR, split IDAT,
+    decoy tEXt, IEND — all chunk CRCs real) whose zlib stream uses
+    ONLY stored deflate blocks, with formula-derived content:
+    width = id % 24 + 4, height = id*5 % 24 + 4, 8-bit RGB
+    (color type 2), raster byte j = (id*13 + j) % 256. Every scanline
+    is filtered with filter (id + row) % 3 (None/Sub/Up) before the
+    stored-block framing, the stream is split into <=512-byte stored
+    blocks AND across two IDAT chunks with a decoy tEXt between them —
+    so a decoder only matches the DuckDB oracle if it concatenates
+    IDATs, walks the stored-block framing, verifies adler32, and
+    reconstructs all three filters byte-exactly."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = mid % 24 + 4
+                h = (mid * 5) % 24 + 4
+                raster = (
+                    (mid * 13 + np.arange(3 * w * h, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(h, 3 * w)
+                # encode-side filtering: decoder must invert exactly
+                lines = bytearray()
+                prev = np.zeros(3 * w, dtype=np.uint8)
+                for r in range(h):
+                    f = (mid + r) % 3
+                    raw = raster[r]
+                    if f == 0:
+                        filt = raw
+                    elif f == 1:  # Sub: minus left pixel's same byte
+                        left = np.concatenate(
+                            [np.zeros(3, dtype=np.uint8), raw[:-3]]
+                        )
+                        filt = (raw.astype(np.int16) - left) % 256
+                    else:  # Up: minus the row above (raw domain)
+                        filt = (raw.astype(np.int16) - prev) % 256
+                    lines.append(f)
+                    lines.extend(filt.astype(np.uint8).tobytes())
+                    prev = raw
+                body = bytes(lines)
+                # zlib framing: header + stored blocks (<=512 bytes
+                # each) + adler32 of the uncompressed bytes
+                stream = bytearray(b"\x78\x01")
+                pos = 0
+                while True:
+                    part = body[pos : pos + 512]
+                    pos += len(part)
+                    final = 1 if pos >= len(body) else 0
+                    stream.append(final)  # BTYPE=00 (stored) in bits 1-2
+                    stream.extend(struct.pack("<HH", len(part), len(part) ^ 0xFFFF))
+                    stream.extend(part)
+                    if final:
+                        break
+                stream.extend(struct.pack(">I", zlib.adler32(body) & 0xFFFFFFFF))
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                cut = max(len(stream) // 2, 1)
+                payload = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", bytes(stream[:cut]))
+                    + _png_chunk(b"tEXt", b"Comment\x00decoy between idats")
+                    + _png_chunk(b"IDAT", bytes(stream[cut:]))
+                    + _png_chunk(b"IEND", b"")
+                )
+                rows.append((mid, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sc = media_ids.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism // 2, 1)
+    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
+        _build, SYNTH_SCHEMA
+    )
+
+
+def _inflate_stored(stream: bytes):
+    """Walk a zlib stream made of STORED deflate blocks only (pure
+    integer logic — no inflate). Returns the uncompressed bytes, or
+    None if any block is Huffman-compressed (BTYPE 1/2 — the declared
+    codec-library boundary), the framing is inconsistent, or the
+    adler32 checksum fails."""
+    import zlib
+
+    if len(stream) < 6 or (stream[0] & 0x0F) != 8 or (stream[1] & 0x20):
+        return None  # not deflate, or preset dictionary (unsupported)
+    if ((stream[0] << 8) | stream[1]) % 31 != 0:
+        return None  # zlib header check bits
+    out = bytearray()
+    pos = 2
+    while True:
+        if pos >= len(stream) - 4:
+            return None  # ran past the payload without a final block
+        hdr = stream[pos]
+        btype = (hdr >> 1) & 3
+        if btype != 0:
+            return None  # compressed block: the library boundary
+        pos += 1
+        if pos + 4 > len(stream) - 4:
+            return None
+        ln, nln = struct.unpack("<HH", stream[pos : pos + 4])
+        if ln != (nln ^ 0xFFFF):
+            return None
+        pos += 4
+        if pos + ln > len(stream) - 4:
+            return None
+        out.extend(stream[pos : pos + ln])
+        pos += ln
+        if hdr & 1:
+            break
+    if struct.unpack(">I", stream[-4:])[0] != (zlib.adler32(bytes(out)) & 0xFFFFFFFF):
+        return None
+    return bytes(out)
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG decoder for stored-deflate streams: walks the chunk
+    list verifying every CRC, concatenates IDAT data, inflates the
+    stored-block zlib stream (``_inflate_stored`` — compressed blocks
+    return None, the declared boundary), and reconstructs all five
+    scanline filters (None/Sub/Up/Average/Paeth) into a
+    ``numpy.uint8`` (height, width, 3) RGB raster. 8-bit color type 2
+    only; returns None for anything it cannot decode exactly."""
+    import zlib
+
+    import numpy as np
+
+    b = payload or b""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            return None
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        return None
+    w, h, depth, ctype_, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype_ != 2 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    body = _inflate_stored(bytes(idat))
+    if body is None or len(body) != h * (1 + 3 * w):
+        return None
+    bpp, stride = 3, 3 * w
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        line = body[r * (1 + stride) : (r + 1) * (1 + stride)]
+        f, cur = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
+        if f == 0:
+            raw = cur
+        elif f == 2:  # Up: vectorized over the whole scanline
+            raw = (cur + prev) % 256
+        elif f == 1:  # Sub: per-channel prefix sum, vectorized
+            raw = (
+                cur.reshape(-1, bpp).astype(np.int64).cumsum(axis=0) % 256
+            ).astype(np.int32).reshape(-1)
+        elif f in (3, 4):  # Average / Paeth: inherently left-recursive
+            raw = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = raw[x - bpp] if x >= bpp else 0  # left (reconstructed)
+                bb = prev[x]  # above
+                if f == 3:
+                    pred = (a + bb) // 2
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0  # upper-left
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                raw[x] = (cur[x] + pred) % 256
+        else:
+            return None
+        raster[r] = raw.astype(np.uint8)
+        prev = raw
+    return raster.reshape(h, w, 3)
+
+
+PNG_STATS_SCHEMA = (
+    "media_id long, width int, height int, "
+    "px_sum long, px_wsum long, mean_millibyte long"
+)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PNG decode over a (media_id, payload) table:
+    ``decode_png_pixels`` reconstructs each raster and the stage emits
+    the same order-sensitive statistics as the BMP path (``px_wsum``
+    only matches the oracle if IDAT concatenation, stored-block
+    walking, AND filter reconstruction are all byte-exact).
+    Undecodable payloads yield NULL stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png_pixels(bytes(payload or b""))
+                if px is None:
+                    rows.append((int(mid), None, None, None, None, None))
+                    continue
+                h, w, _ = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                s = int(flat.sum())
+                rows.append(
+                    (
+                        int(mid), w, h, s,
+                        int(((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum()),
+                        s * 1000 // flat.size,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "px_sum", "px_wsum", "mean_millibyte",
+                ],
+            )
+
+    return media.mapInPandas(_stats, PNG_STATS_SCHEMA)

@@ -132,7 +132,8 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the '__all__' union estimate derived by MERGING the per-group
     sketches (the theta-sketch identity bottom-k(A ∪ B) =
     bottom-k(bottom-k(A) ∪ bottom-k(B)) — set cardinality algebra
-    without a second scan). Unlike HLL (q_hll_distinct, rows-only)
+    without a second scan). Unlike HLL (q_hll_distinct, whose
+    engine-specific estimates reduce to in-engine bound predicates)
     the salted-sha hash makes the ESTIMATOR itself engine-identical,
     so the sketch gets a hash-green verdict; the error bound is
     asserted in-engine like q_hll_error_bound. Plan: one distinct on

@@ -95,11 +95,26 @@ bands AS (
 sized AS (
   SELECT k, h FROM bands GROUP BY k, h HAVING COUNT(*) BETWEEN 2 AND 64
 ),
+oversz AS (
+  SELECT k, h FROM bands GROUP BY k, h HAVING COUNT(*) > 64
+),
+reps AS (
+  SELECT k, h, doc_id AS rep FROM (
+    SELECT b.k, b.h, b.doc_id,
+           row_number() OVER (PARTITION BY b.k, b.h ORDER BY b.doc_id) AS rn
+    FROM bands b JOIN oversz o ON o.k = b.k AND o.h = b.h
+  ) WHERE rn <= 4
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN sized z ON z.k = a.k AND z.h = a.h
   JOIN bands b ON b.k = a.k AND b.h = a.h AND a.doc_id < b.doc_id
+  UNION
+  SELECT DISTINCT LEAST(b.doc_id, r.rep) AS doc_a,
+                  GREATEST(b.doc_id, r.rep) AS doc_b
+  FROM bands b
+  JOIN reps r ON r.k = b.k AND r.h = b.h AND b.doc_id <> r.rep
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
@@ -1473,9 +1488,10 @@ def q_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes px_sum AND the order-sensitive px_wsum from
     the id formula by brute force — px_wsum only matches if the
     decoder reconstructed the exact raster byte order, so this proves
-    genuine pixel decoding, not header echo. PNG/JPEG pixel decode
-    remains the declared codec-library boundary (reference has no
-    multimodal analogue; north-star E5)."""
+    genuine pixel decoding, not header echo. Stored-deflate PNG
+    decodes in-engine too (q_png_pixel_stats); Huffman-compressed
+    PNG/JPEG remains the declared codec-library boundary (reference
+    has no multimodal analogue; north-star E5)."""
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     payloads = multimodal.synth_bmp_payloads(ids)
     return multimodal.bmp_pixel_stats(payloads)
@@ -1534,26 +1550,75 @@ def q_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_png_pixel_stats",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 24 + 4 AS INTEGER) AS width,
+         CAST((doc_id * 5) % 24 + 4 AS INTEGER) AS height
+  FROM documents
+),
+s AS (
+  SELECT p.media_id, p.width, p.height,
+         SUM((p.media_id * 13 + u.j) % 256) AS px_sum,
+         SUM((u.j + 1) * ((p.media_id * 13 + u.j) % 256)) AS px_wsum
+  FROM p, LATERAL (
+    SELECT unnest(range(3 * p.width * p.height)) AS j
+  ) u
+  GROUP BY 1, 2, 3
+)
+SELECT media_id, width, height,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_wsum AS BIGINT) AS px_wsum,
+       CAST(px_sum * 1000 // (3 * width * height) AS BIGINT)
+         AS mean_millibyte
+FROM s
+""",
+)
+def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5f — REAL PNG decode for stored-deflate streams (r8 verdict
+    item 7, shrinking the codec boundary): complete valid PNGs —
+    real chunk CRCs, the zlib stream split into <=512-byte STORED
+    deflate blocks and across two IDAT chunks with a decoy tEXt
+    between them, every scanline filtered with (id+row)%3
+    (None/Sub/Up) — are synthesized from the id formula; a separate
+    Arrow stage re-walks the chunks (verifying CRCs), concatenates
+    IDATs, walks the stored-block framing (verifying adler32), and
+    reconstructs the filters into the raster
+    (functions/multimodal.py::decode_png_pixels / png_pixel_stats).
+    The oracle brute-forces the position-weighted checksum from the
+    formula — px_wsum only matches if framing AND filter inversion
+    are byte-exact. Huffman-compressed deflate (BTYPE 1/2) remains
+    the declared codec-library boundary: the decoder returns None
+    rather than guessing."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = multimodal.synth_png_payloads(ids)
+    return multimodal.png_pixel_stats(payloads)
+
+
+@register(
     "q_wav_sample_stats",
     oracle="""
 WITH p AS (
   SELECT doc_id AS media_id,
          CAST(doc_id % 4 + 1 AS INTEGER) AS channels,
          CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
-         doc_id % 400 + 100 AS n
+         doc_id % 400 + 100 AS n_frames,
+         (doc_id % 400 + 100) * (doc_id % 4 + 1) AS n
   FROM documents
 ),
 s AS (
-  SELECT p.media_id, p.channels, p.sample_rate, p.n,
+  SELECT p.media_id, p.channels, p.sample_rate, p.n_frames, p.n,
          SUM(v.smp) AS s_sum,
          SUM((u.i + 1) * v.smp) AS s_wsum,
          MAX(ABS(v.smp)) AS peak
   FROM p,
   LATERAL (SELECT unnest(range(p.n)) AS i) u,
   LATERAL (SELECT (p.media_id * 31 + u.i * 7) % 65536 - 32768 AS smp) v
-  GROUP BY 1, 2, 3, 4
+  GROUP BY 1, 2, 3, 4, 5
 )
 SELECT media_id, channels, sample_rate,
+       CAST(n_frames AS BIGINT) AS n_frames,
        CAST(n AS BIGINT) AS n_samples,
        CAST(s_sum AS BIGINT) AS s_sum,
        CAST(s_wsum AS BIGINT) AS s_wsum,
@@ -1563,7 +1628,9 @@ FROM s
 )
 def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5d — REAL audio sample decode, oracle-verified: complete valid
-    PCM16 WAV files are synthesized with formula-derived samples and
+    PCM16 WAV files are synthesized with formula-derived samples
+    (whole frames — the data chunk is always a multiple of the
+    declared block align, spec-clean for every channel count) and
     a decoy LIST chunk before the data chunk; a separate Arrow stage
     walks the RIFF chunk list (honoring word-aligned padding — no
     fixed-44-byte-offset shortcut), decodes the int16 samples, and
@@ -1948,11 +2015,26 @@ bands AS (
 sized AS (
   SELECT k, h FROM bands GROUP BY k, h HAVING COUNT(*) BETWEEN 2 AND 64
 ),
+oversz AS (
+  SELECT k, h FROM bands GROUP BY k, h HAVING COUNT(*) > 64
+),
+reps AS (
+  SELECT k, h, doc_id AS rep FROM (
+    SELECT b.k, b.h, b.doc_id,
+           row_number() OVER (PARTITION BY b.k, b.h ORDER BY b.doc_id) AS rn
+    FROM bands b JOIN oversz o ON o.k = b.k AND o.h = b.h
+  ) WHERE rn <= 4
+),
 mh_cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN sized z ON z.k = a.k AND z.h = a.h
   JOIN bands b ON b.k = a.k AND b.h = a.h AND a.doc_id < b.doc_id
+  UNION
+  SELECT DISTINCT LEAST(b.doc_id, r.rep) AS doc_a,
+                  GREATEST(b.doc_id, r.rep) AS doc_b
+  FROM bands b
+  JOIN reps r ON r.k = b.k AND r.h = b.h AND b.doc_id <> r.rep
 ),
 mh AS (
   SELECT c.doc_a, c.doc_b

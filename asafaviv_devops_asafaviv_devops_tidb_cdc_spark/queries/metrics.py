@@ -415,18 +415,57 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_hll_distinct")  # rows-only: HLL estimates are engine-specific
+@register(
+    "q_hll_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS global_within_10pct,
+       CAST(1 AS BIGINT) AS merged_within_10pct
+FROM events
+GROUP BY 1
+""",
+)
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 scale path — HyperLogLog++ approximate distinct users per
-    event type next to the exact count. At 100 TB the exact
-    countDistinct shuffles every distinct value; the sketch is
-    fixed-size per group and mergeable across partitions. Rows-only:
-    sketch estimates differ across engines by construction; the pytest
-    tolerance check (<2% rsd) is the contract."""
+    """A8 scale path — HyperLogLog (Datasketches) distinct users per
+    event type, with the 100 TB property under test being
+    MERGEABILITY: per-day partial sketches (`hll_sketch_agg`, lgK=12
+    -> rsd ~1.6%) union into a per-type estimate exactly the way
+    executor partials merge on a cluster, and BOTH the one-pass
+    global sketch and the merged-from-partials estimate must land
+    within 10% (~6 sigma) of the exact count. The estimates
+    themselves are engine-specific (and the union gadget's estimate
+    can differ from the one-pass sketch by a register-mode
+    conversion), so the hash-checked readout reduces them to bound
+    predicates over the exact count — this replaces the r3-r8
+    rows-only registration with a full rows+schema+hash verdict
+    (r8 verdict item 4)."""
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    per_day = ev.groupBy("event_type", F.to_date("ts").alias("_d")).agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("_sk")
+    )
+    merged = per_day.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(_sk, true))").alias(
+            "_approx_merged"
+        )
+    )
+    glob = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").alias(
+            "_approx_global"
+        ),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    return glob.join(merged, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (F.abs(F.col("_approx_global") - F.col("exact_users")) * 10
+         <= F.col("exact_users"))
+        .cast("long")
+        .alias("global_within_10pct"),
+        (F.abs(F.col("_approx_merged") - F.col("exact_users")) * 10
+         <= F.col("exact_users"))
+        .cast("long")
+        .alias("merged_within_10pct"),
     )
 
 

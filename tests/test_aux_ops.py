@@ -213,8 +213,9 @@ def test_hll_distinct_within_tolerance(spark):
     rows = registry_queries()["q_hll_distinct"](spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
-        exact = r["exact_users"]
-        assert abs(r["approx_users"] - exact) <= max(0.05 * exact, 2), r
+        assert r["exact_users"] > 0, r
+        assert r["global_within_10pct"] == 1, r
+        assert r["merged_within_10pct"] == 1, r
 
 
 def test_observe_streaming_attaches_named_metrics(spark):
@@ -413,6 +414,42 @@ def test_banded_minhash_bounds_boilerplate_buckets(spark):
     caught = sum(1 for i in range(0, n, 10) if (i, i + 10_000) in verified)
     # J(doc, mutant) = 6/8; per band p=J^2=0.56, 4 bands -> ~96% catch
     assert caught >= 0.8 * (n // 10), f"only {caught} mutant pairs caught"
+
+
+def test_oversized_bucket_cluster_keeps_recall_via_star_reps(spark):
+    """r9 advice fix: a TRUE-duplicate cluster larger than MAX_BUCKET
+    (templated docs — every member shares every shingle, so every band
+    signature collides into one bucket of size > 64) must not vanish
+    from candidate generation. The star path pairs each member with the
+    bucket's OVERSIZE_REPS smallest ids: emission stays LINEAR in
+    cluster size, exact-Jaccard verify passes (identical shingle sets),
+    and connected components collapse the whole cluster through the
+    hubs."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.dedup import (
+        MAX_BUCKET,
+        OVERSIZE_REPS,
+        banded_candidates,
+        minhash_band_signatures,
+        neardup_clusters,
+        neardup_pairs,
+    )
+
+    n = MAX_BUCKET + 16  # one bucket per band, all > MAX_BUCKET
+    docs = spark.createDataFrame(
+        [(i, "tpl alpha beta gamma delta epsilon") for i in range(n)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_band_signatures(docs)
+    cand = banded_candidates(sigs)
+    n_cand = cand.count()
+    assert n_cand > 0, "oversized true-dup bucket yielded zero candidates"
+    # star emission is linear: <= reps * n distinct pairs (4 identical
+    # band buckets all dedupe to the same star), never n^2/2
+    assert n_cand <= OVERSIZE_REPS * n, f"star emission not linear: {n_cand}"
+    verified = neardup_pairs(docs)
+    clusters = neardup_clusters(verified).select("cluster_id").distinct()
+    assert clusters.count() == 1
+    assert clusters.first()[0] == 0  # min-id canonical label
 
 
 def test_scale_stress_perturbations_preserve_per_replica_work(spark, monkeypatch):

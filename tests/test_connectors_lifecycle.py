@@ -336,7 +336,8 @@ def _full_wav(mid: int) -> bytes:
     """Independent re-derivation of the WAV synth formula."""
     import numpy as np
 
-    ch, sr, n = mid % 4 + 1, 8000 + (mid % 8) * 1000, mid % 400 + 100
+    ch, sr = mid % 4 + 1, 8000 + (mid % 8) * 1000
+    n = (mid % 400 + 100) * ch  # whole frames: data is block-aligned
     samples = ((mid * 31 + 7 * np.arange(n)) % 65536 - 32768).astype("<i2")
     data = samples.tobytes()
     fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
@@ -353,9 +354,10 @@ def test_wav_sample_decoder_walks_chunks_past_decoys():
     for mid in (0, 5, 17, 123456):
         ch, sr, samples = multimodal.decode_wav_samples(_full_wav(mid))
         assert (ch, sr) == (mid % 4 + 1, 8000 + (mid % 8) * 1000)
-        n = mid % 400 + 100
+        n = (mid % 400 + 100) * ch
         want = ((mid * 31 + 7 * np.arange(n)) % 65536 - 32768).astype("<i2")
         assert (samples == want).all()
+        assert len(samples) % ch == 0  # spec-clean: whole frames only
 
 
 def test_wav_sample_decoder_honors_odd_chunk_padding():
@@ -487,3 +489,145 @@ def test_wav_decoder_rejects_chunk_crossing_riff_end():
     true_size = _s.unpack("<I", good[4:8])[0]
     shrunk = good[:4] + _s.pack("<I", true_size - 10) + good[8:]
     assert multimodal.decode_wav_samples(shrunk) is None
+
+
+def _full_png(mid: int) -> bytes:
+    """Independent re-derivation of the PNG stored-deflate synth."""
+    import struct as _s
+    import zlib
+
+    import numpy as np
+
+    w, h = mid % 24 + 4, (mid * 5) % 24 + 4
+    raster = (
+        (mid * 13 + np.arange(3 * w * h, dtype=np.int64)) % 256
+    ).astype(np.uint8).reshape(h, 3 * w)
+    lines = bytearray()
+    prev = np.zeros(3 * w, dtype=np.uint8)
+    for r in range(h):
+        f = (mid + r) % 3
+        raw = raster[r]
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            left = np.concatenate([np.zeros(3, dtype=np.uint8), raw[:-3]])
+            filt = (raw.astype(np.int16) - left) % 256
+        else:
+            filt = (raw.astype(np.int16) - prev) % 256
+        lines.append(f)
+        lines.extend(filt.astype(np.uint8).tobytes())
+        prev = raw
+    body = bytes(lines)
+    stream = bytearray(b"\x78\x01")
+    pos = 0
+    while True:
+        part = body[pos : pos + 512]
+        pos += len(part)
+        final = 1 if pos >= len(body) else 0
+        stream.append(final)
+        stream.extend(_s.pack("<HH", len(part), len(part) ^ 0xFFFF))
+        stream.extend(part)
+        if final:
+            break
+    stream.extend(_s.pack(">I", zlib.adler32(body) & 0xFFFFFFFF))
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    cut = max(len(stream) // 2, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", bytes(stream[:cut]))
+        + multimodal._png_chunk(b"tEXt", b"Comment\x00decoy between idats")
+        + multimodal._png_chunk(b"IDAT", bytes(stream[cut:]))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_reconstructs_filtered_stored_stream():
+    import numpy as np
+
+    for mid in (0, 5, 17, 123456):
+        w, h = mid % 24 + 4, (mid * 5) % 24 + 4
+        want = (
+            (mid * 13 + np.arange(3 * w * h, dtype=np.int64)) % 256
+        ).astype(np.uint8).reshape(h, w, 3)
+        got = multimodal.decode_png_pixels(_full_png(mid))
+        assert got is not None and (got == want).all(), mid
+
+
+def test_png_decoder_handles_average_and_paeth_filters():
+    """The synth only emits filters 0-2; a hand-built stream with
+    filters 3 (Average) and 4 (Paeth) exercises the full filter set a
+    real encoder may write."""
+    import struct as _s
+    import zlib
+
+    import numpy as np
+
+    w, h = 3, 2
+    raster = np.arange(3 * w * h, dtype=np.int64).astype(np.uint8).reshape(
+        h, 3 * w
+    ) * 7 % 256
+    # encode row 0 with Average (prev row = 0), row 1 with Paeth
+    lines = bytearray()
+    raw0 = raster[0].astype(np.int32)
+    filt0 = np.zeros(3 * w, dtype=np.int32)
+    for x in range(3 * w):
+        a = raw0[x - 3] if x >= 3 else 0
+        filt0[x] = (raw0[x] - (a + 0) // 2) % 256
+    lines.append(3)
+    lines.extend(filt0.astype(np.uint8).tobytes())
+    raw1 = raster[1].astype(np.int32)
+    filt1 = np.zeros(3 * w, dtype=np.int32)
+    for x in range(3 * w):
+        a = raw1[x - 3] if x >= 3 else 0
+        b = raw0[x]
+        c = raw0[x - 3] if x >= 3 else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        filt1[x] = (raw1[x] - pred) % 256
+    lines.append(4)
+    lines.extend(filt1.astype(np.uint8).tobytes())
+    body = bytes(lines)
+    stream = (
+        b"\x78\x01"
+        + bytes([1])
+        + _s.pack("<HH", len(body), len(body) ^ 0xFFFF)
+        + body
+        + _s.pack(">I", zlib.adler32(body) & 0xFFFFFFFF)
+    )
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + multimodal._png_chunk(b"IDAT", stream)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    got = multimodal.decode_png_pixels(payload)
+    assert got is not None and (got == raster.reshape(h, w, 3)).all()
+
+
+def test_png_decoder_rejects_compressed_and_corrupt():
+    import struct as _s
+    import zlib
+
+    w = h = 4
+    body = bytes([0] * (1 + 3 * w)) * h
+    comp = zlib.compress(body)  # BTYPE!=0 blocks: the declared boundary
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + multimodal._png_chunk(b"IDAT", comp)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert multimodal.decode_png_pixels(bad) is None
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_pixels(bad, "image/png")
+    good = _full_png(9)
+    assert multimodal.decode_pixels(good, "image/png") is not None
+    corrupt = bytearray(good)
+    corrupt[30] ^= 0xFF  # breaks a chunk CRC
+    assert multimodal.decode_png_pixels(bytes(corrupt)) is None
+    assert multimodal.decode_png_pixels(b"") is None
+    assert multimodal.decode_png_pixels(good[:40]) is None

@@ -26,9 +26,9 @@ def test_every_window_name_is_registered():
 def test_window_is_fully_oracle_backed():
     # Every gate-window slot must carry a DuckDB oracle so the driver
     # records a full rows+schema+hash verdict, not the weaker
-    # rows-only check. (q_hll_distinct — rows-only BY CONSTRUCTION,
-    # its error bound hash-checked by q_hll_error_bound — got its
-    # rows-only verdict in r7 and stays out of the window: a slot
-    # spent on it can never upgrade the verdict.)
+    # rows-only check. (As of r9 every registered query is
+    # oracle-backed — q_hll_distinct's readout became bound
+    # predicates over the exact count, so even the sketch path gets
+    # a hash verdict.)
     unbacked = [n for n in _CHECK_FIRST if n not in registry.ORACLES]
     assert unbacked == [], unbacked
