@@ -75,8 +75,14 @@ def latest_verdicts() -> dict[str, tuple[int, str]]:
 
 
 def round_commits() -> dict[int, str]:
-    """round -> sha of the driver's 'round N: verdict/...' marker commit
-    (the tree the gate actually checked, to round granularity)."""
+    """round -> sha of the driver's EARLIEST 'round N: verdict/...'
+    marker commit (the tree the gate actually checked, to round
+    granularity). git log is newest-first, so plain assignment keeps
+    the LAST marker seen per round = the oldest: if a round ever has
+    multiple markers, comparing against a later one would hide code
+    that landed between the gate's tree and that marker (the r8
+    advice finding) — the earliest marker minimizes that blind
+    spot."""
     out = subprocess.run(
         ["git", "log", "--format=%H %s"],
         cwd=REPO, capture_output=True, text=True, check=True,
@@ -86,7 +92,7 @@ def round_commits() -> dict[int, str]:
         sha, _, subject = line.partition(" ")
         m = re.match(r"round (\d+): verdict", subject)
         if m:
-            commits.setdefault(int(m.group(1)), sha)
+            commits[int(m.group(1))] = sha
     return commits
 
 

@@ -103,14 +103,41 @@ SKEW_QUERIES = {
     ],
 }
 
+# --doc-skew mode (r8 verdict item 5): the SAME un-rotated boilerplate
+# suffix lands on half of every replica's documents, so a handful of
+# word 3-grams appear in 50% of the WHOLE scaled corpus — the realistic
+# corpus skew (site chrome, license footers). This is the adversarial
+# input for every shingle/gram-keyed shuffle: the MinHash bucket cap +
+# star reps, the boilerplate prevalence agg, and the Bloom gram build
+# must all stay ~linear when one gram key owns half the rows.
+DOC_SKEW_BOILERPLATE = (
+    " subscribe to our newsletter terms of service all rights reserved"
+)
+DOC_SKEW_QUERIES = {
+    "neardup_doc_skew": [
+        "q_minhash_neardup",
+    ],
+    "grams_doc_skew": [
+        "q_boilerplate_grams",
+    ],
+    "decontam_doc_skew": [
+        "q_bloom_decontaminate",
+    ],
+}
 
-def build_scaled_dir(spark, mult: int, skew: bool = False) -> str:
+
+def build_scaled_dir(
+    spark, mult: int, skew: bool = False, doc_skew: bool = False
+) -> str:
     """Materialize a mult-x dir next to spark-warehouse; symlink the
     seven unscaled TPC-H tables, replicate the three scaled ones.
     With ``skew=True`` a deterministic HALF of every replica's events
     (even event_id) collapse onto ONE global hot user, so at m10 a
     single key owns ~500 k rows — the adversarial distribution the
-    co-bucketed maintainers and AQE skew handling must absorb."""
+    co-bucketed maintainers and AQE skew handling must absorb.
+    With ``doc_skew=True`` half of every replica's documents (even
+    doc_id) get the SAME un-rotated boilerplate suffix, so its grams
+    and shingles are shared by 50% of the whole scaled corpus."""
     from pyspark.sql import functions as F
 
     # ALWAYS rebuild: reusing a previous run's dir would reuse its
@@ -118,7 +145,8 @@ def build_scaled_dir(spark, mult: int, skew: bool = False) -> str:
     # indexes/pair tables committed by that run — and the "cold"
     # column would silently measure the warm artifact-serve path.
     # Fresh files per run keep cold genuinely cold.
-    out = STRESS_ROOT / (f"m{mult}_skew" if skew else f"m{mult}")
+    suffix = "_skew" if skew else ("_docskew" if doc_skew else "")
+    out = STRESS_ROOT / f"m{mult}{suffix}"
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True)
     tables = ["region", "nation", "customer", "supplier", "part", "lineitem"]
@@ -163,12 +191,22 @@ def build_scaled_dir(spark, mult: int, skew: bool = False) -> str:
     ev_parts = []
     for k in range(mult):
         rot = ALPHABET[k % 26:] + ALPHABET[: k % 26]
+        rotated = F.translate(
+            "text", ALPHABET + ALPHABET.upper(), rot + rot.upper()
+        )
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
-                F.translate(
-                    "text", ALPHABET + ALPHABET.upper(),
-                    rot + rot.upper(),
+                (
+                    # the boilerplate is appended AFTER rotation, so the
+                    # identical grams recur across all replicas — one
+                    # gram key owning half the whole corpus
+                    F.when(
+                        F.col("doc_id") % 2 == 0,
+                        F.concat(rotated, F.lit(DOC_SKEW_BOILERPLATE)),
+                    ).otherwise(rotated)
+                    if doc_skew
+                    else rotated
                 ).alias("text"),
                 "lang",
                 "source",
@@ -196,7 +234,11 @@ def build_scaled_dir(spark, mult: int, skew: bool = False) -> str:
                 (F.col("event_id") + k * ID_STRIDE).alias("event_id"),
                 "ts",
                 (
-                    F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(
+                    # hot key -1: a sentinel OUTSIDE the id domain, so
+                    # a legitimate user 0 in replica 0 (whose user_ids
+                    # are unshifted) can never merge with the synthetic
+                    # hot key and dilute the measured skew
+                    F.when(F.col("event_id") % 2 == 0, F.lit(-1)).otherwise(
                         shifted_user
                     )
                     if skew
@@ -251,9 +293,19 @@ def main() -> None:
         help="collapse half of all events onto one hot user and run "
         "only the user_id-keyed queries",
     )
+    ap.add_argument(
+        "--doc-skew",
+        action="store_true",
+        help="append one un-rotated boilerplate suffix to half of all "
+        "documents and run only the shingle/gram-keyed queries",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
-    queries_by_family = SKEW_QUERIES if args.skew else STRESS_QUERIES
+    queries_by_family = (
+        SKEW_QUERIES
+        if args.skew
+        else DOC_SKEW_QUERIES if args.doc_skew else STRESS_QUERIES
+    )
 
     from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
     from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.session import get_spark
@@ -265,7 +317,9 @@ def main() -> None:
     build_secs: dict[int, float] = {}
     for m in mults:
         t0 = time.perf_counter()
-        dirs[m] = build_scaled_dir(spark, m, skew=args.skew)
+        dirs[m] = build_scaled_dir(
+            spark, m, skew=args.skew, doc_skew=args.doc_skew
+        )
         build_secs[m] = round(time.perf_counter() - t0, 2)
         print(f"built m{m} in {build_secs[m]}s -> {dirs[m]}", flush=True)
 
@@ -316,6 +370,7 @@ def main() -> None:
     payload = {
         "src": SRC_DIR,
         "skew": args.skew,
+        "doc_skew": args.doc_skew,
         "mults": mults,
         "build_secs": build_secs,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
