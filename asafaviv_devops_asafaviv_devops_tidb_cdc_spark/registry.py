@@ -53,6 +53,20 @@ _CHECK_FIRST = [
     # (flagged by freshness.py) displace the NEWEST rotation entries —
     # an outside-the-window r4 entry ties the newest r4 inside, which
     # the oldest-first invariant allows.
+    # --- changed-path this round (freshness.py, 6) + new (1):
+    # oversized-bucket star reps rewrote both minhash pipelines;
+    # spec-clean whole-frame WAV synth + n_frames readout;
+    # q_hll_distinct gained its oracle (bound-predicate readout);
+    # q_kmv_distinct + q_bmp_pixel_stats docstring cross-refs;
+    # q_png_pixel_stats is the round's one new registration (the
+    # stored-deflate PNG decode, r8 verdict item 7) ---
+    "q_minhash_neardup",
+    "q_neardup_recall",
+    "q_wav_sample_stats",
+    "q_hll_distinct",
+    "q_kmv_distinct",
+    "q_bmp_pixel_stats",
+    "q_png_pixel_stats",
     # --- (a) r3-latest cohort, all 22 ---
     "q_nation_volume",
     "q_market_share",
@@ -76,7 +90,7 @@ _CHECK_FIRST = [
     "q_pruned_scan",
     "q_vec_quantize",
     "q_delta_agg",
-    # --- (b) oldest r4-latest entries (28 of 43) ---
+    # --- (b) oldest r4-latest entries (21 of 43) ---
     "q_ops_by_table_op",
     "q_status_counts",
     "q_validate_events",
@@ -98,14 +112,9 @@ _CHECK_FIRST = [
     "q_rollup_ops",
     "q_cube_ops",
     "q_windowed_distinct",
-    "q_rate_5m",
-    "q_error_ratio",
-    "q_quantiles",
-    "q_hll_error_bound",
-    "q_alert_liveness",
-    "q_prom_quantile",
-    "q_rate_per_op",
-    # The 15 r4-latest leftovers (q_increase_1h, q_date_histogram,
+    # The 22 r4-latest leftovers (q_rate_5m, q_error_ratio,
+    # q_quantiles, q_hll_error_bound,
+    # q_alert_liveness, q_prom_quantile, q_rate_per_op, q_increase_1h, q_date_histogram,
     # q_topk_recent, q_order_priority, q_supplier_parts,
     # q_disjunctive_revenue, q_embedding_neardup, q_frame_sample,
     # q_multimodal_features, q_cosine_pairs, q_vocab_growth,
