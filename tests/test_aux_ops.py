@@ -526,3 +526,52 @@ def _run_perturbation_checks(spark, mod, SF_SMOKE, F):
         for k in (1, 2):
             got = dot(emb, a, b, k * mod.ID_STRIDE)
             assert abs(got - want) < 1e-6, (a, b, k, got, want)
+
+
+def test_doc_skew_plants_shared_boilerplate_on_even_ids(spark, monkeypatch):
+    """--doc-skew construction (r9): exactly the even-id half of every
+    replica carries the SAME un-rotated boilerplate suffix, so its
+    grams are shared ACROSS replicas (the hot-gram corpus skew under
+    measurement) while odd-id docs keep the pure rotated text."""
+    import shutil
+    import sys as _sys
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import scale_stress as mod
+
+    monkeypatch.setattr(mod, "SRC_DIR", SF_SMOKE)
+    monkeypatch.setattr(
+        mod, "STRESS_ROOT", mod.STRESS_ROOT.parent / "scale_stress_docskew_test"
+    )
+    try:
+        out = mod.build_scaled_dir(spark, 2, doc_skew=True)
+        docs = spark.read.parquet(f"{out}/documents.parquet")
+        base_n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+        assert docs.count() == 2 * base_n
+        tagged = docs.withColumn(
+            "has_bp", F.col("text").endswith(mod.DOC_SKEW_BOILERPLATE)
+        )
+        # parity split is exact (ID_STRIDE is even, so shifted parity
+        # == original parity)
+        wrong = tagged.filter(
+            (F.col("doc_id") % 2 == 0) != F.col("has_bp")
+        ).count()
+        assert wrong == 0
+        # the suffix is IDENTICAL across replicas: both replicas carry
+        # boilerplate docs, and the suffix string is replica-invariant
+        # by construction (appended after rotation)
+        per_rep = (
+            tagged.filter("has_bp")
+            .groupBy((F.col("doc_id") / mod.ID_STRIDE).cast("long").alias("rep"))
+            .count()
+            .collect()
+        )
+        assert sorted(r["rep"] for r in per_rep) == [0, 1]
+        assert len({r["count"] for r in per_rep}) == 1
+    finally:
+        shutil.rmtree(mod.STRESS_ROOT, ignore_errors=True)
