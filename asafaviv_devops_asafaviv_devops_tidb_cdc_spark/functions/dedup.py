@@ -46,16 +46,30 @@ N_HASHES = 4  # single-row bands (legacy per-salt signature helper)
 # cluster with > MAX_BUCKET members — e.g. templated docs): each member
 # instead pairs with the bucket's OVERSIZE_REPS smallest doc_ids, a star
 # topology that keeps emission LINEAR in bucket size while connected
-# components still collapse the whole cluster through the hub. The
-# recall bound that remains: an oversized MIXED bucket (boilerplate band
-# key over genuinely dissimilar docs) only tests members against the
-# reps, so a near-dup pair hiding in such a bucket is caught only via
-# its other 3 bands — by design, since exhaustive pairing there is
-# exactly the quadratic blowup the cap exists to prevent.
+# components still collapse the whole cluster through the hub. A star
+# pair must agree with its hub in >= MIN_STAR_BANDS of the 4 bands
+# before it reaches the Jaccard verify. Rationale, with the counts
+# measured on the doc-skew stress corpus (one boilerplate suffix on
+# half of 57 k docs -> 5 oversized buckets, largest 644): identical
+# docs share EVERY band key (always kept), while a boilerplate-bucket
+# member collides with a hub where a globally-hot shingle owns a
+# band's both minima — a coincidence whose probability an independent
+# second band SQUARES. Ungated, the star added 6,684 junk candidates
+# (49,318 vs 42,634 base) that all died in the Jaccard verify; the
+# 2-band gate removes 6,530 of them (42,788) as a narrow-int
+# aggregation BEFORE any shingle array is attached, while a 3-band
+# gate removes only 154 more and would halve star recall for J ~ 0.8
+# clusters (P(>=2 of 4) = 0.86 vs P(>=3) = 0.55 at J^2 = 0.64 per
+# band). Uniform corpora are untouched — the r8 2-row banding already
+# leaves them with ZERO oversized buckets, so the star never fires
+# there. Remaining recall bound: a J < 1 member of an oversized
+# bucket stars at P(>=2 of 4 bands); its small-bucket collisions in
+# other bands still pair it the normal way.
 MINHASH_BANDS = 4
 MINHASH_ROWS_PER_BAND = 2
 MAX_BUCKET = 64
 OVERSIZE_REPS = 4
+MIN_STAR_BANDS = 2
 
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits/band; hamming<=3 pairs always share a band
@@ -148,21 +162,24 @@ def banded_candidates(
     sigs: DataFrame,
     max_bucket: int = MAX_BUCKET,
     oversize_reps: int = OVERSIZE_REPS,
+    min_star_bands: int = MIN_STAR_BANDS,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded signatures, generated
     PER BUCKET instead of a signature self-join. Bucket sizes are
     counted first; buckets of 2..max_bucket emit all pairs (bounded by
     n_buckets * max_bucket^2 / 2 — never the n^2 pair space), while
     OVERSIZED buckets emit a STAR: every member against the bucket's
-    ``oversize_reps`` smallest doc_ids (linear in bucket size). The
-    star keeps >max_bucket true-duplicate clusters connected — each
-    member verifies against a hub and connected components collapse
-    the cluster — without reopening the quadratic path; near-dup pairs
-    inside an oversized MIXED bucket rely on their other bands. Per-
-    task memory stays bounded by max_bucket regardless of input skew
-    (the only per-bucket list collected is for capped buckets; the
-    star path is a window rank plus a join against the tiny rep set,
-    which broadcasts at scale)."""
+    ``oversize_reps`` smallest doc_ids (linear in bucket size), kept
+    only when member and hub co-bucket in >= ``min_star_bands`` bands.
+    The star keeps >max_bucket true-duplicate clusters connected —
+    identical docs share every band key, so each member verifies
+    against a hub and connected components collapse the cluster —
+    without reopening the quadratic path, and the band-agreement gate
+    drops boilerplate-bucket junk pairs as a narrow-int aggregation
+    before any shingle array is attached. Per-task memory stays
+    bounded by max_bucket regardless of input skew (the only
+    per-bucket list collected is for capped buckets; the star path is
+    a window rank plus joins/aggregations over narrow rows)."""
     counts = sigs.groupBy("k", "h").count()
     sized = (
         counts.filter((F.col("count") >= 2) & (F.col("count") <= max_bucket))
@@ -194,9 +211,15 @@ def banded_candidates(
         over_rows.join(reps, ["k", "h"])
         .filter(F.col("doc_id") != F.col("_rep"))
         .select(
+            "k",
             F.least("doc_id", "_rep").alias("doc_a"),
             F.greatest("doc_id", "_rep").alias("doc_b"),
         )
+        .distinct()  # one row per (band, pair)
+        .groupBy("doc_a", "doc_b")
+        .count()
+        .filter(F.col("count") >= min_star_bands)
+        .select("doc_a", "doc_b")
     )
     return small.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
 

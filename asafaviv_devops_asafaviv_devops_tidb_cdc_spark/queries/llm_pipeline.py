@@ -111,10 +111,14 @@ cand AS (
   JOIN sized z ON z.k = a.k AND z.h = a.h
   JOIN bands b ON b.k = a.k AND b.h = a.h AND a.doc_id < b.doc_id
   UNION
-  SELECT DISTINCT LEAST(b.doc_id, r.rep) AS doc_a,
-                  GREATEST(b.doc_id, r.rep) AS doc_b
-  FROM bands b
-  JOIN reps r ON r.k = b.k AND r.h = b.h AND b.doc_id <> r.rep
+  SELECT doc_a, doc_b FROM (
+    SELECT LEAST(b.doc_id, r.rep) AS doc_a,
+           GREATEST(b.doc_id, r.rep) AS doc_b
+    FROM bands b
+    JOIN reps r ON r.k = b.k AND r.h = b.h AND b.doc_id <> r.rep
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT b.k) >= 2
+  )
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
@@ -2031,10 +2035,14 @@ mh_cand AS (
   JOIN sized z ON z.k = a.k AND z.h = a.h
   JOIN bands b ON b.k = a.k AND b.h = a.h AND a.doc_id < b.doc_id
   UNION
-  SELECT DISTINCT LEAST(b.doc_id, r.rep) AS doc_a,
-                  GREATEST(b.doc_id, r.rep) AS doc_b
-  FROM bands b
-  JOIN reps r ON r.k = b.k AND r.h = b.h AND b.doc_id <> r.rep
+  SELECT doc_a, doc_b FROM (
+    SELECT LEAST(b.doc_id, r.rep) AS doc_a,
+           GREATEST(b.doc_id, r.rep) AS doc_b
+    FROM bands b
+    JOIN reps r ON r.k = b.k AND r.h = b.h AND b.doc_id <> r.rep
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT b.k) >= 2
+  )
 ),
 mh AS (
   SELECT c.doc_a, c.doc_b

@@ -26,9 +26,9 @@ from .tables import load_table
 # bump when the corpus construction, pair params, or CC output changes
 _CC_VERSION = "neardup-cc-v1"
 _PAIRS_VERSION = "neardup-pairs-v1"
-_MH_PAIRS_VERSION = "neardup-minhash-pairs-v3"  # r9: oversized-bucket star reps
+_MH_PAIRS_VERSION = "neardup-minhash-pairs-v4"  # r9: star reps + band-agreement gate
 _PIPE_CC_VERSION = "pipeline-cc-v1"
-_MH_MUTANT_VERSION = "minhash-mutant-pairs-v3"  # r9: oversized-bucket star reps
+_MH_MUTANT_VERSION = "minhash-mutant-pairs-v4"  # r9: star reps + band-agreement gate
 _SIMHASH_PAIRS_VERSION = "simhash-pairs-v1"
 
 

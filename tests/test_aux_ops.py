@@ -452,6 +452,41 @@ def test_oversized_bucket_cluster_keeps_recall_via_star_reps(spark):
     assert clusters.first()[0] == 0  # min-id canonical label
 
 
+def test_star_pairs_require_band_agreement(spark):
+    """The oversized-bucket star is gated on >= MIN_STAR_BANDS (2)
+    shared bands (r9): a one-band hub collision is exactly the
+    boilerplate-minima coincidence (measured: 6,684 junk candidates
+    on the doc-skew stress corpus, all rejected by the verify; the
+    gate removes 6,530 of them before any shingle attach). Members
+    agreeing with a hub in two bands star; one-band agreement does
+    not. Hand-built signatures make the gate deterministic: every
+    bucket here is oversized or a singleton, so ONLY the star path
+    can emit pairs."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.dedup import (
+        banded_candidates,
+    )
+
+    n = 140  # both cohorts > MAX_BUCKET
+    rows = []
+    for d in range(n):
+        rows.append((d, 0, "hot0"))  # everyone collides (oversized)
+        # band 1: docs 0..69 collide AGAIN (oversized, 70 > 64);
+        # docs 70+ scatter to singletons
+        rows.append((d, 1, "hot1" if d < 70 else f"solo1-{d}"))
+        rows.append((d, 2, f"solo2-{d}"))  # everyone scatters
+        rows.append((d, 3, f"solo3-{d}"))
+    sigs = spark.createDataFrame(rows, "doc_id long, k int, h string")
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in banded_candidates(sigs).collect()
+    }
+    # docs 0..69 agree with the hubs (0..3) in bands 0 and 1 -> star;
+    # docs 70..139 agree in band 0 only -> gated out entirely
+    assert (0, 5) in got and (1, 69) in got
+    assert not any(a >= 70 or b >= 70 for a, b in got), sorted(got)[-5:]
+    # star emission stays linear: <= reps * members
+    assert len(got) <= 4 * 70
+
+
 def test_scale_stress_perturbations_preserve_per_replica_work(spark, monkeypatch):
     """The BASELINE scaling claims rest on the replica construction:
     (a) alphabet rotation is injective, so each replica's exact-dup
