@@ -299,6 +299,13 @@ def main() -> None:
         help="append one un-rotated boilerplate suffix to half of all "
         "documents and run only the shingle/gram-keyed queries",
     )
+    ap.add_argument(
+        "--families",
+        default=None,
+        help="comma-separated family names to run (default: all in the "
+        "selected mode) — re-measure one family after a targeted change "
+        "without paying the full suite",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     queries_by_family = (
@@ -306,6 +313,14 @@ def main() -> None:
         if args.skew
         else DOC_SKEW_QUERIES if args.doc_skew else STRESS_QUERIES
     )
+    if args.families:
+        wanted = {f.strip() for f in args.families.split(",")}
+        unknown = wanted - set(queries_by_family)
+        if unknown:
+            raise SystemExit(f"unknown families: {sorted(unknown)}")
+        queries_by_family = {
+            f: qs for f, qs in queries_by_family.items() if f in wanted
+        }
 
     from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
     from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.session import get_spark
