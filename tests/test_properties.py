@@ -932,3 +932,51 @@ def test_png_stored_roundtrip_any_geometry_filters_and_framing(
     px = multimodal.decode_png_pixels(payload)
     assert px is not None and px.shape == (h, w, 3)
     assert (px.reshape(h, 3 * w) == raster).all()
+
+
+@given(
+    ch=st.integers(min_value=1, max_value=6),
+    rate=st.integers(min_value=1, max_value=192000),
+    n_frames=st.integers(min_value=0, max_value=300),
+    seed=st.integers(min_value=0, max_value=2**31),
+    decoys=st.lists(
+        st.tuples(
+            st.sampled_from([b"LIST", b"junk", b"fact", b"cue "]),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_any_geometry_and_decoys(ch, rate, n_frames, seed, decoys):
+    """decode_wav_samples must recover the exact interleaved int16
+    stream for ANY channel count / rate / frame count and ANY decoy
+    chunk interleaving (odd decoy sizes exercise the word-alignment
+    skip). The data chunk is always whole frames — the r9 block-align
+    invariant — and the decoder must preserve that: len % ch == 0."""
+    import struct as _s
+
+    import numpy as np
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import multimodal
+
+    n = n_frames * ch
+    samples = ((seed + 11 * np.arange(n)) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = b"fmt " + _s.pack("<I", 16) + _s.pack(
+        "<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16
+    )
+    body = b"WAVE" + fmt
+    for cid, size in decoys:
+        body += cid + _s.pack("<I", size) + bytes(range(size % 256))[:size]
+        if size & 1:
+            body += b"\x00"  # word-aligned chunk padding
+    body += b"data" + _s.pack("<I", len(data)) + data
+    payload = b"RIFF" + _s.pack("<I", len(body)) + body
+    got = multimodal.decode_wav_samples(payload)
+    assert got is not None
+    gch, grate, gsamples = got
+    assert (gch, grate) == (ch, rate)
+    assert (gsamples == samples).all()
+    assert len(gsamples) % ch == 0
