@@ -287,13 +287,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,3,10")
     ap.add_argument("--out", default=str(REPO / "STRESS_r08.json"))
-    ap.add_argument(
+    # --skew and --doc-skew each perturb the built corpus AND select a
+    # query family; combining them would apply both perturbations while
+    # running only SKEW_QUERIES and recording a conflated measurement
+    # (r9 advice) — argparse rejects the combination outright
+    mode = ap.add_mutually_exclusive_group()
+    mode.add_argument(
         "--skew",
         action="store_true",
         help="collapse half of all events onto one hot user and run "
         "only the user_id-keyed queries",
     )
-    ap.add_argument(
+    mode.add_argument(
         "--doc-skew",
         action="store_true",
         help="append one un-rotated boilerplate suffix to half of all "

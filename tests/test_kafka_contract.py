@@ -119,10 +119,15 @@ def test_string_offsets_hash_identical_to_long_offsets(spark):
 
 def test_golden_value_hash_pinned(spark):
     """The end-to-end P1->P5 value hash over the golden bytes. If this
-    moves, the wire contract moved — bump deliberately."""
-    assert _value_hash(_normalized(spark)) == _value_hash(_normalized(spark))
-    # pin the exact digest: recompute from the fixtures above if the
-    # contract is changed ON PURPOSE
+    moves, the wire contract moved — bump deliberately.
+
+    Pinned-digest caveat: the digest hashes the Python repr of the
+    collected rows, so it is sensitive to how a future Spark version
+    reprs map-typed Row values and to the session timezone (UTC is
+    pinned in session.py). A digest change on a Spark upgrade with
+    unchanged row VALUES means re-pin, not wire-contract breakage —
+    the value assertions in test_envelope_projection_golden are the
+    semantic gate."""
     assert _value_hash(_normalized(spark)) == "b545baabd734bf44", _value_hash(
         _normalized(spark)
     )
