@@ -54,10 +54,21 @@ def suggested_bits(
 
 def _positions(key: Column, n_bits: int, k: int) -> Column:
     """Array of k bit positions for a key. Seed rides as a literal in
-    the hash input, so every engine restart derives identical filters."""
+    the hash input, so every engine restart derives identical filters.
+
+    The key is folded to ONE 64-bit xxhash first and the k positions
+    derive from that long (r9 verdict item 4): the variable-length
+    string is hashed once per occurrence instead of k times, and the
+    per-seed hashes run over 8 bytes — on the doc-skew corpus (half the
+    probe grams are one boilerplate suffix, so probe volume is the
+    whole cost) this cuts the probe's string-hash work by ~k. Build and
+    probe share this derivation, so no-false-negatives is untouched;
+    the k positions stay pairwise-independent enough for the FP bound
+    the pytest pins (double-hashing is the textbook Bloom construction)."""
+    h = F.xxhash64(key)
     return F.array(
         *[
-            F.pmod(F.xxhash64(F.lit(i), key), F.lit(n_bits)).cast("long")
+            F.pmod(F.xxhash64(F.lit(i), h), F.lit(n_bits)).cast("long")
             for i in range(k)
         ]
     )
@@ -98,10 +109,12 @@ def might_contain(
     shuffles and row multiplicity/order is untouched. Every join key
     is a pure function of the probe's own column, so the result is
     deterministic under task retries (no synthetic row ids)."""
-    out = probe
+    # fold the key to one 64-bit hash, then derive the k positions from
+    # the long — must mirror _positions exactly or false negatives appear
+    out = probe.withColumn("_bh", F.xxhash64(F.col(key_col)))
     bit_tests = []
     for i in range(k):
-        pos = F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(n_bits)).cast(
+        pos = F.pmod(F.xxhash64(F.lit(i), F.col("_bh")), F.lit(n_bits)).cast(
             "long"
         )
         out = out.withColumn(f"_bp{i}", pos)
@@ -125,7 +138,7 @@ def might_contain(
         hit = hit & t
     out = out.withColumn("bloom_hit", hit)
     return out.drop(
-        *[c for i in range(k) for c in (f"_bp{i}", f"_bwi{i}", f"_bw{i}")]
+        "_bh", *[c for i in range(k) for c in (f"_bp{i}", f"_bwi{i}", f"_bw{i}")]
     )
 
 

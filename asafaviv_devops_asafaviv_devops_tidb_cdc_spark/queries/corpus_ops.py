@@ -1074,7 +1074,16 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom verdict; the oracle asserts bloom_hit TRUE for all of them,
     so a single missed doc hash-fails the gate. The FP *bound* (the
     other direction — how many clean docs get dropped) is pytest-pinned
-    since it is distributional, not exact."""
+    since it is distributional, not exact.
+
+    Scaling bound (r9 STRESS doc-skew finding, accepted): probe cost is
+    proportional to the EVAL side's gram occurrences — the doc-skew
+    protocol scales the probe input itself 10x, so wall time grows with
+    it by construction; sublinear-in-probe-volume is the floor, not
+    sublinear-in-corpus. The r10 mitigation folds each gram to one
+    64-bit xxhash before the k per-seed probes (functions/bloom.py
+    ``_positions``), cutting the per-occurrence string-hash work ~k-fold
+    on boilerplate-heavy corpora."""
     from ..functions import bloom as B
 
     docs = _docs(spark, sf_dir)
