@@ -5,10 +5,15 @@ Arrow-batched ``mapInPandas``.
 ``decode_payload`` is a REAL container-header decoder: it sniffs the
 magic bytes and parses format + dimensions for PNG/JPEG/GIF/BMP/WAV
 from the raw payload — pure stdlib ``struct``, no codec libraries.
-Full pixel/sample decode (``decode_pixels``) remains the declared
-library boundary (PIL/ffmpeg are not in this container) and raises
-NotImplementedError; ``fake_decode_features`` is the deterministic
-feature stand-in tests use downstream of the header sniff.
+Full pixel/sample decode (``decode_pixels``) is IN-ENGINE for
+uncompressed 24-bit BMP and for PNG whose deflate blocks are stored
+(BTYPE=0) or fixed-Huffman (BTYPE=1, RFC 1951 ``_inflate``); the
+remaining declared library boundary is dynamic-Huffman deflate and
+DCT-family codecs (PIL/ffmpeg are not in this container) — corrupt
+input returns None, only the genuine boundary raises
+(``DynamicHuffmanBoundary``). ``fake_decode_features`` is the
+deterministic feature stand-in tests use downstream of the header
+sniff.
 
 Scale posture: payloads stay in the executor as Arrow buffers;
 ``mapInPandas`` streams record batches so one task never materializes
@@ -91,29 +96,27 @@ def decode_payload(payload: bytes, mime: str | None = None) -> dict:
 
 
 def decode_pixels(payload: bytes, mime: str):
-    """Full pixel/sample decode. Uncompressed 24-bit BMP and
-    stored-deflate PNG are decoded IN-ENGINE (pure stdlib + numpy —
-    fixed headers, chunk/block walks, filter reconstruction); Huffman-
-    compressed PNG and every other container remain the declared
-    library boundary (inflate/DCT requires codecs — PIL/ffmpeg — not
-    present in this container)."""
+    """Full pixel/sample decode. Uncompressed 24-bit BMP and stored- or
+    fixed-Huffman-deflate PNG are decoded IN-ENGINE (pure stdlib +
+    numpy — fixed headers, chunk/block walks, RFC 1951 fixed-Huffman
+    inflate, filter reconstruction). Contract (r9 advice — consistent
+    across formats): corrupt/unsupported-variant input returns None;
+    NotImplementedError is raised ONLY at the genuine codec-library
+    boundary — dynamic-Huffman deflate (PNG BTYPE=2), JPEG DCT, and
+    every other container (PIL/ffmpeg territory, not present here)."""
     b = payload or b""
     if (mime or "").lower() in ("image/bmp", "bmp") or b[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if (mime or "").lower() in ("image/png", "png") or b[:8] == b"\x89PNG\r\n\x1a\n":
-        px = decode_png_pixels(payload)
-        if px is not None:
-            return px
-        raise NotImplementedError(
-            "PNG with Huffman-compressed deflate blocks requires a "
-            "codec library (zlib inflate); stored-block streams decode "
-            "in-engine (decode_png_pixels)"
-        )
+        # DynamicHuffmanBoundary propagates with its accurate message;
+        # everything else undecodable is corruption -> None (same
+        # contract as the BMP branch)
+        return decode_png_pixels(payload)
     raise NotImplementedError(
-        "pixel decoding beyond uncompressed BMP and stored-deflate PNG "
-        "requires optional codecs (PIL/ffmpeg); decode_payload provides "
-        "header metadata, fake_decode_features the deterministic "
-        "feature stand-in"
+        "pixel decoding beyond uncompressed BMP and stored/fixed-"
+        "Huffman-deflate PNG requires optional codecs (PIL/ffmpeg); "
+        "decode_payload provides header metadata, fake_decode_features "
+        "the deterministic feature stand-in"
     )
 
 
@@ -773,16 +776,19 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 def synth_png_payloads(media_ids: DataFrame) -> DataFrame:
     """Build COMPLETE valid PNG files (signature, IHDR, split IDAT,
-    decoy tEXt, IEND — all chunk CRCs real) whose zlib stream uses
-    ONLY stored deflate blocks, with formula-derived content:
-    width = id % 24 + 4, height = id*5 % 24 + 4, 8-bit RGB
+    decoy tEXt, IEND — all chunk CRCs real) with formula-derived
+    content: width = id % 24 + 4, height = id*5 % 24 + 4, 8-bit RGB
     (color type 2), raster byte j = (id*13 + j) % 256. Every scanline
     is filtered with filter (id + row) % 3 (None/Sub/Up) before the
-    stored-block framing, the stream is split into <=512-byte stored
-    blocks AND across two IDAT chunks with a decoy tEXt between them —
-    so a decoder only matches the DuckDB oracle if it concatenates
-    IDATs, walks the stored-block framing, verifies adler32, and
-    reconstructs all three filters byte-exactly."""
+    zlib framing. EVEN ids get the hand-rolled stored framing
+    (<=512-byte BTYPE=0 blocks); ODD ids are compressed with zlib's
+    Z_FIXED strategy, which emits FIXED-HUFFMAN (BTYPE=1) blocks with
+    real LZ77 back-references — the encoder may use the library, the
+    in-engine decoder (``_inflate``) may not. Every stream is still
+    split across two IDAT chunks with a decoy tEXt between them, so a
+    decoder only matches the DuckDB oracle if it concatenates IDATs,
+    inflates both block types (verifying adler32), and reconstructs
+    all three filters byte-exactly."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
@@ -817,20 +823,31 @@ def synth_png_payloads(media_ids: DataFrame) -> DataFrame:
                     lines.extend(filt.astype(np.uint8).tobytes())
                     prev = raw
                 body = bytes(lines)
-                # zlib framing: header + stored blocks (<=512 bytes
-                # each) + adler32 of the uncompressed bytes
-                stream = bytearray(b"\x78\x01")
-                pos = 0
-                while True:
-                    part = body[pos : pos + 512]
-                    pos += len(part)
-                    final = 1 if pos >= len(body) else 0
-                    stream.append(final)  # BTYPE=00 (stored) in bits 1-2
-                    stream.extend(struct.pack("<HH", len(part), len(part) ^ 0xFFFF))
-                    stream.extend(part)
-                    if final:
-                        break
-                stream.extend(struct.pack(">I", zlib.adler32(body) & 0xFFFFFFFF))
+                if mid % 2:
+                    # fixed-Huffman framing via the library ENCODER
+                    # (Z_FIXED forbids dynamic trees; decode stays
+                    # in-engine). memLevel 9 keeps it one block.
+                    co = zlib.compressobj(6, zlib.DEFLATED, 15, 9, zlib.Z_FIXED)
+                    stream = bytearray(co.compress(body) + co.flush())
+                else:
+                    # hand-rolled zlib framing: header + stored blocks
+                    # (<=512 bytes each) + adler32 of the raw bytes
+                    stream = bytearray(b"\x78\x01")
+                    pos = 0
+                    while True:
+                        part = body[pos : pos + 512]
+                        pos += len(part)
+                        final = 1 if pos >= len(body) else 0
+                        stream.append(final)  # BTYPE=00 in bits 1-2
+                        stream.extend(
+                            struct.pack("<HH", len(part), len(part) ^ 0xFFFF)
+                        )
+                        stream.extend(part)
+                        if final:
+                            break
+                    stream.extend(
+                        struct.pack(">I", zlib.adler32(body) & 0xFFFFFFFF)
+                    )
                 ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
                 cut = max(len(stream) // 2, 1)
                 payload = (
@@ -851,53 +868,180 @@ def synth_png_payloads(media_ids: DataFrame) -> DataFrame:
     )
 
 
-def _inflate_stored(stream: bytes):
-    """Walk a zlib stream made of STORED deflate blocks only (pure
-    integer logic — no inflate). Returns the uncompressed bytes, or
-    None if any block is Huffman-compressed (BTYPE 1/2 — the declared
-    codec-library boundary), the framing is inconsistent, or the
-    adler32 checksum fails."""
+class DynamicHuffmanBoundary(NotImplementedError):
+    """Raised when a deflate stream contains a dynamic-Huffman block
+    (BTYPE=2) — the one remaining codec-library boundary after r10.
+    Distinct from plain corruption (which decoders report as None, the
+    r9 advice contract) so the dispatcher's error is never misleading."""
+
+
+# RFC 1951 §3.2.5 fixed tables: length symbol 257+i -> base/extra-bit
+# count, distance symbol i -> base/extra-bit count.
+_LEN_BASE = (
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43,
+    51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258,
+)
+_LEN_EXTRA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4,
+    4, 4, 5, 5, 5, 5, 0,
+)
+_DIST_BASE = (
+    1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193, 257,
+    385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289,
+    16385, 24577,
+)
+_DIST_EXTRA = (
+    0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9,
+    10, 10, 11, 11, 12, 12, 13, 13,
+)
+
+
+class _Corrupt(Exception):
+    pass
+
+
+def _inflate(stream: bytes):
+    """Pure-stdlib zlib-stream inflate for STORED (BTYPE=0) and
+    FIXED-HUFFMAN (BTYPE=1) deflate blocks — RFC 1950/1951 framing,
+    LSB-first bit packing, MSB-first Huffman codes, full LZ77 window
+    copies (overlap-safe), adler32 verification. Returns the
+    uncompressed bytes; returns None on any framing/checksum
+    corruption; raises :class:`DynamicHuffmanBoundary` on a BTYPE=2
+    block (dynamic Huffman — the declared codec-library boundary).
+
+    Fixed-Huffman decode is symbol-at-a-time: 7 bits first (length
+    symbols 256-279), extended to 8 (literals 0-143 / lengths 280-287)
+    then 9 (literals 144-255) per the canonical code ranges. On the
+    compressible formula rasters the synth emits, a block is a few
+    hundred literals plus long matches, so the Python symbol loop is
+    shallow."""
     import zlib
 
     if len(stream) < 6 or (stream[0] & 0x0F) != 8 or (stream[1] & 0x20):
         return None  # not deflate, or preset dictionary (unsupported)
     if ((stream[0] << 8) | stream[1]) % 31 != 0:
         return None  # zlib header check bits
+    data = stream[: len(stream) - 4]  # deflate bits; last 4 = adler32
     out = bytearray()
+    # LSB-first bit accumulator over data[pos:]
+    buf = 0
+    nbits = 0
     pos = 2
-    while True:
-        if pos >= len(stream) - 4:
-            return None  # ran past the payload without a final block
-        hdr = stream[pos]
-        btype = (hdr >> 1) & 3
-        if btype != 0:
-            return None  # compressed block: the library boundary
-        pos += 1
-        if pos + 4 > len(stream) - 4:
-            return None
-        ln, nln = struct.unpack("<HH", stream[pos : pos + 4])
-        if ln != (nln ^ 0xFFFF):
-            return None
-        pos += 4
-        if pos + ln > len(stream) - 4:
-            return None
-        out.extend(stream[pos : pos + ln])
-        pos += ln
-        if hdr & 1:
-            break
+
+    def getbits(n: int) -> int:
+        nonlocal buf, nbits, pos
+        while nbits < n:
+            if pos >= len(data):
+                raise _Corrupt
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = buf & ((1 << n) - 1)
+        buf >>= n
+        nbits -= n
+        return v
+
+    def code_msb(width: int, start: int = 0) -> int:
+        c = start
+        for _ in range(width):
+            c = (c << 1) | getbits(1)
+        return c
+
+    def lit_len_symbol() -> int:
+        c = code_msb(7)
+        if c <= 0x17:
+            return 256 + c
+        c = (c << 1) | getbits(1)  # 8 bits
+        if 0x30 <= c <= 0xBF:
+            return c - 0x30
+        if 0xC0 <= c <= 0xC7:
+            return 280 + (c - 0xC0)
+        c = (c << 1) | getbits(1)  # 9 bits
+        if 0x190 <= c <= 0x1FF:
+            return 144 + (c - 0x190)
+        raise _Corrupt
+
+    try:
+        while True:
+            final = getbits(1)
+            btype = getbits(2)
+            if btype == 0:
+                # stored: discard bits to the byte boundary, then
+                # LEN/NLEN + raw copy (whole bytes may sit in buf)
+                drop = nbits & 7
+                buf >>= drop
+                nbits -= drop
+                ln = getbits(16)
+                nln = getbits(16)
+                if ln != (nln ^ 0xFFFF):
+                    return None
+                take = min(nbits >> 3, ln)
+                for _ in range(take):
+                    out.append(buf & 0xFF)
+                    buf >>= 8
+                    nbits -= 8
+                rest = ln - take
+                if pos + rest > len(data):
+                    return None
+                out += data[pos : pos + rest]
+                pos += rest
+            elif btype == 1:
+                while True:
+                    sym = lit_len_symbol()
+                    if sym == 256:
+                        break
+                    if sym < 256:
+                        out.append(sym)
+                        continue
+                    if sym > 285:
+                        return None
+                    li = sym - 257
+                    length = _LEN_BASE[li] + (
+                        getbits(_LEN_EXTRA[li]) if _LEN_EXTRA[li] else 0
+                    )
+                    dc = code_msb(5)
+                    if dc > 29:
+                        return None
+                    dist = _DIST_BASE[dc] + (
+                        getbits(_DIST_EXTRA[dc]) if _DIST_EXTRA[dc] else 0
+                    )
+                    if dist > len(out):
+                        return None
+                    start = len(out) - dist
+                    if dist >= length:
+                        out += out[start : start + length]
+                    else:  # overlapping copy: byte-at-a-time semantics
+                        for i in range(length):
+                            out.append(out[start + i])
+            elif btype == 2:
+                raise DynamicHuffmanBoundary(
+                    "deflate block uses dynamic Huffman codes (BTYPE=2); "
+                    "stored and fixed-Huffman blocks decode in-engine — "
+                    "dynamic trees require a codec library (zlib inflate)"
+                )
+            else:
+                return None
+            if final:
+                break
+    except _Corrupt:
+        return None
     if struct.unpack(">I", stream[-4:])[0] != (zlib.adler32(bytes(out)) & 0xFFFFFFFF):
         return None
     return bytes(out)
 
 
 def decode_png_pixels(payload: bytes):
-    """REAL PNG decoder for stored-deflate streams: walks the chunk
-    list verifying every CRC, concatenates IDAT data, inflates the
-    stored-block zlib stream (``_inflate_stored`` — compressed blocks
-    return None, the declared boundary), and reconstructs all five
-    scanline filters (None/Sub/Up/Average/Paeth) into a
-    ``numpy.uint8`` (height, width, 3) RGB raster. 8-bit color type 2
-    only; returns None for anything it cannot decode exactly."""
+    """REAL PNG decoder for stored- and fixed-Huffman-deflate streams:
+    walks the chunk list verifying every CRC, concatenates IDAT data,
+    inflates the zlib stream (``_inflate`` — BTYPE 0 and 1 in-engine),
+    and reconstructs all five scanline filters
+    (None/Sub/Up/Average/Paeth) into a ``numpy.uint8``
+    (height, width, 3) RGB raster. 8-bit color type 2 only. Returns
+    None for anything corrupt or out-of-scope it cannot decode
+    exactly; raises :class:`DynamicHuffmanBoundary` ONLY for a
+    well-formed stream whose deflate blocks use dynamic Huffman codes
+    (the declared codec-library boundary), so callers can tell the
+    boundary from hostile input (r9 advice)."""
     import zlib
 
     import numpy as np
@@ -929,7 +1073,7 @@ def decode_png_pixels(payload: bytes):
         return None
     if w <= 0 or h <= 0:
         return None
-    body = _inflate_stored(bytes(idat))
+    body = _inflate(bytes(idat))
     if body is None or len(body) != h * (1 + 3 * w):
         return None
     bpp, stride = 3, 3 * w
@@ -986,7 +1130,10 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_png_pixels(bytes(payload or b""))
+                try:
+                    px = decode_png_pixels(bytes(payload or b""))
+                except DynamicHuffmanBoundary:
+                    px = None  # boundary payloads yield NULL stats too
                 if px is None:
                     rows.append((int(mid), None, None, None, None, None))
                     continue

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import multimodal, similarity, text as TX
-from ..functions.dedup import exact_dedup, with_simhash
+from ..functions.dedup import (
+    MAX_BUCKET,
+    MIN_STAR_BANDS,
+    OVERSIZE_REPS,
+    exact_dedup,
+    with_simhash,
+)
 from ..registry import register
 from ..sources import load_table
 
@@ -62,10 +68,46 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- E2: near-dup detection (MinHash-LSH) ----------------------------------
 
+# Shared LSH candidate-generation CTE block (consumes a `bands` CTE,
+# yields `cand`). The sizing/star-gate parameters interpolate from the
+# functions/dedup.py constants the Spark side executes with, so a
+# constant change can never silently diverge the two oracle copies
+# from the engine (r9 advice).
+_LSH_CAND_CTES = f"""
+sized AS (
+  SELECT k, h FROM bands GROUP BY k, h
+  HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+oversz AS (
+  SELECT k, h FROM bands GROUP BY k, h HAVING COUNT(*) > {MAX_BUCKET}
+),
+reps AS (
+  SELECT k, h, doc_id AS rep FROM (
+    SELECT b.k, b.h, b.doc_id,
+           row_number() OVER (PARTITION BY b.k, b.h ORDER BY b.doc_id) AS rn
+    FROM bands b JOIN oversz o ON o.k = b.k AND o.h = b.h
+  ) WHERE rn <= {OVERSIZE_REPS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN sized z ON z.k = a.k AND z.h = a.h
+  JOIN bands b ON b.k = a.k AND b.h = a.h AND a.doc_id < b.doc_id
+  UNION
+  SELECT doc_a, doc_b FROM (
+    SELECT LEAST(b.doc_id, r.rep) AS doc_a,
+           GREATEST(b.doc_id, r.rep) AS doc_b
+    FROM bands b
+    JOIN reps r ON r.k = b.k AND r.h = b.h AND b.doc_id <> r.rep
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT b.k) >= {MIN_STAR_BANDS}
+  )
+)"""
+
 
 @register(
     "q_minhash_neardup",
-    oracle="""
+    oracle=f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -92,34 +134,7 @@ bands AS (
   FROM mins a JOIN mins b ON b.doc_id = a.doc_id AND b.k = a.k + 1
   WHERE a.k % 2 = 0
 ),
-sized AS (
-  SELECT k, h FROM bands GROUP BY k, h HAVING COUNT(*) BETWEEN 2 AND 64
-),
-oversz AS (
-  SELECT k, h FROM bands GROUP BY k, h HAVING COUNT(*) > 64
-),
-reps AS (
-  SELECT k, h, doc_id AS rep FROM (
-    SELECT b.k, b.h, b.doc_id,
-           row_number() OVER (PARTITION BY b.k, b.h ORDER BY b.doc_id) AS rn
-    FROM bands b JOIN oversz o ON o.k = b.k AND o.h = b.h
-  ) WHERE rn <= 4
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN sized z ON z.k = a.k AND z.h = a.h
-  JOIN bands b ON b.k = a.k AND b.h = a.h AND a.doc_id < b.doc_id
-  UNION
-  SELECT doc_a, doc_b FROM (
-    SELECT LEAST(b.doc_id, r.rep) AS doc_a,
-           GREATEST(b.doc_id, r.rep) AS doc_b
-    FROM bands b
-    JOIN reps r ON r.k = b.k AND r.h = b.h AND b.doc_id <> r.rep
-    GROUP BY 1, 2
-    HAVING COUNT(DISTINCT b.k) >= 2
-  )
-),
+{_LSH_CAND_CTES},
 verified AS (
   SELECT c.doc_a, c.doc_b,
          len(list_intersect(sa.s, sb.s)) AS inter,
@@ -1580,21 +1595,24 @@ FROM s
 """,
 )
 def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5f — REAL PNG decode for stored-deflate streams (r8 verdict
-    item 7, shrinking the codec boundary): complete valid PNGs —
-    real chunk CRCs, the zlib stream split into <=512-byte STORED
-    deflate blocks and across two IDAT chunks with a decoy tEXt
-    between them, every scanline filtered with (id+row)%3
-    (None/Sub/Up) — are synthesized from the id formula; a separate
-    Arrow stage re-walks the chunks (verifying CRCs), concatenates
-    IDATs, walks the stored-block framing (verifying adler32), and
-    reconstructs the filters into the raster
-    (functions/multimodal.py::decode_png_pixels / png_pixel_stats).
-    The oracle brute-forces the position-weighted checksum from the
-    formula — px_wsum only matches if framing AND filter inversion
-    are byte-exact. Huffman-compressed deflate (BTYPE 1/2) remains
-    the declared codec-library boundary: the decoder returns None
-    rather than guessing."""
+    """E5f — REAL PNG decode for stored- AND fixed-Huffman-deflate
+    streams (r8 item 7 + r9 item 7, shrinking the codec boundary
+    twice): complete valid PNGs — real chunk CRCs, two IDAT chunks
+    with a decoy tEXt between them, every scanline filtered with
+    (id+row)%3 (None/Sub/Up) — are synthesized from the id formula;
+    EVEN ids carry hand-rolled <=512-byte STORED blocks, ODD ids a
+    Z_FIXED zlib stream (BTYPE=1 fixed-Huffman blocks with real LZ77
+    back-references). A separate Arrow stage re-walks the chunks
+    (verifying CRCs), concatenates IDATs, inflates both block types
+    in-engine (RFC 1951 fixed tables, MSB-first codes, overlap-safe
+    window copies, adler32 verified), and reconstructs the filters
+    into the raster (functions/multimodal.py::_inflate /
+    decode_png_pixels / png_pixel_stats). The oracle brute-forces the
+    position-weighted checksum from the formula — px_wsum only
+    matches if framing, Huffman decode, AND filter inversion are all
+    byte-exact. Dynamic-Huffman deflate (BTYPE=2) is the remaining
+    declared codec-library boundary: DynamicHuffmanBoundary, never a
+    guess."""
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     payloads = multimodal.synth_png_payloads(ids)
     return multimodal.png_pixel_stats(payloads)
@@ -1991,7 +2009,7 @@ def q_ann_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_neardup_recall",
     oracle=f"WITH corpus AS ({_CORPUS_BODY}),\n"
-    + """
+    + f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM corpus),
 sh AS (
   SELECT doc_id,
@@ -2016,38 +2034,11 @@ bands AS (
   FROM mins a JOIN mins b ON b.doc_id = a.doc_id AND b.k = a.k + 1
   WHERE a.k % 2 = 0
 ),
-sized AS (
-  SELECT k, h FROM bands GROUP BY k, h HAVING COUNT(*) BETWEEN 2 AND 64
-),
-oversz AS (
-  SELECT k, h FROM bands GROUP BY k, h HAVING COUNT(*) > 64
-),
-reps AS (
-  SELECT k, h, doc_id AS rep FROM (
-    SELECT b.k, b.h, b.doc_id,
-           row_number() OVER (PARTITION BY b.k, b.h ORDER BY b.doc_id) AS rn
-    FROM bands b JOIN oversz o ON o.k = b.k AND o.h = b.h
-  ) WHERE rn <= 4
-),
-mh_cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN sized z ON z.k = a.k AND z.h = a.h
-  JOIN bands b ON b.k = a.k AND b.h = a.h AND a.doc_id < b.doc_id
-  UNION
-  SELECT doc_a, doc_b FROM (
-    SELECT LEAST(b.doc_id, r.rep) AS doc_a,
-           GREATEST(b.doc_id, r.rep) AS doc_b
-    FROM bands b
-    JOIN reps r ON r.k = b.k AND r.h = b.h AND b.doc_id <> r.rep
-    GROUP BY 1, 2
-    HAVING COUNT(DISTINCT b.k) >= 2
-  )
-),
+{_LSH_CAND_CTES},
 mh AS (
   SELECT c.doc_a, c.doc_b
-  FROM mh_cand c JOIN sh sa ON sa.doc_id = c.doc_a
-                 JOIN sh sb ON sb.doc_id = c.doc_b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
   WHERE len(list_intersect(sa.s, sb.s)) * 1000000
         // (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 500000
 ),

@@ -328,8 +328,12 @@ def test_decode_pixels_routes_bmp_and_keeps_codec_boundary():
     import pytest as _pytest
 
     assert multimodal.decode_pixels(_full_bmp(3), "image/bmp") is not None
+    # header-only PNG = corrupt input -> None, the same contract as the
+    # BMP branch (r9 advice); NotImplementedError is reserved for the
+    # genuine codec boundary
+    assert multimodal.decode_pixels(_png(4, 4), "image/png") is None
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_pixels(_png(4, 4), "image/png")
+        multimodal.decode_pixels(_gif(4, 4), "image/gif")
 
 
 def _full_wav(mid: int) -> bytes:
@@ -606,28 +610,57 @@ def test_png_decoder_handles_average_and_paeth_filters():
     assert got is not None and (got == raster.reshape(h, w, 3)).all()
 
 
-def test_png_decoder_rejects_compressed_and_corrupt():
+def test_png_decoder_boundary_and_corruption_contract():
     import struct as _s
     import zlib
 
-    w = h = 4
-    body = bytes([0] * (1 + 3 * w)) * h
-    comp = zlib.compress(body)  # BTYPE!=0 blocks: the declared boundary
-    bad = (
-        b"\x89PNG\r\n\x1a\n"
-        + multimodal._png_chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
-        + multimodal._png_chunk(b"IDAT", comp)
-        + multimodal._png_chunk(b"IEND", b"")
-    )
-    assert multimodal.decode_png_pixels(bad) is None
+    import numpy as np
     import pytest as _pytest
 
+    w = h = 4
+    body = bytes([0] * (1 + 3 * w)) * h
+
+    def wrap(stream: bytes) -> bytes:
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + multimodal._png_chunk(
+                b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            )
+            + multimodal._png_chunk(b"IDAT", stream)
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+
+    # fixed-Huffman (Z_FIXED) streams now decode IN-ENGINE (r10)
+    co = zlib.compressobj(6, zlib.DEFLATED, 15, 9, zlib.Z_FIXED)
+    fixed = co.compress(body) + co.flush()
+    got = multimodal.decode_png_pixels(wrap(fixed))
+    assert got is not None and got.shape == (h, w, 3) and not got.any()
+
+    # dynamic-Huffman (BTYPE=2) is the remaining boundary: an accurate
+    # raise, from the decoder and the dispatcher alike
+    rng = np.random.default_rng(3)
+    weights = np.arange(1, 65, dtype=np.float64)
+    big = rng.choice(
+        64, size=4000, p=weights / weights.sum()
+    ).astype(np.uint8).tobytes()
+    dyn = zlib.compress(big, 9)
+    assert (dyn[2] >> 1) & 3 == 2  # proves the stream IS dynamic
+    with _pytest.raises(multimodal.DynamicHuffmanBoundary):
+        multimodal.decode_png_pixels(wrap(dyn))
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_pixels(bad, "image/png")
+        multimodal.decode_pixels(wrap(dyn), "image/png")
+
+    # corruption -> None everywhere, never a misleading raise
     good = _full_png(9)
     assert multimodal.decode_pixels(good, "image/png") is not None
     corrupt = bytearray(good)
     corrupt[30] ^= 0xFF  # breaks a chunk CRC
     assert multimodal.decode_png_pixels(bytes(corrupt)) is None
+    assert multimodal.decode_pixels(bytes(corrupt), "image/png") is None
     assert multimodal.decode_png_pixels(b"") is None
     assert multimodal.decode_png_pixels(good[:40]) is None
+    # bit-flip INSIDE a fixed-Huffman stream (chunk CRC recomputed, so
+    # the corruption reaches the inflater): adler/framing fails -> None
+    flipped = bytearray(fixed)
+    flipped[len(flipped) // 2] ^= 0xFF
+    assert multimodal.decode_png_pixels(wrap(bytes(flipped))) is None

@@ -935,6 +935,84 @@ def test_png_stored_roundtrip_any_geometry_filters_and_framing(
 
 
 @given(
+    w=st.integers(min_value=1, max_value=21),
+    h=st.integers(min_value=1, max_value=21),
+    seed=st.integers(min_value=0, max_value=2**31),
+    filters=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=21
+    ),
+    level=st.integers(min_value=1, max_value=9),
+    mem_level=st.integers(min_value=1, max_value=9),
+    n_idat=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_fixed_huffman_roundtrip_any_geometry_and_framing(
+    w, h, seed, filters, level, mem_level, n_idat
+):
+    """The r10 fixed-Huffman inflate must invert ANY Z_FIXED zlib
+    stream the library encoder can emit — every compression level and
+    memLevel (different block splits and match choices), every filter,
+    every IDAT split. The encoder is the library; the decoder under
+    test is the pure in-engine one."""
+    import struct as _s
+    import zlib
+
+    import numpy as np
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import multimodal
+
+    raster = ((seed + 7 * np.arange(3 * w * h)) % 256).astype(np.uint8).reshape(
+        h, 3 * w
+    )
+    lines = bytearray()
+    prev = np.zeros(3 * w, dtype=np.int32)
+    for r in range(h):
+        f = filters[r % len(filters)]
+        raw = raster[r].astype(np.int32)
+        filt = np.zeros(3 * w, dtype=np.int32)
+        for x in range(3 * w):
+            a = int(raw[x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            c = int(prev[x - 3]) if x >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[x] = (raw[x] - pred) % 256
+        lines.append(f)
+        lines.extend(filt.astype(np.uint8).tobytes())
+        prev = raw
+    body = bytes(lines)
+    co = zlib.compressobj(level, zlib.DEFLATED, 15, mem_level, zlib.Z_FIXED)
+    stream = co.compress(body) + co.flush()
+    cuts = sorted(
+        {min(len(stream), 1 + (i * len(stream)) // n_idat) for i in range(1, n_idat)}
+    )
+    pieces, last = [], 0
+    for c in cuts + [len(stream)]:
+        if c > last:
+            pieces.append(stream[last:c])
+            last = c
+    payload = b"\x89PNG\r\n\x1a\n" + multimodal._png_chunk(
+        b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    )
+    for piece in pieces:
+        payload += multimodal._png_chunk(b"IDAT", piece)
+    payload += multimodal._png_chunk(b"IEND", b"")
+    px = multimodal.decode_png_pixels(payload)
+    assert px is not None and px.shape == (h, w, 3)
+    assert (px.reshape(h, 3 * w) == raster).all()
+
+
+@given(
     ch=st.integers(min_value=1, max_value=6),
     rate=st.integers(min_value=1, max_value=192000),
     n_frames=st.integers(min_value=0, max_value=300),
