@@ -44,84 +44,76 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-9 window: drain the verdict-staleness backlog (r8 verdict
-    # item 1). scripts/freshness.py reports 0 changed-path and 0
-    # never-checked at round start, so all 50 slots are rotation, taken
-    # oldest-first as tests/test_freshness.py requires:
-    # (a) the entire r3-latest cohort (22), (b) the 28 oldest r4-latest
-    # entries in registration order. Queries edited later this round
-    # (flagged by freshness.py) displace the NEWEST rotation entries —
-    # an outside-the-window r4 entry ties the newest r4 inside, which
-    # the oldest-first invariant allows.
-    # --- changed-path this round (freshness.py, 6) + new (1):
-    # oversized-bucket star reps rewrote both minhash pipelines;
-    # spec-clean whole-frame WAV synth + n_frames readout;
-    # q_hll_distinct gained its oracle (bound-predicate readout);
-    # q_kmv_distinct + q_bmp_pixel_stats docstring cross-refs;
-    # q_png_pixel_stats is the round's one new registration (the
-    # stored-deflate PNG decode, r8 verdict item 7) ---
+    # Round-10 window (50 slots), composed mechanically per
+    # tests/test_freshness.py:
+    # (a) 4 changed-path entries (scripts/freshness.py vs the r9/r5
+    #     verdict markers): q_bloom_decontaminate (64-bit gram prehash,
+    #     functions/bloom.py), q_minhash_neardup + q_neardup_recall
+    #     (star-gate constants now interpolated into the shared
+    #     _LSH_CAND_CTES oracle template — r9 advice), and
+    #     q_png_pixel_stats (fixed-Huffman BTYPE=1 inflate + Z_FIXED
+    #     synth for odd ids, r9 verdict item 7);
+    # (b) the entire remaining r4-latest cohort (22) — after this
+    #     window drains, no verdict is older than r5 and rotation is
+    #     pure steady-state;
+    # (c) 24 rotation slots from the oldest (r5-latest) verdicts in
+    #     registration order; the 13 r5 entries left outside tie the
+    #     newest r5 inside, which the oldest-first invariant allows.
+    # Zero new registrations this round (cap was 3; freshness slots
+    # outrank novelty at 246 queries).
+    # --- (a) changed-path (4) ---
+    "q_bloom_decontaminate",
     "q_minhash_neardup",
     "q_neardup_recall",
-    "q_wav_sample_stats",
-    "q_hll_distinct",
-    "q_kmv_distinct",
-    "q_bmp_pixel_stats",
     "q_png_pixel_stats",
-    # --- (a) r3-latest cohort, all 22 ---
-    "q_nation_volume",
-    "q_market_share",
-    "q_order_count_dist",
-    "q_small_qty_revenue",
-    "q_big_orders",
-    "q_sql_region_revenue",
-    "q_forecast_revenue",
-    "q_idle_rich_customers",
-    "q_pii_scan",
-    "q_term_stats",
-    "q_embedding_stats",
-    "q_multimodal_decode",
-    "q_ann_batch",
-    "q_doc_search",
-    "q_bigram_counts",
-    "q_doc_len_histogram",
-    "q_null_profile",
-    "q_key_skew",
-    "q_schema_drift",
-    "q_pruned_scan",
-    "q_vec_quantize",
-    "q_delta_agg",
-    # --- (b) oldest r4-latest entries (21 of 43) ---
-    "q_ops_by_table_op",
-    "q_status_counts",
-    "q_validate_events",
-    "q_parse_envelope",
-    "q_explode_rows",
-    "q_normalize",
-    "q_string_ops",
-    "q_batch_insert_gen",
-    "q_anti_orphans",
-    "q_semi_active",
-    "q_ratio_join",
-    "q_unique_check",
-    "q_asof_join",
-    "q_range_join",
-    "q_skew_salted_join",
-    "q_latency_histogram",
-    "q_totals_last",
-    "q_sums_filtered",
-    "q_rollup_ops",
-    "q_cube_ops",
-    "q_windowed_distinct",
-    # The 22 r4-latest leftovers (q_rate_5m, q_error_ratio,
-    # q_quantiles, q_hll_error_bound,
-    # q_alert_liveness, q_prom_quantile, q_rate_per_op, q_increase_1h, q_date_histogram,
-    # q_topk_recent, q_order_priority, q_supplier_parts,
-    # q_disjunctive_revenue, q_embedding_neardup, q_frame_sample,
-    # q_multimodal_features, q_cosine_pairs, q_vocab_growth,
-    # q_zorder_layout, q_embedding_norm_hist, q_udaf_median,
-    # q_udtf_explode) lead the r10 window. Everything below kept its
-    # round-5+ verdict on an unchanged path; fresh entries keep
-    # registration order after these.
+    # --- (b) r4-latest cohort, all 22 ---
+    "q_rate_5m",
+    "q_error_ratio",
+    "q_quantiles",
+    "q_hll_error_bound",
+    "q_alert_liveness",
+    "q_prom_quantile",
+    "q_rate_per_op",
+    "q_increase_1h",
+    "q_date_histogram",
+    "q_topk_recent",
+    "q_order_priority",
+    "q_supplier_parts",
+    "q_disjunctive_revenue",
+    "q_embedding_neardup",
+    "q_frame_sample",
+    "q_multimodal_features",
+    "q_cosine_pairs",
+    "q_vocab_growth",
+    "q_zorder_layout",
+    "q_embedding_norm_hist",
+    "q_udaf_median",
+    "q_udtf_explode",
+    # --- (c) oldest r5-latest entries (24 of 37) ---
+    "q_approx_quantile_bound",
+    "q_funnel_stages",
+    "q_time_weighted_avg",
+    "q_anomaly_mad",
+    "q_metrics_exposition",
+    "q_nation_profit",
+    "q_late_shipments",
+    "q_blocking_suppliers",
+    "q_min_cost_supplier",
+    "q_excess_suppliers",
+    "q_cohort_retention",
+    "q_sample_estimate_bound",
+    "q_ivf_topk_trained",
+    "q_ann_batch_ivf",
+    "q_doc_chunks",
+    "q_vocab_coverage",
+    "q_embedding_gram",
+    "q_semantic_dedup",
+    "q_bpe_merges",
+    "q_bpe_tokenize",
+    "q_neardup_source_matrix",
+    "q_pq_encode",
+    "q_alert_rules_eval",
+    "q_stream_resume",
 ]
 
 
