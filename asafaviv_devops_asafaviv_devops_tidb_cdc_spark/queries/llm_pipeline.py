@@ -1595,24 +1595,26 @@ FROM s
 """,
 )
 def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5f — REAL PNG decode for stored- AND fixed-Huffman-deflate
-    streams (r8 item 7 + r9 item 7, shrinking the codec boundary
-    twice): complete valid PNGs — real chunk CRCs, two IDAT chunks
-    with a decoy tEXt between them, every scanline filtered with
-    (id+row)%3 (None/Sub/Up) — are synthesized from the id formula;
-    EVEN ids carry hand-rolled <=512-byte STORED blocks, ODD ids a
-    Z_FIXED zlib stream (BTYPE=1 fixed-Huffman blocks with real LZ77
-    back-references). A separate Arrow stage re-walks the chunks
-    (verifying CRCs), concatenates IDATs, inflates both block types
-    in-engine (RFC 1951 fixed tables, MSB-first codes, overlap-safe
-    window copies, adler32 verified), and reconstructs the filters
-    into the raster (functions/multimodal.py::_inflate /
+    """E5f — REAL PNG decode, COMPLETE for deflate (r8 item 7 -> r9
+    item 7 -> r10: the codec boundary moved past inflate entirely):
+    complete valid PNGs — real chunk CRCs, two IDAT chunks with a
+    decoy tEXt between them, every scanline filtered with (id+row)%3
+    (None/Sub/Up) — are synthesized from the id formula; the zlib
+    framing rotates by id%3 between hand-rolled <=512-byte STORED
+    blocks, Z_FIXED streams (BTYPE=1 fixed-Huffman with real LZ77
+    back-references), and default-strategy level-9 streams (free to
+    emit BTYPE=2 dynamic-Huffman with transmitted code-length
+    tables). A separate Arrow stage re-walks the chunks (verifying
+    CRCs), concatenates IDATs, inflates EVERY deflate block type
+    in-engine (RFC 1951: fixed tables, canonical table construction
+    from the 16/17/18 meta-coded lengths, MSB-first codes,
+    overlap-safe window copies, adler32 verified), and reconstructs
+    the filters into the raster (functions/multimodal.py::_inflate /
     decode_png_pixels / png_pixel_stats). The oracle brute-forces the
     position-weighted checksum from the formula — px_wsum only
     matches if framing, Huffman decode, AND filter inversion are all
-    byte-exact. Dynamic-Huffman deflate (BTYPE=2) is the remaining
-    declared codec-library boundary: DynamicHuffmanBoundary, never a
-    guess."""
+    byte-exact. Remaining codec-library boundary: DCT-family codecs
+    (JPEG/MP3) only."""
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     payloads = multimodal.synth_png_payloads(ids)
     return multimodal.png_pixel_stats(payloads)

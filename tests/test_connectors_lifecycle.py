@@ -630,25 +630,38 @@ def test_png_decoder_boundary_and_corruption_contract():
             + multimodal._png_chunk(b"IEND", b"")
         )
 
-    # fixed-Huffman (Z_FIXED) streams now decode IN-ENGINE (r10)
+    # fixed-Huffman (Z_FIXED) streams decode IN-ENGINE (r10)
     co = zlib.compressobj(6, zlib.DEFLATED, 15, 9, zlib.Z_FIXED)
     fixed = co.compress(body) + co.flush()
     got = multimodal.decode_png_pixels(wrap(fixed))
     assert got is not None and got.shape == (h, w, 3) and not got.any()
 
-    # dynamic-Huffman (BTYPE=2) is the remaining boundary: an accurate
-    # raise, from the decoder and the dispatcher alike
+    # dynamic-Huffman (BTYPE=2) decodes too — _inflate is a complete
+    # RFC 1951 inflate; prove the stream really is dynamic first
     rng = np.random.default_rng(3)
     weights = np.arange(1, 65, dtype=np.float64)
+    noise = rng.choice(
+        64, size=3 * w, p=weights / weights.sum()
+    ).astype(np.uint8)
+    raster = np.tile(noise, (h, 1))
+    dyn_body = b"".join(b"\x00" + raster[r].tobytes() for r in range(h))
+    dyn = zlib.compress(dyn_body, 9)
+    if (dyn[2] >> 1) & 3 != 2:
+        # tiny inputs may not go dynamic; force it with a bigger body
+        # in the raw _inflate check below instead
+        pass
+    else:
+        px = multimodal.decode_png_pixels(wrap(dyn))
+        assert px is not None and (px.reshape(h, 3 * w) == raster).all()
     big = rng.choice(
         64, size=4000, p=weights / weights.sum()
     ).astype(np.uint8).tobytes()
-    dyn = zlib.compress(big, 9)
-    assert (dyn[2] >> 1) & 3 == 2  # proves the stream IS dynamic
-    with _pytest.raises(multimodal.DynamicHuffmanBoundary):
-        multimodal.decode_png_pixels(wrap(dyn))
+    dyn_stream = zlib.compress(big, 9)
+    assert (dyn_stream[2] >> 1) & 3 == 2  # proves BTYPE=2
+    assert multimodal._inflate(dyn_stream) == big
+    # non-PNG containers are the boundary that still raises
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_pixels(wrap(dyn), "image/png")
+        multimodal.decode_pixels(b"\xff\xd8\xff\xe0jpegish", "image/jpeg")
 
     # corruption -> None everywhere, never a misleading raise
     good = _full_png(9)
@@ -664,3 +677,38 @@ def test_png_decoder_boundary_and_corruption_contract():
     flipped = bytearray(fixed)
     flipped[len(flipped) // 2] ^= 0xFF
     assert multimodal.decode_png_pixels(wrap(bytes(flipped))) is None
+
+
+def test_dynamic_deflate_encoder_is_zlib_compliant():
+    """Every stream `_deflate_dynamic` emits (the synth's variant-2
+    framing) must be accepted by the LIBRARY inflate byte-for-byte,
+    really carry a BTYPE=2 first block, and round-trip through the
+    in-engine `_inflate` — so the gate corpus provably exercises
+    dynamic-Huffman decode against an independently-validated
+    encoding."""
+    import random
+    import zlib
+
+    rng = random.Random(11)
+    bodies = [
+        b"",
+        b"\x00" * 500,
+        bytes(range(256)) * 4,
+        bytes(rng.randrange(256) for _ in range(3000)),
+        bytes(rng.choices(range(8), k=2000)),
+    ]
+    # plus real filtered-raster bodies from the synth formula
+    import numpy as np
+
+    for mid in (2, 5, 1234):
+        w, h = mid % 24 + 4, (mid * 5) % 24 + 4
+        bodies.append(
+            ((mid * 13 + np.arange(3 * w * h, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .tobytes()
+        )
+    for body in bodies:
+        s = multimodal._deflate_dynamic(body)
+        assert zlib.decompress(s) == body  # RFC compliance, library-checked
+        assert ((s[2] >> 1) & 3) == 2  # genuinely dynamic
+        assert multimodal._inflate(s) == body  # in-engine decode

@@ -944,16 +944,19 @@ def test_png_stored_roundtrip_any_geometry_filters_and_framing(
     level=st.integers(min_value=1, max_value=9),
     mem_level=st.integers(min_value=1, max_value=9),
     n_idat=st.integers(min_value=1, max_value=4),
+    strategy=st.integers(min_value=0, max_value=2),
 )
-@settings(max_examples=40, deadline=None)
-def test_png_fixed_huffman_roundtrip_any_geometry_and_framing(
-    w, h, seed, filters, level, mem_level, n_idat
+@settings(max_examples=60, deadline=None)
+def test_png_compressed_roundtrip_any_geometry_and_framing(
+    w, h, seed, filters, level, mem_level, n_idat, strategy
 ):
-    """The r10 fixed-Huffman inflate must invert ANY Z_FIXED zlib
-    stream the library encoder can emit — every compression level and
-    memLevel (different block splits and match choices), every filter,
-    every IDAT split. The encoder is the library; the decoder under
-    test is the pure in-engine one."""
+    """The r10 complete inflate must invert ANY zlib stream the library
+    encoder can emit — Z_FIXED (fixed-Huffman blocks), default and
+    Z_RLE strategies (dynamic-Huffman and stored blocks wherever the
+    encoder prefers them), every compression level and memLevel
+    (different block splits and match choices), every filter, every
+    IDAT split. The encoder is the library; the decoder under test is
+    the pure in-engine one."""
     import struct as _s
     import zlib
 
@@ -991,7 +994,8 @@ def test_png_fixed_huffman_roundtrip_any_geometry_and_framing(
         lines.extend(filt.astype(np.uint8).tobytes())
         prev = raw
     body = bytes(lines)
-    co = zlib.compressobj(level, zlib.DEFLATED, 15, mem_level, zlib.Z_FIXED)
+    strat = (zlib.Z_FIXED, zlib.Z_DEFAULT_STRATEGY, zlib.Z_RLE)[strategy]
+    co = zlib.compressobj(level, zlib.DEFLATED, 15, mem_level, strat)
     stream = co.compress(body) + co.flush()
     cuts = sorted(
         {min(len(stream), 1 + (i * len(stream)) // n_idat) for i in range(1, n_idat)}
