@@ -935,6 +935,53 @@ def test_png_stored_roundtrip_any_geometry_filters_and_framing(
 
 
 @given(
+    body=st.one_of(
+        st.binary(max_size=6000),
+        st.builds(
+            lambda chunk, reps: (chunk * reps)[:8000],
+            st.binary(min_size=1, max_size=64),
+            st.integers(min_value=1, max_value=400),
+        ),
+    ),
+    level=st.integers(min_value=0, max_value=9),
+    mem_level=st.integers(min_value=1, max_value=9),
+    strategy=st.integers(min_value=0, max_value=4),
+    corrupt_at=st.one_of(st.none(), st.integers(min_value=0)),
+)
+@settings(max_examples=120, deadline=None)
+def test_inflate_differential_against_zlib(
+    body, level, mem_level, strategy, corrupt_at
+):
+    """Raw-stream differential fuzz: `_inflate` must byte-exactly
+    invert whatever the LIBRARY deflate emits for ANY body under ANY
+    strategy (default/filtered/huffman-only/RLE/fixed — covering
+    stored, fixed- and dynamic-Huffman block mixes), and a single-bit
+    corruption anywhere in the stream must yield None or the intact
+    original (adler collision-free here), never wrong bytes or an
+    exception."""
+    import zlib
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import multimodal
+
+    strat = (
+        zlib.Z_DEFAULT_STRATEGY,
+        zlib.Z_FILTERED,
+        zlib.Z_HUFFMAN_ONLY,
+        zlib.Z_RLE,
+        zlib.Z_FIXED,
+    )[strategy]
+    co = zlib.compressobj(level, zlib.DEFLATED, 15, mem_level, strat)
+    stream = co.compress(body) + co.flush()
+    assert multimodal._inflate(stream) == body
+    if corrupt_at is not None:
+        bad = bytearray(stream)
+        i = corrupt_at % len(bad)
+        bad[i] ^= 1 << (corrupt_at % 8)
+        got = multimodal._inflate(bytes(bad))
+        assert got is None or got == body
+
+
+@given(
     w=st.integers(min_value=1, max_value=21),
     h=st.integers(min_value=1, max_value=21),
     seed=st.integers(min_value=0, max_value=2**31),
