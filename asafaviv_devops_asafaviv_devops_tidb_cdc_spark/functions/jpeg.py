@@ -1,0 +1,569 @@
+"""Baseline JPEG (ITU-T T.81) coefficient codec — the E5 family's
+DCT-container decode, pure stdlib + numpy.
+
+What is REAL here: the complete baseline entropy/structure layer —
+marker walk (SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI), 8-bit
+quantization-table parse, canonical Huffman table construction from
+the file's own DHT segments (BITS/HUFFVAL, MSB-first codes), entropy
+decode with byte-unstuffing (FF 00) and restart-marker handling
+(bit-realign + DC-predictor reset), DC difference prediction,
+(run,size) AC run-length with ZRL and EOB, magnitude ("receive &
+extend") decoding, zigzag-to-natural reordering, and dequantization.
+Every step is integer-exact, so the driver's DuckDB oracle re-derives
+the dequantized coefficient checksums from the synth formula and a
+single bit of drift anywhere in the chain hash-fails the gate
+(queries/llm_pipeline.py::q_jpeg_coeff_stats).
+
+The inverse DCT + level shift (``decode_jpeg_pixels``) runs in
+float64 and is pytest-pinned against a literal four-loop transcription
+of the T.81 IDCT formula instead (cross-engine float hashing would be
+brittle; the lossy transform is not oracle material).
+
+Scope: 8-bit baseline, single-component (grayscale) scans — the
+multi-component/progressive/arithmetic variants remain out of scope
+and return None, as does any corrupt input (never a guess, never a
+misleading raise; same contract as the BMP/PNG decoders in
+functions/multimodal.py).
+
+Reference parity note: the reference engine has no multimodal
+operators at all (north-star E5); this module exists because a
+100 TB training-data pipeline treats JPEG payloads as first-class
+binary columns.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+# T.81 Figure A.6 zigzag order: index = zigzag position, value =
+# natural (row-major) position within the 8x8 block.
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+# ---------------------------------------------------------------------------
+# synth formula (shared between encoder, decoder tests, and the
+# DuckDB oracle in queries/llm_pipeline.py — keep the three in sync)
+# ---------------------------------------------------------------------------
+
+def quant_table_value(zigzag_pos: int) -> int:
+    """The synth's quantization table in ZIGZAG order: 1..13 cycling —
+    never zero, small enough that dequantized values stay in int16."""
+    return (zigzag_pos % 13) + 1
+
+
+def block_coefficients(media_id: int, k: int) -> dict[int, int]:
+    """Quantized coefficients of block k (raster order) as
+    {zigzag_pos: value}: one DC plus three ACs at formula-derived
+    positions, every value nonzero, positions strictly ascending."""
+    dc = ((media_id * 7 + k * 5) % 63) - 31
+    p1 = 1 + (media_id + k) % 8  # 1..8
+    p2 = 12 + (media_id * 2 + k) % 10  # 12..21
+    p3 = 30 + (media_id + 3 * k) % 12  # 30..41
+    a1 = ((media_id + 13 * k) % 19) - 9
+    if a1 == 0:
+        a1 = 5
+    a2 = ((media_id * 3 + 7 * k) % 11) - 5
+    if a2 == 0:
+        a2 = -3
+    a3 = ((media_id * 5 + k) % 7) - 3
+    if a3 == 0:
+        a3 = 2
+    return {0: dc, p1: a1, p2: a2, p3: a3}
+
+
+def image_geometry(media_id: int) -> tuple[int, int]:
+    """(blocks_x, blocks_y) for the synth image: 1..3 x 1..3."""
+    return media_id % 3 + 1, (media_id * 5) % 3 + 1
+
+
+# ---------------------------------------------------------------------------
+# encoder (synth side — builds complete valid baseline JPEGs)
+# ---------------------------------------------------------------------------
+
+def _flat_huffman(symbols: list[int]) -> tuple[bytes, bytes, dict[int, tuple[int, int]]]:
+    """Flat-length canonical Huffman table over ``symbols``: every
+    symbol gets the same code length L with 2^L > len(symbols), so the
+    all-1-bits code stays unused (the T.81 convention) and the table is
+    trivially valid-but-incomplete — DHT permits that. Returns the DHT
+    (BITS, HUFFVAL) payload bytes plus symbol -> (length, code)."""
+    n = len(symbols)
+    length = 1
+    while (1 << length) <= n:
+        length += 1
+    bits = bytearray(16)
+    bits[length - 1] = n
+    codes = {sym: (length, i) for i, sym in enumerate(sorted(symbols))}
+    return bytes(bits), bytes(sorted(symbols)), codes
+
+
+class _BitWriter:
+    """MSB-first entropy-coded-segment writer with FF 00 byte
+    stuffing (T.81 §B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, width: int) -> None:
+        for i in range(width - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 §F.1.2.3)."""
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) for the T.81 'extend' coding: negative values
+    are sent as v - 1 masked to size bits."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    raw = v if v > 0 else v + (1 << size) - 1
+    return size, raw
+
+
+def encode_baseline_jpeg(
+    width: int,
+    height: int,
+    blocks: list[dict[int, int]],
+    restart_interval: int = 0,
+    quant=quant_table_value,
+) -> bytes:
+    """Complete valid baseline grayscale JPEG from QUANTIZED
+    coefficient blocks ({zigzag_pos: value}, raster order): real
+    DQT/DHT/SOF0/SOS segments, per-file Huffman tables embedded in DHT
+    (the decoder must parse them, never assume Annex K), byte-stuffed
+    entropy data, and optional DRI + RSTn restart markers (DC
+    predictor resets, bit realign)."""
+    # symbol inventories for the two Huffman tables
+    dc_sizes = set()
+    ac_symbols = set()
+    prev = 0
+    for k, coeffs in enumerate(blocks):
+        if restart_interval and k and k % restart_interval == 0:
+            prev = 0
+        dc_sizes.add(_magnitude(coeffs.get(0, 0) - prev)[0])
+        prev = coeffs.get(0, 0)
+        pos = sorted(p for p in coeffs if p and coeffs[p])
+        last = 0
+        for p in pos:
+            run = p - last - 1
+            while run > 15:
+                ac_symbols.add(0xF0)  # ZRL
+                run -= 16
+            ac_symbols.add((run << 4) | _magnitude(coeffs[p])[0])
+            last = p
+        if last != 63:
+            ac_symbols.add(0x00)  # EOB
+    if not ac_symbols:
+        ac_symbols.add(0x00)
+
+    dc_bits, dc_vals, dc_codes = _flat_huffman(sorted(dc_sizes))
+    ac_bits, ac_vals, ac_codes = _flat_huffman(sorted(ac_symbols))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qt = bytes(quant(p) for p in range(64))  # zigzag order
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, b"\x00" + qt)  # DQT, Pq=0 Tq=0
+    out += seg(
+        0xC0,  # SOF0 baseline
+        b"\x08" + struct.pack(">HH", height, width) + b"\x01" + b"\x01\x11\x00",
+    )
+    out += seg(0xC4, b"\x00" + dc_bits + dc_vals)  # DHT DC table 0
+    out += seg(0xC4, b"\x10" + ac_bits + ac_vals)  # DHT AC table 0
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+    out += seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")  # SOS
+
+    bw = _BitWriter()
+    prev = 0
+    rst = 0
+    for k, coeffs in enumerate(blocks):
+        if restart_interval and k and k % restart_interval == 0:
+            bw.align()
+            bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            prev = 0
+        size, raw = _magnitude(coeffs.get(0, 0) - prev)
+        prev = coeffs.get(0, 0)
+        ln, code = dc_codes[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(raw, size)
+        pos = sorted(p for p in coeffs if p and coeffs[p])
+        last = 0
+        for p in pos:
+            run = p - last - 1
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            size, raw = _magnitude(coeffs[p])
+            ln, code = ac_codes[(run << 4) | size]
+            bw.put(code, ln)
+            bw.put(raw, size)
+            last = p
+        if last != 63:
+            ln, code = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def synth_jpeg_bytes(media_id: int) -> bytes:
+    """One complete valid baseline JPEG from the id formula; ids
+    divisible by 5 (with >2 blocks) carry DRI + restart markers every
+    2 MCUs so the gate exercises predictor resets and bit realigns."""
+    bx, by = image_geometry(media_id)
+    n_blocks = bx * by
+    blocks = [block_coefficients(media_id, k) for k in range(n_blocks)]
+    restart_interval = 2 if media_id % 5 == 0 and n_blocks > 2 else 0
+    return encode_baseline_jpeg(8 * bx, 8 * by, blocks, restart_interval)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def _dht_table(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman decode table from a DHT segment's
+    BITS/HUFFVAL (T.81 Annex C): (length, MSB-first code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[idx]
+            code += 1
+            idx += 1
+        code <<= 1
+    return table
+
+
+class _Undecodable(Exception):
+    pass
+
+
+class _BitReader:
+    """MSB-first entropy-coded-segment reader: un-stuffs FF 00,
+    surfaces RSTn markers, stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        if self.pos >= len(d):
+            raise _Undecodable
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise _Undecodable
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed data byte
+                self.pos += 2
+                return 0xFF
+            raise _Undecodable  # marker inside entropy data
+        self.pos += 1
+        return b
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self.acc = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise _Undecodable
+
+    def restart(self, expect: int) -> None:
+        """Consume an RSTn marker at a byte boundary (discarding the
+        1-padding bits before it)."""
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise _Undecodable
+        if d[self.pos + 1] != 0xD0 + expect:
+            raise _Undecodable
+        self.pos += 2
+
+
+def _extend(raw: int, size: int) -> int:
+    """T.81 EXTEND: size-bit raw value -> signed coefficient."""
+    if size == 0:
+        return 0
+    if raw >> (size - 1):
+        return raw
+    return raw - (1 << size) + 1
+
+
+def decode_jpeg_coefficients(payload: bytes):
+    """Decode a baseline single-component JPEG to its DEQUANTIZED
+    coefficient blocks: returns (width, height, blocks) where blocks
+    is a list (raster order) of {zigzag_pos: dequantized int}. Every
+    step is integer-exact — this is the oracle-checkable half of JPEG
+    decode. Returns None for anything corrupt or out of scope
+    (multi-component, progressive, arithmetic, 16-bit tables)."""
+    b = payload or b""
+    if b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q = None
+    dc_sel = ac_sel = None
+    restart_interval = 0
+    try:
+        while True:
+            if pos + 4 > len(b) or b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            seg = b[pos + 4 : pos + 2 + seg_len]
+            if len(seg) != seg_len - 2:
+                return None
+            pos += 2 + seg_len
+            if marker == 0xDB:  # DQT (possibly several tables)
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                    if pq != 0:  # 16-bit tables out of scope
+                        return None
+                    vals = list(seg[i + 1 : i + 65])
+                    if len(vals) != 64:
+                        return None
+                    qtables[tq] = vals
+                    i += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0x0F
+                    bits = seg[i + 1 : i + 17]
+                    n = sum(bits)
+                    vals = seg[i + 17 : i + 17 + n]
+                    if len(vals) != n:
+                        return None
+                    htables[(tc, th)] = _dht_table(bits, vals)
+                    i += 17 + n
+            elif marker == 0xC0:  # SOF0 baseline
+                if seg[0] != 8:
+                    return None
+                height, width = struct.unpack(">HH", seg[1:5])
+                if seg[5] != 1:  # single-component scope
+                    return None
+                if seg[7] != 0x11:  # no subsampling for 1 component
+                    return None
+                comp_q = seg[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types: out of scope
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS
+                if seg[0] != 1:
+                    return None
+                dc_sel, ac_sel = seg[2] >> 4, seg[2] & 0x0F
+                if seg[3:6] != b"\x00\x3f\x00":
+                    return None
+                break
+            # APPn / COM / anything else with a length: skipped
+        if None in (width, height, comp_q) or comp_q not in qtables:
+            return None
+        if (0, dc_sel) not in htables or (1, ac_sel) not in htables:
+            return None
+        if width == 0 or height == 0:
+            return None
+        qt = qtables[comp_q]
+        dc_table = htables[(0, dc_sel)]
+        ac_table = htables[(1, ac_sel)]
+        bx = (width + 7) // 8
+        by = (height + 7) // 8
+        n_blocks = bx * by
+        reader = _BitReader(b, pos)
+        blocks: list[dict[int, int]] = []
+        pred = 0
+        rst = 0
+        for k in range(n_blocks):
+            if restart_interval and k and k % restart_interval == 0:
+                reader.restart(rst)
+                rst = (rst + 1) & 7
+                pred = 0
+            size = reader.symbol(dc_table)
+            if size > 11:
+                return None
+            diff = _extend(reader.bits(size), size)
+            pred += diff
+            coeffs = {0: pred * qt[0]}
+            p = 0
+            while p < 63:
+                sym = reader.symbol(ac_table)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:  # only ZRL may have size 0
+                        return None
+                    p += 16
+                    if p > 63:
+                        return None
+                    continue
+                p += run + 1
+                if p > 63:
+                    return None
+                coeffs[p] = _extend(reader.bits(size), size) * qt[p]
+            blocks.append(coeffs)
+        # entropy data must end at EOI (after 1-padding to the byte
+        # boundary); trailing garbage is corruption
+        reader.nbits = 0
+        if b[reader.pos : reader.pos + 2] != b"\xff\xd9":
+            return None
+        return int(width), int(height), blocks
+    except (_Undecodable, struct.error, IndexError):
+        return None
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Full grayscale decode: coefficients -> natural-order 8x8 blocks
+    -> T.81 A.3.3 inverse DCT (float64) -> +128 level shift -> clip ->
+    ``numpy.uint8`` (height, width) raster. The integer coefficient
+    layer is oracle-checked via decode_jpeg_coefficients; the float
+    IDCT here is pytest-pinned against a literal four-loop
+    transcription of the formula."""
+    import numpy as np
+
+    dec = decode_jpeg_coefficients(payload)
+    if dec is None:
+        return None
+    width, height, blocks = dec
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    # C(u) basis matrix: idct2(B) = M.T @ B @ M with
+    # M[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    m[0] *= 1 / np.sqrt(2)
+    raster = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+    for k, coeffs in enumerate(blocks):
+        blk = np.zeros(64)
+        for zz, v in coeffs.items():
+            blk[ZIGZAG[zz]] = v
+        spatial = m.T @ blk.reshape(8, 8) @ m + 128
+        yb, xb = divmod(k, bx)
+        raster[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = np.clip(
+            np.rint(spatial), 0, 255
+        ).astype(np.uint8)
+    return raster[:height, :width]
+
+
+# ---------------------------------------------------------------------------
+# Spark stages
+# ---------------------------------------------------------------------------
+
+SYNTH_SCHEMA = "media_id long, payload binary"
+JPEG_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_blocks int, "
+    "dc_sum long, coeff_abs_sum long, coeff_wsum long"
+)
+
+
+def synth_jpeg_payloads(media_ids: DataFrame) -> DataFrame:
+    """Arrow-batched synth: one complete valid baseline JPEG per id."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), synth_jpeg_bytes(int(mid)))
+                for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sc = media_ids.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism // 2, 1)
+    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
+        _build, SYNTH_SCHEMA
+    )
+
+
+def jpeg_coeff_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL JPEG entropy decode: per image, the
+    dequantized-coefficient checksums. ``coeff_wsum`` weights each
+    coefficient by (block_index * 64 + zigzag_pos + 1), so it only
+    matches the oracle if block raster order, DC prediction, the
+    run-length positions, AND dequantization are all exact.
+    Undecodable payloads yield NULL stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_jpeg_coefficients(bytes(payload or b""))
+                if dec is None:
+                    rows.append((int(mid), None, None, None, None, None, None))
+                    continue
+                width, height, blocks = dec
+                dc_sum = sum(c[0] for c in blocks)
+                abs_sum = sum(
+                    abs(v) for c in blocks for v in c.values()
+                )
+                wsum = sum(
+                    (k * 64 + p + 1) * v
+                    for k, c in enumerate(blocks)
+                    for p, v in c.items()
+                )
+                rows.append(
+                    (int(mid), width, height, len(blocks),
+                     dc_sum, abs_sum, wsum)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_blocks",
+                    "dc_sum", "coeff_abs_sum", "coeff_wsum",
+                ],
+            )
+
+    return media.mapInPandas(_stats, JPEG_STATS_SCHEMA)

@@ -98,25 +98,30 @@ def decode_payload(payload: bytes, mime: str | None = None) -> dict:
 
 
 def decode_pixels(payload: bytes, mime: str):
-    """Full pixel/sample decode. Uncompressed 24-bit BMP and ALL
-    deflate-framed PNG are decoded IN-ENGINE (pure stdlib + numpy —
-    fixed headers, chunk walks, a complete RFC 1951 inflate covering
-    stored, fixed- and dynamic-Huffman blocks, filter reconstruction).
-    Contract (r9 advice — consistent across formats):
-    corrupt/unsupported-variant input returns None;
+    """Full pixel/sample decode. Uncompressed 24-bit BMP, ALL
+    deflate-framed PNG, and baseline grayscale JPEG are decoded
+    IN-ENGINE (pure stdlib + numpy — fixed headers, chunk/marker
+    walks, a complete RFC 1951 inflate covering stored, fixed- and
+    dynamic-Huffman blocks, baseline JPEG entropy decode + IDCT,
+    filter reconstruction). Contract (r9 advice — consistent across
+    formats): corrupt/unsupported-variant input returns None;
     NotImplementedError is raised ONLY at the genuine codec-library
-    boundary — DCT-family codecs (JPEG/MP3) and every other container
+    boundary — color/progressive JPEG, MP3 and every other container
     (PIL/ffmpeg territory, not present here)."""
     b = payload or b""
     if (mime or "").lower() in ("image/bmp", "bmp") or b[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if (mime or "").lower() in ("image/png", "png") or b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
+    if (mime or "").lower() in ("image/jpeg", "jpeg", "jpg") or b[:2] == b"\xff\xd8":
+        from . import jpeg as _jpeg
+
+        return _jpeg.decode_jpeg_pixels(payload)
     raise NotImplementedError(
-        "pixel decoding beyond uncompressed BMP and deflate-framed PNG "
-        "requires optional codecs (PIL/ffmpeg); decode_payload provides "
-        "header metadata, fake_decode_features the deterministic "
-        "feature stand-in"
+        "pixel decoding beyond uncompressed BMP, deflate-framed PNG and "
+        "baseline grayscale JPEG requires optional codecs (PIL/ffmpeg); "
+        "decode_payload provides header metadata, fake_decode_features "
+        "the deterministic feature stand-in"
     )
 
 

@@ -1621,6 +1621,88 @@ def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_jpeg_coeff_stats",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         doc_id % 3 + 1 AS bx,
+         (doc_id * 5) % 3 + 1 AS by
+  FROM documents
+),
+blocks AS (
+  SELECT media_id, bx, by, unnest(range(bx * by)) AS k FROM p
+),
+c AS (
+  SELECT media_id, bx, by, k,
+         ((media_id * 7 + k * 5) % 63) - 31 AS dc,
+         1 + (media_id + k) % 8 AS p1,
+         12 + (media_id * 2 + k) % 10 AS p2,
+         30 + (media_id + 3 * k) % 12 AS p3,
+         CASE WHEN ((media_id + 13 * k) % 19) - 9 = 0 THEN 5
+              ELSE ((media_id + 13 * k) % 19) - 9 END AS a1,
+         CASE WHEN ((media_id * 3 + 7 * k) % 11) - 5 = 0 THEN -3
+              ELSE ((media_id * 3 + 7 * k) % 11) - 5 END AS a2,
+         CASE WHEN ((media_id * 5 + k) % 7) - 3 = 0 THEN 2
+              ELSE ((media_id * 5 + k) % 7) - 3 END AS a3
+  FROM blocks
+),
+d AS (
+  SELECT media_id, bx, by, k,
+         dc * 1 AS dqc,
+         a1 * ((p1 % 13) + 1) AS dq1,
+         a2 * ((p2 % 13) + 1) AS dq2,
+         a3 * ((p3 % 13) + 1) AS dq3,
+         p1, p2, p3
+  FROM c
+),
+s AS (
+  SELECT media_id, MAX(bx) AS bx, MAX(by) AS by,
+         COUNT(*) AS n_blocks,
+         SUM(dqc) AS dc_sum,
+         SUM(ABS(dqc) + ABS(dq1) + ABS(dq2) + ABS(dq3)) AS abs_sum,
+         SUM((k * 64 + 1) * dqc + (k * 64 + p1 + 1) * dq1
+             + (k * 64 + p2 + 1) * dq2 + (k * 64 + p3 + 1) * dq3)
+           AS wsum
+  FROM d GROUP BY media_id
+)
+SELECT media_id,
+       CAST(bx * 8 AS INTEGER) AS width,
+       CAST(by * 8 AS INTEGER) AS height,
+       CAST(n_blocks AS INTEGER) AS n_blocks,
+       CAST(dc_sum AS BIGINT) AS dc_sum,
+       CAST(abs_sum AS BIGINT) AS coeff_abs_sum,
+       CAST(wsum AS BIGINT) AS coeff_wsum
+FROM s
+""",
+)
+def q_jpeg_coeff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5g — REAL baseline-JPEG entropy decode (r10; the DCT container
+    joins BMP/PNG/WAV/AVI): complete valid grayscale baseline JPEGs —
+    real DQT/DHT/SOF0/SOS segments, per-file Huffman tables the
+    decoder must parse from DHT (never assumed), byte-stuffed entropy
+    data, restart markers with DC-predictor resets for ids % 5 == 0 —
+    are synthesized from formula-derived QUANTIZED COEFFICIENTS
+    (functions/jpeg.py). A separate Arrow stage walks the markers,
+    builds the canonical Huffman tables, entropy-decodes (DC
+    prediction, (run,size) AC run-length with ZRL/EOB, T.81
+    receive-and-extend magnitudes), reorders zigzag and dequantizes —
+    ALL integer-exact, so the oracle brute-forces the three
+    coefficient checksums from the id formula and one bit of drift in
+    any stage hash-fails the gate (coeff_wsum weights every
+    coefficient by block*64+zigzag_pos+1: block order, DC prediction,
+    run positions AND dequantization must all agree). The float IDCT
+    half (decode_jpeg_pixels) is pytest-pinned against a literal
+    four-loop transcription of the T.81 formula — lossy-transform
+    floats are not cross-engine-hash material. Out-of-scope variants
+    (multi-component, progressive) and corrupt input return None."""
+    from ..functions import jpeg as JP
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = JP.synth_jpeg_payloads(ids)
+    return JP.jpeg_coeff_stats(payloads)
+
+
+@register(
     "q_wav_sample_stats",
     oracle="""
 WITH p AS (

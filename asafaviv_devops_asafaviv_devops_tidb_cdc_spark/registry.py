@@ -56,12 +56,16 @@ _CHECK_FIRST = [
     # (b) the entire remaining r4-latest cohort (22) — after this
     #     window drains, no verdict is older than r5 and rotation is
     #     pure steady-state;
-    # (c) 24 rotation slots from the oldest (r5-latest) verdicts in
-    #     registration order; the 13 r5 entries left outside tie the
+    # (c) 23 rotation slots from the oldest (r5-latest) verdicts in
+    #     registration order; the 14 r5 entries left outside tie the
     #     newest r5 inside, which the oldest-first invariant allows.
-    # Zero new registrations this round (cap was 3; freshness slots
-    # outrank novelty at 246 queries).
-    # --- (a) changed-path (4) ---
+    # ONE new registration this round (cap 3): q_jpeg_coeff_stats —
+    # the baseline-JPEG entropy decoder (E5g), the round's
+    # boundary-narrowing capability; never-checked, so it must hold a
+    # slot and displaces the newest r5 rotation entry (q_stream_resume,
+    # which ties the r5 entries left outside — allowed).
+    # --- (a) changed-path (4) + new (1) ---
+    "q_jpeg_coeff_stats",
     "q_bloom_decontaminate",
     "q_minhash_neardup",
     "q_neardup_recall",
@@ -89,7 +93,7 @@ _CHECK_FIRST = [
     "q_embedding_norm_hist",
     "q_udaf_median",
     "q_udtf_explode",
-    # --- (c) oldest r5-latest entries (24 of 37) ---
+    # --- (c) oldest r5-latest entries (23 of 37) ---
     "q_approx_quantile_bound",
     "q_funnel_stages",
     "q_time_weighted_avg",
@@ -113,7 +117,6 @@ _CHECK_FIRST = [
     "q_neardup_source_matrix",
     "q_pq_encode",
     "q_alert_rules_eval",
-    "q_stream_resume",
 ]
 
 

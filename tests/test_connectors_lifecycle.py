@@ -659,9 +659,11 @@ def test_png_decoder_boundary_and_corruption_contract():
     dyn_stream = zlib.compress(big, 9)
     assert (dyn_stream[2] >> 1) & 3 == 2  # proves BTYPE=2
     assert multimodal._inflate(dyn_stream) == big
-    # non-PNG containers are the boundary that still raises
+    # JPEG routes in-engine now (functions/jpeg.py): corrupt jpeg ->
+    # None, same contract; truly unrouted containers still raise
+    assert multimodal.decode_pixels(b"\xff\xd8\xff\xe0jpegish", "image/jpeg") is None
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_pixels(b"\xff\xd8\xff\xe0jpegish", "image/jpeg")
+        multimodal.decode_pixels(b"ID3\x03mp3ish", "audio/mpeg")
 
     # corruption -> None everywhere, never a misleading raise
     good = _full_png(9)
