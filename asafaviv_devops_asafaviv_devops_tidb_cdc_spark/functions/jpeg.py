@@ -19,10 +19,17 @@ float64 and is pytest-pinned against a literal four-loop transcription
 of the T.81 IDCT formula instead (cross-engine float hashing would be
 brittle; the lossy transform is not oracle material).
 
-Scope: 8-bit baseline, single-component (grayscale) scans — the
-multi-component/progressive/arithmetic variants remain out of scope
-and return None, as does any corrupt input (never a guess, never a
-misleading raise; same contract as the BMP/PNG decoders in
+Scope: 8-bit baseline, grayscale AND multi-component (YCbCr color)
+single-scan interleaved frames — 4:4:4, 4:2:2 and 4:2:0 chroma
+subsampling, per-component quantization tables and Huffman-table
+selectors, interleaved MCU order with padding blocks for
+non-MCU-aligned dimensions, and MCU-counted restart intervals that
+reset every component's DC predictor (r11; decode_jpeg_components is
+the general decoder, decode_jpeg_coefficients the strict grayscale
+view the r10 gate pinned). Progressive (SOF2), arithmetic-coded,
+hierarchical and 12-bit variants remain out of scope and return
+None, as does any corrupt input (never a guess, never a misleading
+raise; same contract as the BMP/PNG decoders in
 functions/multimodal.py).
 
 Reference parity note: the reference engine has no multimodal
@@ -84,6 +91,35 @@ def block_coefficients(media_id: int, k: int) -> dict[int, int]:
 def image_geometry(media_id: int) -> tuple[int, int]:
     """(blocks_x, blocks_y) for the synth image: 1..3 x 1..3."""
     return media_id % 3 + 1, (media_id * 5) % 3 + 1
+
+
+def chroma_quant_value(zigzag_pos: int) -> int:
+    """The color synth's CHROMA quantization table in zigzag order:
+    2..12 cycling — distinct from the luma table so a decoder that
+    dequantizes Cb/Cr with the wrong table hash-fails the gate."""
+    return (zigzag_pos % 11) + 2
+
+
+def color_sampling(media_id: int) -> tuple[int, int]:
+    """The Y component's (H, V) sampling factors for the color synth
+    (chroma is always 1x1): id%3 = 0 -> 4:4:4 (1,1), 1 -> 4:2:2
+    (2,1), 2 -> 4:2:0 (2,2)."""
+    v = media_id % 3
+    return (2 if v >= 1 else 1), (2 if v == 2 else 1)
+
+
+def color_geometry(media_id: int) -> tuple[int, int, int, int]:
+    """(width, height, mcux, mcuy) for the color synth image. The MCU
+    grid is 1..2 x 1..2 and the pixel dims are deliberately NOT
+    MCU-aligned (width = 8*H*mcux - id % (8*H), likewise height), so
+    the rightmost/bottom MCU column carries padding blocks the
+    interleaved scan must still encode and decode."""
+    hy, vy = color_sampling(media_id)
+    mcux = media_id % 2 + 1
+    mcuy = (media_id // 2) % 2 + 1
+    width = 8 * hy * mcux - media_id % (8 * hy)
+    height = 8 * vy * mcuy - (media_id * 3) % (8 * vy)
+    return width, height, mcux, mcuy
 
 
 # ---------------------------------------------------------------------------
@@ -245,6 +281,168 @@ def synth_jpeg_bytes(media_id: int) -> bytes:
     return encode_baseline_jpeg(8 * bx, 8 * by, blocks, restart_interval)
 
 
+def encode_color_jpeg(
+    width: int,
+    height: int,
+    sampling: list[tuple[int, int]],
+    comp_blocks: list[list[dict[int, int]]],
+    restart_interval: int = 0,
+    quants=(quant_table_value, chroma_quant_value),
+) -> bytes:
+    """Complete valid baseline MULTI-COMPONENT JPEG from QUANTIZED
+    coefficient blocks. ``sampling`` is the per-component (H, V)
+    factor list (>= 2 components; component 0 uses quant/Huffman
+    table 0, all others share table 1 — the universal luma/chroma
+    layout); ``comp_blocks[c]`` holds component c's blocks in ITS OWN
+    raster order over the padded (mcux*H_c) x (mcuy*V_c) grid. The
+    entropy segment is written in T.81 interleaved MCU order (per
+    MCU: each component's V x H block sub-array, row-major), with
+    optional DRI + RSTn restart markers every ``restart_interval``
+    MCUs (all DC predictors reset, bitstream realigned)."""
+    ncomp = len(sampling)
+    if ncomp < 2:
+        raise ValueError("encode_color_jpeg needs >= 2 components")
+    if sum(h * v for h, v in sampling) > 10:
+        raise ValueError("T.81 B.2.3: > 10 data units per MCU")
+    tsel = [0] + [1] * (ncomp - 1)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    for c, (h, v) in enumerate(sampling):
+        if len(comp_blocks[c]) != mcux * h * mcuy * v:
+            raise ValueError("component block grid does not match sampling")
+
+    def mcus() -> Iterator[list[tuple[int, int]]]:
+        """Interleaved scan order: per MCU, (component, block index in
+        that component's raster grid) for each data unit."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                units = []
+                for c, (h, v) in enumerate(sampling):
+                    for bv in range(v):
+                        for bh in range(h):
+                            units.append(
+                                (c, (my * v + bv) * (mcux * h) + mx * h + bh)
+                            )
+                yield units
+
+    # pass 1: symbol inventories for the four Huffman tables
+    dc_syms: dict[int, set] = {0: set(), 1: set()}
+    ac_syms: dict[int, set] = {0: set(), 1: set()}
+    preds = [0] * ncomp
+    for mi, units in enumerate(mcus()):
+        if restart_interval and mi and mi % restart_interval == 0:
+            preds = [0] * ncomp
+        for c, bidx in units:
+            coeffs = comp_blocks[c][bidx]
+            t = tsel[c]
+            dc_syms[t].add(_magnitude(coeffs.get(0, 0) - preds[c])[0])
+            preds[c] = coeffs.get(0, 0)
+            pos = sorted(p for p in coeffs if p and coeffs[p])
+            last = 0
+            for p in pos:
+                run = p - last - 1
+                while run > 15:
+                    ac_syms[t].add(0xF0)
+                    run -= 16
+                ac_syms[t].add((run << 4) | _magnitude(coeffs[p])[0])
+                last = p
+            if last != 63:
+                ac_syms[t].add(0x00)
+    for t in (0, 1):
+        if not ac_syms[t]:
+            ac_syms[t].add(0x00)
+
+    dc_tables = {t: _flat_huffman(sorted(dc_syms[t])) for t in (0, 1)}
+    ac_tables = {t: _flat_huffman(sorted(ac_syms[t])) for t in (0, 1)}
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for t in (0, 1):
+        qt = bytes(quants[t](p) for p in range(64))  # zigzag order
+        out += seg(0xDB, bytes([t]) + qt)  # DQT, Pq=0 Tq=t
+    sof = bytearray(b"\x08" + struct.pack(">HH", height, width) + bytes([ncomp]))
+    for c, (h, v) in enumerate(sampling):
+        sof += bytes([c + 1, (h << 4) | v, tsel[c]])
+    out += seg(0xC0, bytes(sof))  # SOF0 baseline
+    for t in (0, 1):
+        out += seg(0xC4, bytes([t]) + dc_tables[t][0] + dc_tables[t][1])
+        out += seg(0xC4, bytes([0x10 | t]) + ac_tables[t][0] + ac_tables[t][1])
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+    sos = bytearray([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, (tsel[c] << 4) | tsel[c]])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+
+    # pass 2: entropy-coded segment
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for mi, units in enumerate(mcus()):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw.align()
+            bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            preds = [0] * ncomp
+        for c, bidx in units:
+            coeffs = comp_blocks[c][bidx]
+            t = tsel[c]
+            dc_codes = dc_tables[t][2]
+            ac_codes = ac_tables[t][2]
+            size, raw = _magnitude(coeffs.get(0, 0) - preds[c])
+            preds[c] = coeffs.get(0, 0)
+            ln, code = dc_codes[size]
+            bw.put(code, ln)
+            if size:
+                bw.put(raw, size)
+            pos = sorted(p for p in coeffs if p and coeffs[p])
+            last = 0
+            for p in pos:
+                run = p - last - 1
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                size, raw = _magnitude(coeffs[p])
+                ln, code = ac_codes[(run << 4) | size]
+                bw.put(code, ln)
+                bw.put(raw, size)
+                last = p
+            if last != 63:
+                ln, code = ac_codes[0x00]  # EOB
+                bw.put(code, ln)
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def synth_color_jpeg_bytes(media_id: int) -> bytes:
+    """One complete valid baseline YCbCr JPEG from the id formula:
+    subsampling variant from color_sampling (4:4:4 / 4:2:2 / 4:2:0),
+    non-MCU-aligned dims from color_geometry, component c's blocks
+    seeded by block_coefficients(media_id*3 + c, k) over its padded
+    grid, luma quant table 0 + chroma table 1. Ids with
+    media_id % 5 == 0 and more than 2 MCUs carry DRI + restart
+    markers every 2 MCUs (all-component DC resets, bit realigns)."""
+    hy, vy = color_sampling(media_id)
+    width, height, mcux, mcuy = color_geometry(media_id)
+    sampling = [(hy, vy), (1, 1), (1, 1)]
+    comp_blocks = []
+    for c, (h, v) in enumerate(sampling):
+        n = mcux * h * mcuy * v
+        comp_blocks.append(
+            [block_coefficients(media_id * 3 + c, k) for k in range(n)]
+        )
+    restart_interval = 2 if media_id % 5 == 0 and mcux * mcuy > 2 else 0
+    return encode_color_jpeg(width, height, sampling, comp_blocks, restart_interval)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -337,13 +535,21 @@ def _extend(raw: int, size: int) -> int:
     return raw - (1 << size) + 1
 
 
-def decode_jpeg_coefficients(payload: bytes):
-    """Decode a baseline single-component JPEG to its DEQUANTIZED
-    coefficient blocks: returns (width, height, blocks) where blocks
-    is a list (raster order) of {zigzag_pos: dequantized int}. Every
-    step is integer-exact — this is the oracle-checkable half of JPEG
-    decode. Returns None for anything corrupt or out of scope
-    (multi-component, progressive, arithmetic, 16-bit tables)."""
+def decode_jpeg_components(payload: bytes):
+    """Decode a baseline JPEG — grayscale OR multi-component
+    interleaved single-scan — to DEQUANTIZED coefficient blocks:
+    returns (width, height, comps) where comps is a list of
+    (comp_id, h, v, blocks) in frame order and ``blocks`` is that
+    component's padded-grid raster list of {zigzag_pos: dequantized
+    int}. For Nf >= 2 the grid is (mcux*h) x (mcuy*v) — padding
+    blocks from non-MCU-aligned dims included, exactly as the
+    bitstream carries them; the entropy segment is read in T.81
+    interleaved MCU order with per-component DC predictors, and
+    restart intervals count MCUs (all predictors reset). Every step
+    is integer-exact — the oracle-checkable half of JPEG decode.
+    Returns None for anything corrupt or out of scope (progressive,
+    arithmetic, hierarchical, 12-bit, >3 components, >10 data units
+    per MCU)."""
     b = payload or b""
     if b[:2] != b"\xff\xd8":
         return None
@@ -351,8 +557,8 @@ def decode_jpeg_coefficients(payload: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = None
-    dc_sel = ac_sel = None
+    frame_comps = None  # [(comp_id, h, v, tq)] in frame order
+    scan_sel = None  # [(dc_sel, ac_sel)] aligned with frame order
     restart_interval = 0
     try:
         while True:
@@ -389,114 +595,228 @@ def decode_jpeg_coefficients(payload: bytes):
                     htables[(tc, th)] = _dht_table(bits, vals)
                     i += 17 + n
             elif marker == 0xC0:  # SOF0 baseline
-                if seg[0] != 8:
+                if seg[0] != 8:  # 12-bit precision out of scope
                     return None
                 height, width = struct.unpack(">HH", seg[1:5])
-                if seg[5] != 1:  # single-component scope
+                nf = seg[5]
+                if not 1 <= nf <= 3 or len(seg) != 6 + 3 * nf:
                     return None
-                if seg[7] != 0x11:  # no subsampling for 1 component
-                    return None
-                comp_q = seg[8]
+                frame_comps = []
+                for i in range(nf):
+                    cid = seg[6 + 3 * i]
+                    h, v = seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 0x0F
+                    if not (1 <= h <= 4 and 1 <= v <= 4):
+                        return None
+                    frame_comps.append((cid, h, v, seg[8 + 3 * i]))
+                if len({c[0] for c in frame_comps}) != nf:
+                    return None  # duplicate component ids
+                if nf == 1 and frame_comps[0][1:3] != (1, 1):
+                    return None  # single component: no subsampling
+                if nf > 1 and sum(h * v for _, h, v, _ in frame_comps) > 10:
+                    return None  # T.81 B.2.3 MCU data-unit cap
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                             0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline frame types: out of scope
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", seg[:2])
             elif marker == 0xDA:  # SOS
-                if seg[0] != 1:
+                if frame_comps is None:
                     return None
-                dc_sel, ac_sel = seg[2] >> 4, seg[2] & 0x0F
-                if seg[3:6] != b"\x00\x3f\x00":
+                ns = seg[0]
+                # single full interleaved scan only (Ns == Nf), scan
+                # components in frame order (T.81 B.2.3)
+                if ns != len(frame_comps) or len(seg) != 1 + 2 * ns + 3:
+                    return None
+                scan_sel = []
+                for i, (cid, _, _, _) in enumerate(frame_comps):
+                    if seg[1 + 2 * i] != cid:
+                        return None
+                    sel = seg[2 + 2 * i]
+                    scan_sel.append((sel >> 4, sel & 0x0F))
+                if seg[1 + 2 * ns :] != b"\x00\x3f\x00":
                     return None
                 break
             # APPn / COM / anything else with a length: skipped
-        if None in (width, height, comp_q) or comp_q not in qtables:
+        if None in (width, height) or width == 0 or height == 0:
             return None
-        if (0, dc_sel) not in htables or (1, ac_sel) not in htables:
-            return None
-        if width == 0 or height == 0:
-            return None
-        qt = qtables[comp_q]
-        dc_table = htables[(0, dc_sel)]
-        ac_table = htables[(1, ac_sel)]
-        bx = (width + 7) // 8
-        by = (height + 7) // 8
-        n_blocks = bx * by
+        nf = len(frame_comps)
+        qts, dc_ts, ac_ts = [], [], []
+        for (cid, h, v, tq), (dc_sel, ac_sel) in zip(frame_comps, scan_sel):
+            if tq not in qtables:
+                return None
+            if (0, dc_sel) not in htables or (1, ac_sel) not in htables:
+                return None
+            qts.append(qtables[tq])
+            dc_ts.append(htables[(0, dc_sel)])
+            ac_ts.append(htables[(1, ac_sel)])
+        if nf == 1:
+            cols = (width + 7) // 8
+            rows = (height + 7) // 8
+            grids = [(cols, rows)]
+            n_mcus = cols * rows
+            mcu_units = [[(0, k)] for k in range(n_mcus)]
+        else:
+            hmax = max(h for _, h, _, _ in frame_comps)
+            vmax = max(v for _, _, v, _ in frame_comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            n_mcus = mcux * mcuy
+            grids = [(mcux * h, mcuy * v) for _, h, v, _ in frame_comps]
+            mcu_units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    units = []
+                    for ci, (_, h, v, _) in enumerate(frame_comps):
+                        for bv in range(v):
+                            for bh in range(h):
+                                units.append(
+                                    (ci, (my * v + bv) * (mcux * h) + mx * h + bh)
+                                )
+                    mcu_units.append(units)
+        comp_blocks: list[list] = [
+            [None] * (gx * gy) for gx, gy in grids
+        ]
         reader = _BitReader(b, pos)
-        blocks: list[dict[int, int]] = []
-        pred = 0
+        preds = [0] * nf
         rst = 0
-        for k in range(n_blocks):
-            if restart_interval and k and k % restart_interval == 0:
+        for mi in range(n_mcus):
+            if restart_interval and mi and mi % restart_interval == 0:
                 reader.restart(rst)
                 rst = (rst + 1) & 7
-                pred = 0
-            size = reader.symbol(dc_table)
-            if size > 11:
-                return None
-            diff = _extend(reader.bits(size), size)
-            pred += diff
-            coeffs = {0: pred * qt[0]}
-            p = 0
-            while p < 63:
-                sym = reader.symbol(ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:  # only ZRL may have size 0
-                        return None
-                    p += 16
+                preds = [0] * nf
+            for ci, bidx in mcu_units[mi]:
+                qt = qts[ci]
+                size = reader.symbol(dc_ts[ci])
+                if size > 11:
+                    return None
+                diff = _extend(reader.bits(size), size)
+                preds[ci] += diff
+                coeffs = {0: preds[ci] * qt[0]}
+                p = 0
+                while p < 63:
+                    sym = reader.symbol(ac_ts[ci])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:  # only ZRL may have size 0
+                            return None
+                        p += 16
+                        if p > 63:
+                            return None
+                        continue
+                    p += run + 1
                     if p > 63:
                         return None
-                    continue
-                p += run + 1
-                if p > 63:
-                    return None
-                coeffs[p] = _extend(reader.bits(size), size) * qt[p]
-            blocks.append(coeffs)
+                    coeffs[p] = _extend(reader.bits(size), size) * qt[p]
+                comp_blocks[ci][bidx] = coeffs
         # entropy data must end at EOI (after 1-padding to the byte
         # boundary); trailing garbage is corruption
         reader.nbits = 0
         if b[reader.pos : reader.pos + 2] != b"\xff\xd9":
             return None
-        return int(width), int(height), blocks
+        return (
+            int(width),
+            int(height),
+            [
+                (cid, h, v, blocks)
+                for (cid, h, v, _), blocks in zip(frame_comps, comp_blocks)
+            ],
+        )
     except (_Undecodable, struct.error, IndexError):
         return None
 
 
-def decode_jpeg_pixels(payload: bytes):
-    """Full grayscale decode: coefficients -> natural-order 8x8 blocks
-    -> T.81 A.3.3 inverse DCT (float64) -> +128 level shift -> clip ->
-    ``numpy.uint8`` (height, width) raster. The integer coefficient
-    layer is oracle-checked via decode_jpeg_coefficients; the float
-    IDCT here is pytest-pinned against a literal four-loop
-    transcription of the formula."""
-    import numpy as np
-
-    dec = decode_jpeg_coefficients(payload)
+def decode_jpeg_coefficients(payload: bytes):
+    """Decode a baseline single-component JPEG to its DEQUANTIZED
+    coefficient blocks: returns (width, height, blocks) where blocks
+    is a list (raster order) of {zigzag_pos: dequantized int}. The
+    strict grayscale view over decode_jpeg_components — the shape the
+    r10 gate pinned (queries/llm_pipeline.py::q_jpeg_coeff_stats).
+    Returns None for anything corrupt, for multi-component frames
+    (decode those via decode_jpeg_components), and for out-of-scope
+    variants (progressive, arithmetic, 16-bit tables)."""
+    dec = decode_jpeg_components(payload)
     if dec is None:
         return None
-    width, height, blocks = dec
-    bx = (width + 7) // 8
-    by = (height + 7) // 8
+    width, height, comps = dec
+    if len(comps) != 1:
+        return None
+    _, h, v, blocks = comps[0]
+    if (h, v) != (1, 1):
+        return None
+    return width, height, blocks
+
+
+def _idct_plane(blocks, cols: int, rows: int):
+    """Natural-order 8x8 blocks -> T.81 A.3.3 inverse DCT (float64)
+    -> +128 level shift -> clip -> ``numpy.uint8`` (rows*8, cols*8)
+    component plane."""
+    import numpy as np
+
     # C(u) basis matrix: idct2(B) = M.T @ B @ M with
     # M[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
     u = np.arange(8).reshape(8, 1)
     x = np.arange(8).reshape(1, 8)
     m = np.cos((2 * x + 1) * u * np.pi / 16) / 2
     m[0] *= 1 / np.sqrt(2)
-    raster = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+    raster = np.zeros((rows * 8, cols * 8), dtype=np.uint8)
     for k, coeffs in enumerate(blocks):
         blk = np.zeros(64)
         for zz, v in coeffs.items():
             blk[ZIGZAG[zz]] = v
         spatial = m.T @ blk.reshape(8, 8) @ m + 128
-        yb, xb = divmod(k, bx)
+        yb, xb = divmod(k, cols)
         raster[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = np.clip(
             np.rint(spatial), 0, 255
         ).astype(np.uint8)
-    return raster[:height, :width]
+    return raster
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Full baseline decode. Grayscale -> ``numpy.uint8``
+    (height, width); 3-component YCbCr (any 4:4:4 / 4:2:2 / 4:2:0
+    layout with integral subsampling ratios) -> per-component IDCT,
+    chroma upsampling by pixel replication, JFIF YCbCr -> RGB ->
+    ``numpy.uint8`` (height, width, 3). The integer coefficient layer
+    is oracle-checked via decode_jpeg_components; the float IDCT +
+    upsample + color conversion here are pytest-pinned against
+    literal transcriptions of the formulas. Returns None for corrupt
+    input, 2-component frames (no standard color mapping), and
+    non-integral subsampling ratios."""
+    import numpy as np
+
+    dec = decode_jpeg_components(payload)
+    if dec is None:
+        return None
+    width, height, comps = dec
+    if len(comps) == 1:
+        _, _, _, blocks = comps[0]
+        plane = _idct_plane(blocks, (width + 7) // 8, (height + 7) // 8)
+        return plane[:height, :width]
+    if len(comps) != 3:
+        return None  # no standard color mapping for 2/4 components
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = []
+    for _, h, v, blocks in comps:
+        if hmax % h or vmax % v:
+            return None  # replication upsampling needs integral ratios
+        plane = _idct_plane(blocks, mcux * h, mcuy * v)
+        # crop to the component's true dims (T.81 A.1.1 ceil scaling),
+        # then replicate up to full resolution
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        planes.append(plane[:height, :width].astype(np.float64))
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -567,3 +887,83 @@ def jpeg_coeff_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_stats, JPEG_STATS_SCHEMA)
+
+
+JPEG_COLOR_STATS_SCHEMA = (
+    "media_id long, width int, height int, hmax int, vmax int, "
+    "n_blocks int, dc_sum_y long, dc_sum_cb long, dc_sum_cr long, "
+    "coeff_abs_sum long, coeff_wsum long"
+)
+
+
+def synth_color_jpeg_payloads(media_ids: DataFrame) -> DataFrame:
+    """Arrow-batched synth: one complete valid baseline YCbCr JPEG
+    per id (subsampling variant, padded MCU grid and restart layout
+    all formula-derived — see synth_color_jpeg_bytes)."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), synth_color_jpeg_bytes(int(mid)))
+                for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sc = media_ids.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism // 2, 1)
+    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
+        _build, SYNTH_SCHEMA
+    )
+
+
+def jpeg_color_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL multi-component JPEG entropy decode: per
+    image, the per-component dequantized-coefficient checksums.
+    ``coeff_wsum`` weights each coefficient by
+    ((comp_index * 64 + block_index) * 64 + zigzag_pos + 1), so it
+    only matches the oracle if the interleaved MCU -> component
+    raster mapping, per-component DC prediction, run-length
+    positions, AND the per-component quant-table selection are all
+    exact. Undecodable or non-3-component payloads yield NULL
+    stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "width", "height", "hmax", "vmax", "n_blocks",
+            "dc_sum_y", "dc_sum_cb", "dc_sum_cr",
+            "coeff_abs_sum", "coeff_wsum",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_jpeg_components(bytes(payload or b""))
+                if dec is None or len(dec[2]) != 3:
+                    rows.append((int(mid),) + (None,) * 10)
+                    continue
+                width, height, comps = dec
+                hmax = max(h for _, h, _, _ in comps)
+                vmax = max(v for _, _, v, _ in comps)
+                n_blocks = sum(len(blocks) for _, _, _, blocks in comps)
+                dc_sums = [
+                    sum(blk[0] for blk in blocks)
+                    for _, _, _, blocks in comps
+                ]
+                abs_sum = sum(
+                    abs(v)
+                    for _, _, _, blocks in comps
+                    for blk in blocks
+                    for v in blk.values()
+                )
+                wsum = sum(
+                    ((c * 64 + k) * 64 + p + 1) * v
+                    for c, (_, _, _, blocks) in enumerate(comps)
+                    for k, blk in enumerate(blocks)
+                    for p, v in blk.items()
+                )
+                rows.append(
+                    (int(mid), width, height, hmax, vmax, n_blocks,
+                     dc_sums[0], dc_sums[1], dc_sums[2], abs_sum, wsum)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, JPEG_COLOR_STATS_SCHEMA)

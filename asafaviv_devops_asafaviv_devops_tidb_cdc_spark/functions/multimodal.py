@@ -99,15 +99,20 @@ def decode_payload(payload: bytes, mime: str | None = None) -> dict:
 
 def decode_pixels(payload: bytes, mime: str):
     """Full pixel/sample decode. Uncompressed 24-bit BMP, ALL
-    deflate-framed PNG, and baseline grayscale JPEG are decoded
-    IN-ENGINE (pure stdlib + numpy — fixed headers, chunk/marker
-    walks, a complete RFC 1951 inflate covering stored, fixed- and
-    dynamic-Huffman blocks, baseline JPEG entropy decode + IDCT,
-    filter reconstruction). Contract (r9 advice — consistent across
-    formats): corrupt/unsupported-variant input returns None;
-    NotImplementedError is raised ONLY at the genuine codec-library
-    boundary — color/progressive JPEG, MP3 and every other container
-    (PIL/ffmpeg territory, not present here)."""
+    deflate-framed PNG, and baseline JPEG — grayscale AND 3-component
+    YCbCr color with 4:4:4/4:2:2/4:2:0 subsampling (r11) — are
+    decoded IN-ENGINE (pure stdlib + numpy — fixed headers,
+    chunk/marker walks, a complete RFC 1951 inflate covering stored,
+    fixed- and dynamic-Huffman blocks, interleaved-MCU JPEG entropy
+    decode + IDCT + chroma upsample + YCbCr->RGB, filter
+    reconstruction). Contract (r9/r10 advice — consistent across
+    formats): corrupt input AND unsupported in-format variants both
+    return None — for JPEG that means progressive (SOF2), arithmetic,
+    hierarchical, 12-bit and >3-component frames are indistinguishable
+    from corruption by design (one uniform no-guess contract).
+    NotImplementedError is raised ONLY for containers with no decoder
+    at all — MP3/video and anything else in PIL/ffmpeg territory, not
+    present here."""
     b = payload or b""
     if (mime or "").lower() in ("image/bmp", "bmp") or b[:2] == b"BM":
         return decode_bmp_pixels(payload)
@@ -119,9 +124,9 @@ def decode_pixels(payload: bytes, mime: str):
         return _jpeg.decode_jpeg_pixels(payload)
     raise NotImplementedError(
         "pixel decoding beyond uncompressed BMP, deflate-framed PNG and "
-        "baseline grayscale JPEG requires optional codecs (PIL/ffmpeg); "
-        "decode_payload provides header metadata, fake_decode_features "
-        "the deterministic feature stand-in"
+        "baseline JPEG (grayscale + YCbCr color) requires optional codecs "
+        "(PIL/ffmpeg); decode_payload provides header metadata, "
+        "fake_decode_features the deterministic feature stand-in"
     )
 
 
@@ -812,8 +817,14 @@ def _deflate_dynamic(body: bytes) -> bytes:
                 depth[s] += 1
             heapq.heappush(heap, (f1 + f2, tick, s1 + s2))
             tick += 1
-        if max(depth.values()) > 15:  # unreachable for <=64k bodies,
-            raise ValueError("huffman depth > 15")  # never emit invalid
+        # Depth > 15 IS reachable in general (Fibonacci-skewed byte
+        # frequencies can force depth 16 with ~2.6k symbols — r10
+        # advice); it is unreachable only for this synth's small
+        # near-uniform rasters (<= ~2.2 KB, formula-derived byte
+        # spread). Raising keeps the invariant loud: never emit an
+        # invalid DHT-style table, fail the synth task instead.
+        if max(depth.values()) > 15:
+            raise ValueError("huffman depth > 15")
         return depth
 
     def canon_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
@@ -1150,7 +1161,13 @@ def _inflate(stream: bytes):
             dist = _DIST_BASE[dc] + (
                 getbits(_DIST_EXTRA[dc]) if _DIST_EXTRA[dc] else 0
             )
-            if dist > len(out):
+            # RFC 1951 §2: the LZ77 window is 32 KB. Distances beyond
+            # it are in fact unrepresentable — code 29 + 13 extra bits
+            # tops out at exactly 32768 and the reserved codes 30/31
+            # are rejected above — so this cap is defense-in-depth
+            # documentation of the window bound (r10 advice: stay as
+            # strict as the library), not a reachable branch.
+            if dist > len(out) or dist > 32768:
                 raise _Corrupt
             start = len(out) - dist
             if dist >= length:
@@ -1230,6 +1247,13 @@ def _inflate(stream: bytes):
             if final:
                 break
     except _Corrupt:
+        return None
+    # RFC 1950: the adler32 trailer follows the final block directly
+    # (after bit padding to the byte boundary) — any whole unread byte
+    # between them is garbage a library inflater would reject too
+    # (r10 advice). Huffman blocks leave < 8 bits in the accumulator;
+    # only stored blocks can leave whole preloaded bytes in it.
+    if (nbits >> 3) + (len(data) - pos) != 0:
         return None
     if struct.unpack(">I", stream[-4:])[0] != (zlib.adler32(bytes(out)) & 0xFFFFFFFF):
         return None

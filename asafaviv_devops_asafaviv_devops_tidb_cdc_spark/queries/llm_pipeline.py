@@ -1703,6 +1703,118 @@ def q_jpeg_coeff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_jpeg_color_stats",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 >= 1 THEN 2 ELSE 1 END AS hy,
+         CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS vy,
+         doc_id % 2 + 1 AS mcux,
+         (doc_id // 2) % 2 + 1 AS mcuy
+  FROM documents
+),
+g AS (
+  SELECT media_id, hy, vy, mcux, mcuy,
+         8 * hy * mcux - media_id % (8 * hy) AS width,
+         8 * vy * mcuy - (media_id * 3) % (8 * vy) AS height
+  FROM p
+),
+comps AS (
+  SELECT g.*, cc.c,
+         CASE WHEN cc.c = 0 THEN hy ELSE 1 END AS hc,
+         CASE WHEN cc.c = 0 THEN vy ELSE 1 END AS vc
+  FROM g CROSS JOIN (SELECT unnest([0, 1, 2]) AS c) cc
+),
+blocks AS (
+  SELECT media_id, hy, vy, width, height, c,
+         unnest(range(mcux * hc * mcuy * vc)) AS k,
+         media_id * 3 + c AS seed
+  FROM comps
+),
+coef AS (
+  SELECT media_id, hy, vy, width, height, c, k,
+         ((seed * 7 + k * 5) % 63) - 31 AS dc,
+         1 + (seed + k) % 8 AS p1,
+         12 + (seed * 2 + k) % 10 AS p2,
+         30 + (seed + 3 * k) % 12 AS p3,
+         CASE WHEN ((seed + 13 * k) % 19) - 9 = 0 THEN 5
+              ELSE ((seed + 13 * k) % 19) - 9 END AS a1,
+         CASE WHEN ((seed * 3 + 7 * k) % 11) - 5 = 0 THEN -3
+              ELSE ((seed * 3 + 7 * k) % 11) - 5 END AS a2,
+         CASE WHEN ((seed * 5 + k) % 7) - 3 = 0 THEN 2
+              ELSE ((seed * 5 + k) % 7) - 3 END AS a3
+  FROM blocks
+),
+d AS (
+  SELECT media_id, hy, vy, width, height, c, k, p1, p2, p3,
+         dc * (CASE WHEN c = 0 THEN 1 ELSE 2 END) AS dqc,
+         a1 * (CASE WHEN c = 0 THEN (p1 % 13) + 1
+                    ELSE (p1 % 11) + 2 END) AS dq1,
+         a2 * (CASE WHEN c = 0 THEN (p2 % 13) + 1
+                    ELSE (p2 % 11) + 2 END) AS dq2,
+         a3 * (CASE WHEN c = 0 THEN (p3 % 13) + 1
+                    ELSE (p3 % 11) + 2 END) AS dq3
+  FROM coef
+),
+s AS (
+  SELECT media_id,
+         MAX(width) AS width, MAX(height) AS height,
+         MAX(hy) AS hmax, MAX(vy) AS vmax,
+         COUNT(*) AS n_blocks,
+         SUM(CASE WHEN c = 0 THEN dqc ELSE 0 END) AS dc_sum_y,
+         SUM(CASE WHEN c = 1 THEN dqc ELSE 0 END) AS dc_sum_cb,
+         SUM(CASE WHEN c = 2 THEN dqc ELSE 0 END) AS dc_sum_cr,
+         SUM(ABS(dqc) + ABS(dq1) + ABS(dq2) + ABS(dq3)) AS abs_sum,
+         SUM(((c * 64 + k) * 64 + 1) * dqc
+             + ((c * 64 + k) * 64 + p1 + 1) * dq1
+             + ((c * 64 + k) * 64 + p2 + 1) * dq2
+             + ((c * 64 + k) * 64 + p3 + 1) * dq3) AS wsum
+  FROM d GROUP BY media_id
+)
+SELECT media_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(hmax AS INTEGER) AS hmax,
+       CAST(vmax AS INTEGER) AS vmax,
+       CAST(n_blocks AS INTEGER) AS n_blocks,
+       CAST(dc_sum_y AS BIGINT) AS dc_sum_y,
+       CAST(dc_sum_cb AS BIGINT) AS dc_sum_cb,
+       CAST(dc_sum_cr AS BIGINT) AS dc_sum_cr,
+       CAST(abs_sum AS BIGINT) AS coeff_abs_sum,
+       CAST(wsum AS BIGINT) AS coeff_wsum
+FROM s
+""",
+)
+def q_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5g color — REAL multi-component baseline-JPEG entropy decode
+    (r11; closes the 'color baseline' slice of the codec boundary):
+    complete valid YCbCr JPEGs — 4:4:4 / 4:2:2 / 4:2:0 subsampling
+    rotating by id%3, non-MCU-aligned dims (padding blocks the
+    interleaved scan still carries), two quantization tables (luma 0,
+    chroma 1), four per-file Huffman tables (DC/AC x luma/chroma),
+    and MCU-counted restart markers with ALL-component DC-predictor
+    resets for ids % 20 == 15 — are synthesized from formula-derived
+    QUANTIZED COEFFICIENTS (functions/jpeg.py::synth_color_jpeg_bytes,
+    component c seeded by media_id*3+c). A separate Arrow stage
+    entropy-decodes the interleaved MCU order back into per-component
+    raster grids (decode_jpeg_components) — ALL integer-exact, so the
+    oracle brute-forces the per-component checksums from the id
+    formula: coeff_wsum weights every coefficient by
+    (comp*64 + block)*64 + zigzag_pos + 1, so the MCU -> raster
+    mapping, per-component DC predictors, run positions AND the
+    luma-vs-chroma quant-table selection must all agree bit-exactly.
+    The float half (per-plane IDCT, replication upsample,
+    JFIF YCbCr->RGB in decode_jpeg_pixels) is pytest-pinned against
+    literal formula transcriptions. Remaining codec-library boundary:
+    progressive/arithmetic JPEG and MP3/video codecs."""
+    from ..functions import jpeg as JP
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = JP.synth_color_jpeg_payloads(ids)
+    return JP.jpeg_color_stats(payloads)
+
+
+@register(
     "q_wav_sample_stats",
     oracle="""
 WITH p AS (

@@ -981,6 +981,77 @@ def test_inflate_differential_against_zlib(
         assert got is None or got == body
 
 
+def _handcrafted_match_stream(dist_code: int, extra: int) -> bytes:
+    """zlib stream: a 33000-byte stored block of zeros, then a final
+    fixed-Huffman block with one length-3 match using ``dist_code``
+    (+ 13 ``extra`` bits when the code carries them) — lets a test
+    drive the decoder to the exact 32 KB window edge and onto the
+    reserved distance codes with an output buffer big enough that
+    buffer-length checks alone could not object."""
+    import struct
+    import zlib
+
+    n = 33000
+    out = bytearray(b"\x78\x01")  # zlib header, check bits valid
+    out += b"\x00" + struct.pack("<HH", n, n ^ 0xFFFF) + b"\x00" * n
+    bits: list[int] = []
+
+    def put_lsb(value: int, width: int) -> None:
+        for i in range(width):
+            bits.append((value >> i) & 1)
+
+    def put_code(code: int, width: int) -> None:  # MSB-first
+        for i in range(width - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    put_lsb(1, 1)  # BFINAL
+    put_lsb(1, 2)  # BTYPE=01 fixed
+    put_code(0b0000001, 7)  # lit/len 257 = length 3
+    put_code(dist_code, 5)
+    if dist_code >= 4:  # codes with extra bits (29 carries 13)
+        put_lsb(extra, 13 if dist_code >= 28 else 0)
+    put_code(0, 7)  # end of block
+    while len(bits) % 8:
+        bits.append(0)
+    for i in range(0, len(bits), 8):
+        out.append(sum(b << j for j, b in enumerate(bits[i : i + 8])))
+    body = b"\x00" * (n + 3)
+    out += struct.pack(">I", zlib.adler32(body))
+    return bytes(out)
+
+
+def test_inflate_is_as_strict_as_the_library():
+    """r10 advice follow-up: the deflate format cannot even represent
+    a distance beyond the 32 KB window (code 29 + 13 extra bits tops
+    out at exactly 32768), so window strictness means (a) decoding
+    the exact edge, (b) rejecting the reserved distance codes 30/31
+    that a beyond-window encoder would need, and (c) rejecting whole
+    garbage bytes between the final block and the adler32 trailer —
+    each differentially confirmed against zlib."""
+    import zlib
+
+    import pytest
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import multimodal
+
+    # (a) the exact window edge: dist 32768 = code 29 + extra 8191
+    ok = _handcrafted_match_stream(29, 8191)
+    assert multimodal._inflate(ok) == zlib.decompress(ok) == b"\x00" * 33003
+    # (b) reserved distance codes: invalid per RFC 1951 §3.2.6
+    for reserved in (30, 31):
+        bad = _handcrafted_match_stream(reserved, 0)
+        with pytest.raises(zlib.error):
+            zlib.decompress(bad)
+        assert multimodal._inflate(bad) is None
+    # (c) trailing garbage between final block and adler32
+    good = zlib.compress(b"spark-graft strictness probe" * 40, 6)
+    assert multimodal._inflate(good) is not None
+    padded = good[:-4] + b"\x00" + good[-4:]
+    with pytest.raises(zlib.error):
+        zlib.decompress(padded)
+    assert multimodal._inflate(padded) is None
+
+
 @given(
     w=st.integers(min_value=1, max_value=21),
     h=st.integers(min_value=1, max_value=21),
