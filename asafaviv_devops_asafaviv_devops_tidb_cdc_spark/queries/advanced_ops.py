@@ -560,11 +560,12 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key — the quadratic is per basket and baskets are bounded
     (max ~13 items -> <= 78 pairs each), so candidate generation stays
     linear in orders at any corpus size; pair support aggregates with
-    map-side partials, the per-part support table joins back as a
-    broadcast (the part dimension is small relative to the fact), and
-    the final ranking is TakeOrderedAndProject with a full
-    deterministic tie-break (n_ab DESC, part_a, part_b) — never a
-    global sort."""
+    map-side partials, the per-part support table joins back with NO
+    explicit broadcast hint — it is bounded by distinct parts, which
+    grows with scale factor, so AQE picks broadcast at gate SF and is
+    free to shuffle at 100x (r11 broadcast-hint audit) — and the
+    final ranking is TakeOrderedAndProject with a full deterministic
+    tie-break (n_ab DESC, part_a, part_b) — never a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
@@ -580,12 +581,18 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_ab"))
     )
     return (
+        # no explicit broadcast on the support table: it is bounded by
+        # DISTINCT PARTS, which grows with scale factor — at gate SF
+        # AQE broadcasts it on its own (plan-pinned in PLANS.md), and
+        # at 100x it is free to pick a shuffle join instead of
+        # pressuring the driver with an unoverridable hint (r10
+        # advice / r11 broadcast-hint audit)
         pairs.join(
-            F.broadcast(counts.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a"))),
+            counts.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a")),
             "part_a",
         )
         .join(
-            F.broadcast(counts.select(F.col("pk").alias("part_b"), F.col("n").alias("n_b"))),
+            counts.select(F.col("pk").alias("part_b"), F.col("n").alias("n_b")),
             "part_b",
         )
         .select(

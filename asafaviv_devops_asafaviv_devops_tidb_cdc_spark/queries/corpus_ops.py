@@ -933,9 +933,11 @@ def q_dedup_yield_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     mostly duplicates gets down-weighted at acquisition, not at
     filtering. The doubled-corpus synthetic ids map back to their
     original doc (id % 1e6) for the source lookup; the lookup side is
-    dictionary-sized and broadcasts. Cluster ids come from the
-    materialized artifact (sources/cluster_store.py), not a per-report
-    CC rebuild."""
+    the documents table's (id, source) projection — it grows with the
+    corpus, so no explicit broadcast hint: AQE broadcasts while it
+    fits and shuffles at scale (r11 broadcast-hint audit). Cluster
+    ids come from the materialized artifact
+    (sources/cluster_store.py), not a per-report CC rebuild."""
     from ..sources.cluster_store import neardup_cluster_table
 
     clusters = neardup_cluster_table(spark, sf_dir).withColumnRenamed(
@@ -945,7 +947,11 @@ def q_dedup_yield_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("orig_id"), "source"
     )
     labeled = clusters.join(
-        F.broadcast(src),
+        # no explicit broadcast: the lookup side is the documents
+        # table's (id, source) projection, which grows with the
+        # corpus — AQE broadcasts it while it fits and switches to a
+        # shuffle join at scale (r11 broadcast-hint audit)
+        src,
         (F.col("member_id") % 1_000_000) == F.col("orig_id"),
     ).select("member_id", "cluster_id", "source")
     ranked = labeled.withColumn(
