@@ -44,79 +44,76 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-10 window (50 slots), composed mechanically per
+    # Round-11 window (50 slots), composed mechanically per
     # tests/test_freshness.py:
-    # (a) 4 changed-path entries (scripts/freshness.py vs the r9/r5
-    #     verdict markers): q_bloom_decontaminate (64-bit gram prehash,
-    #     functions/bloom.py), q_minhash_neardup + q_neardup_recall
-    #     (star-gate constants now interpolated into the shared
-    #     _LSH_CAND_CTES oracle template — r9 advice), and
-    #     q_png_pixel_stats (fixed-Huffman BTYPE=1 inflate + Z_FIXED
-    #     synth for odd ids, r9 verdict item 7);
-    # (b) the entire remaining r4-latest cohort (22) — after this
-    #     window drains, no verdict is older than r5 and rotation is
-    #     pure steady-state;
-    # (c) 23 rotation slots from the oldest (r5-latest) verdicts in
-    #     registration order; the 14 r5 entries left outside tie the
-    #     newest r5 inside, which the oldest-first invariant allows.
-    # ONE new registration this round (cap 3): q_jpeg_coeff_stats —
-    # the baseline-JPEG entropy decoder (E5g), the round's
-    # boundary-narrowing capability; never-checked, so it must hold a
-    # slot and displaces the newest r5 rotation entry (q_stream_resume,
-    # which ties the r5 entries left outside — allowed).
-    # --- (a) changed-path (4) + new (1) ---
+    # (a) 1 never-checked new registration (cap 3, one used):
+    #     q_jpeg_color_stats — multi-component YCbCr baseline-JPEG
+    #     entropy decode (E5g color, r10 verdict item 2);
+    # (b) 4 changed-path entries (scripts/freshness.py vs the
+    #     verdict-round markers): q_jpeg_coeff_stats +
+    #     q_png_pixel_stats (shared decoder/inflate edits: color
+    #     routing, RFC 1951/1950 strictness — r10 advice) and
+    #     q_basket_pairs + q_dedup_yield_by_source (broadcast-hint
+    #     audit, r10 verdict item 4: hints dropped on frames whose
+    #     bound grows with scale factor);
+    # (c) rotation = the ENTIRE r5-latest cohort (13) + the 32
+    #     oldest r6-latest entries in registration order — this
+    #     window retires the r5 cohort completely; the 11 r6
+    #     entries left outside tie the newest r6 inside, which the
+    #     oldest-first invariant allows.
+    # --- (a) new (1) + (b) changed-path (4) ---
+    "q_jpeg_color_stats",
     "q_jpeg_coeff_stats",
-    "q_bloom_decontaminate",
-    "q_minhash_neardup",
-    "q_neardup_recall",
     "q_png_pixel_stats",
-    # --- (b) r4-latest cohort, all 22 ---
-    "q_rate_5m",
-    "q_error_ratio",
-    "q_quantiles",
-    "q_hll_error_bound",
-    "q_alert_liveness",
-    "q_prom_quantile",
-    "q_rate_per_op",
-    "q_increase_1h",
-    "q_date_histogram",
-    "q_topk_recent",
-    "q_order_priority",
-    "q_supplier_parts",
-    "q_disjunctive_revenue",
-    "q_embedding_neardup",
-    "q_frame_sample",
-    "q_multimodal_features",
-    "q_cosine_pairs",
-    "q_vocab_growth",
-    "q_zorder_layout",
-    "q_embedding_norm_hist",
-    "q_udaf_median",
-    "q_udtf_explode",
-    # --- (c) oldest r5-latest entries (23 of 37) ---
-    "q_approx_quantile_bound",
-    "q_funnel_stages",
-    "q_time_weighted_avg",
-    "q_anomaly_mad",
-    "q_metrics_exposition",
-    "q_nation_profit",
-    "q_late_shipments",
-    "q_blocking_suppliers",
-    "q_min_cost_supplier",
-    "q_excess_suppliers",
-    "q_cohort_retention",
-    "q_sample_estimate_bound",
-    "q_ivf_topk_trained",
-    "q_ann_batch_ivf",
-    "q_doc_chunks",
-    "q_vocab_coverage",
-    "q_embedding_gram",
-    "q_semantic_dedup",
-    "q_bpe_merges",
-    "q_bpe_tokenize",
-    "q_neardup_source_matrix",
-    "q_pq_encode",
-    "q_alert_rules_eval",
+    "q_basket_pairs",
+    "q_dedup_yield_by_source",
+    # --- (c) r5-latest cohort, all 13 ---
+    "q_stream_resume",
+    "q_dq_checks",
+    "q_event_drift",
+    "q_events_format_parity",
+    "q_snapshot_roundtrip",
+    "q_retention_sweep",
+    "q_bucketed_join",
+    "q_weighted_mix",
+    "q_delta_join",
+    "q_curriculum",
+    "q_containment",
+    "q_mix_epochs",
+    "q_link_rank",
+    # --- (c) oldest r6-latest entries (32 of 43) ---
+    "q_old_image",
+    "q_typed_cast",
+    "q_filter_cmp",
+    "q_arith_update",
+    "q_join_fk",
+    "q_join_star",
+    "q_cdc_replay",
+    "q_union_variants",
+    "q_except_deleted",
+    "q_snapshot_diff",
+    "q_ops_pivot",
+    "q_session_windows",
+    "q_pricing_summary",
+    "q_ship_priority",
+    "q_local_supplier_volume",
+    "q_returned_items",
+    "q_promo_share",
+    "q_top_supplier",
+    "q_dedup_exact",
+    "q_simhash",
+    "q_simhash_neardup",
+    "q_ngram_jaccard",
+    "q_neardup_clusters",
+    "q_cosine_topk",
+    "q_ivf_topk",
+    "q_text_stats",
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_repetition_ratio",
+    "q_pipeline_e2e",
+    "q_pq_topk",
 ]
 
 
