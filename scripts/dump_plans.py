@@ -160,7 +160,9 @@ HEADLINE = {
     ),
     "q_basket_pairs": (
         "market-basket pairs — within-order equi self-join (bounded "
-        "quadratic), broadcast support join-backs, "
+        "quadratic), support join-backs UNHINTED (bounded by distinct "
+        "parts, which grows with sf — AQE broadcasts at gate SF, free "
+        "to shuffle at 100x; r11 broadcast-hint audit), "
         "TakeOrderedAndProject top-100 (r6b)"
     ),
     "q_join_order_choice": (

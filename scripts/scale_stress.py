@@ -80,6 +80,17 @@ STRESS_QUERIES = {
         "q_decontaminate",
         "q_bloom_decontaminate",
     ],
+    # per-row Python decoders inside Arrow mapInPandas stages — the one
+    # family whose cost is CPU-bound Python per media item, so the
+    # exponent must be ~1.0 in media count and the per-image ms is the
+    # number a 100 TB media pipeline sizes its executor fleet by
+    # (r10 verdict item 6)
+    "codec": [
+        "q_bmp_pixel_stats",
+        "q_png_pixel_stats",
+        "q_jpeg_coeff_stats",
+        "q_jpeg_color_stats",
+    ],
 }
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
