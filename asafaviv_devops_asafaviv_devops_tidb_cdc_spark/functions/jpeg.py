@@ -25,8 +25,13 @@ subsampling, per-component quantization tables and Huffman-table
 selectors, interleaved MCU order with padding blocks for
 non-MCU-aligned dimensions, and MCU-counted restart intervals that
 reset every component's DC predictor (r11; decode_jpeg_components is
-the general decoder, decode_jpeg_coefficients the strict grayscale
-view the r10 gate pinned). Progressive (SOF2), arithmetic-coded,
+the general baseline decoder, decode_jpeg_coefficients the strict
+grayscale view the r10 gate pinned) — AND 8-bit PROGRESSIVE (SOF2)
+Huffman frames (r11; decode_jpeg_progressive): multi-scan spectral
+selection, successive approximation (DC point transform + raw-bit
+refinement, AC first/refinement scans with EOB-run coding and
+correction bits), interleaved DC + non-interleaved AC grid
+geometries, per-scan table/DRI redefinition. Arithmetic-coded,
 hierarchical and 12-bit variants remain out of scope and return
 None, as does any corrupt input (never a guess, never a misleading
 raise; same contract as the BMP/PNG decoders in
@@ -443,6 +448,316 @@ def synth_color_jpeg_bytes(media_id: int) -> bytes:
     return encode_color_jpeg(width, height, sampling, comp_blocks, restart_interval)
 
 
+def progressive_true_grid(
+    width: int, height: int, h: int, v: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """(tw, th) block grid of a component in a NON-INTERLEAVED scan
+    (T.81 A.2.2): the component's true dims are ceil-scaled from the
+    frame dims (A.1.1), then ceil-divided by 8 — NOT the padded
+    (mcux*h) x (mcuy*v) grid interleaved scans use. The mismatch
+    between the two grids (progressive AC scans never visit the MCU
+    padding blocks; the interleaved DC scan does) is a classic
+    decoder trap and is deliberately exercised by the synth's
+    non-MCU-aligned dims."""
+    cw = -(-(width * h) // hmax)
+    ch = -(-(height * v) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def progressive_scan_script(ncomp: int) -> list[tuple[list[int], int, int, int, int]]:
+    """The synth's fixed scan script: (component indices, Ss, Se, Ah,
+    Al) per scan. Deliberately exercises every progressive mode:
+    interleaved DC first scan with a point transform (Al=1), raw-bit
+    DC refinement, spectral-selection band splits, an Al=1 first pass
+    + Ah=1->Al=0 refinement for components 0-1, and a single
+    full-precision (Al=0) AC scan for component 2."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 30, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 31, 63, 0, 0),
+            ([0], 1, 30, 1, 0),
+        ]
+    return [
+        (list(range(ncomp)), 0, 0, 0, 1),
+        ([0], 1, 20, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([2], 1, 63, 0, 0),
+        (list(range(ncomp)), 0, 0, 1, 0),
+        ([0], 21, 63, 0, 1),
+        ([0], 1, 20, 1, 0),
+        ([0], 21, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+    ]
+
+
+def encode_progressive_jpeg(
+    width: int,
+    height: int,
+    sampling: list[tuple[int, int]],
+    comp_blocks: list[list[dict[int, int]]],
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+    restart_interval: int = 0,
+    quants=(quant_table_value, chroma_quant_value),
+) -> bytes:
+    """Complete valid PROGRESSIVE JPEG (SOF2, T.81 Annex G Huffman
+    mode) from QUANTIZED coefficient blocks. ``comp_blocks[c]`` is
+    component c's PADDED (mcux*H_c) x (mcuy*V_c) raster grid (the
+    interleaved DC scan covers padding blocks; AC scans, being
+    non-interleaved, walk only the true ceil(cw/8) x ceil(ch/8)
+    grid — see progressive_true_grid). Implements the full G.1.2
+    entropy repertoire: DC first scans with point transform
+    (arithmetic shift) and DC difference prediction, raw-bit DC
+    refinement scans, AC first scans with EOB-run accumulation
+    (EOBn symbols + extension bits) and the AC point transform
+    (magnitude truncation), and AC refinement scans with
+    newly-significant insertion, ZRL over zero-HISTORY runs, and
+    buffered correction bits (the jcphuff.c ordering discipline:
+    ZRLs are emitted at the next significant coefficient while
+    k <= EOB, each followed by the bits buffered so far). Every scan
+    carries its own DHT (tables are redefined per scan — the shape
+    real progressive files have); DRI + RSTn restart markers (every
+    ``restart_interval`` MCUs / data units, EOB runs flushed, all DC
+    predictors reset, RST numbering restarting at D0 per scan) when
+    requested."""
+    ncomp = len(sampling)
+    if ncomp == 1 and sampling[0] != (1, 1):
+        raise ValueError("single-component frames must be 1x1 sampled")
+    if sum(h * v for h, v in sampling) > 10:
+        raise ValueError("T.81 B.2.3: > 10 data units per MCU")
+    if scans is None:
+        scans = progressive_scan_script(ncomp)
+    tsel = [0] + [1] * (ncomp - 1)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    for c, (h, v) in enumerate(sampling):
+        if len(comp_blocks[c]) != mcux * h * mcuy * v:
+            raise ValueError("component block grid does not match sampling")
+
+    def units_for_scan(comps: list[int]) -> list[list[tuple[int, int]]]:
+        """One entry per restart-counted data unit: the (component,
+        padded-grid block index) list it covers — an MCU for
+        interleaved scans, a single true-grid block otherwise."""
+        if len(comps) > 1:
+            out = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    u = []
+                    for c in comps:
+                        h, v = sampling[c]
+                        for bv in range(v):
+                            for bh in range(h):
+                                u.append(
+                                    (c, (my * v + bv) * (mcux * h) + mx * h + bh)
+                                )
+                    out.append(u)
+            return out
+        c = comps[0]
+        h, v = sampling[c]
+        tw, th = progressive_true_grid(width, height, h, v, hmax, vmax)
+        gx = mcux * h
+        return [[(c, y * gx + x)] for y in range(th) for x in range(tw)]
+
+    def scan_ops(scan) -> list[tuple]:
+        """The scan's entropy stream as an op list — replayed once to
+        collect Huffman symbol inventories and once to write bits.
+        Ops: ("sym", class, table_id, symbol), ("bits", value, n),
+        ("rst",)."""
+        comps, ss, se, ah, al = scan
+        ops: list[tuple] = []
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush_eob(tid: int) -> None:
+            nonlocal eobrun, eob_bits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ops.append(("sym", 1, tid, r << 4))
+                if r:
+                    ops.append(("bits", eobrun - (1 << r), r))
+                for bit in eob_bits:
+                    ops.append(("bits", bit, 1))
+                eobrun = 0
+                eob_bits = []
+
+        unit_list = units_for_scan(comps)
+        if ss == 0:  # DC scan (Se == 0 enforced by the script)
+            preds = {c: 0 for c in comps}
+            for ui, unit in enumerate(unit_list):
+                if restart_interval and ui and ui % restart_interval == 0:
+                    ops.append(("rst",))
+                    preds = {c: 0 for c in comps}
+                for c, bidx in unit:
+                    dc = comp_blocks[c][bidx].get(0, 0) >> al  # arithmetic
+                    if ah == 0:
+                        size, raw = _magnitude(dc - preds[c])
+                        preds[c] = dc
+                        ops.append(("sym", 0, tsel[c], size))
+                        if size:
+                            ops.append(("bits", raw, size))
+                    else:  # refinement: one raw bit, no Huffman
+                        ops.append(("bits", dc & 1, 1))
+            return ops
+
+        # AC scan: single component
+        c = comps[0]
+        tid = tsel[c]
+        for ui, unit in enumerate(unit_list):
+            if restart_interval and ui and ui % restart_interval == 0:
+                flush_eob(tid)
+                ops.append(("rst",))
+            (_, bidx), = unit
+            coeffs = comp_blocks[c][bidx]
+            if ah == 0:  # first scan: point transform toward zero
+                r = 0
+                for k in range(ss, se + 1):
+                    v = coeffs.get(k, 0)
+                    t = abs(v) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob(tid)
+                    while r > 15:
+                        ops.append(("sym", 1, tid, 0xF0))
+                        r -= 16
+                    size, raw = _magnitude(t if v > 0 else -t)
+                    ops.append(("sym", 1, tid, (r << 4) | size))
+                    ops.append(("bits", raw, size))
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob(tid)
+                continue
+            # refinement scan
+            absv = [abs(coeffs.get(k, 0)) >> al for k in range(ss, se + 1)]
+            eob_pos = ss - 1
+            for i, t in enumerate(absv):
+                if t == 1:  # newly significant at this bit plane
+                    eob_pos = ss + i
+            r = 0
+            pend: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                k = ss + i
+                # ZRLs are emitted at the next nonzero position while a
+                # later newly-significant coefficient exists (k <= EOB);
+                # otherwise the zeros fold into the EOB run
+                while r > 15 and k <= eob_pos:
+                    flush_eob(tid)
+                    ops.append(("sym", 1, tid, 0xF0))
+                    r -= 16
+                    for bit in pend:
+                        ops.append(("bits", bit, 1))
+                    pend = []
+                if t > 1:  # already significant: buffer a correction bit
+                    pend.append(t & 1)
+                    continue
+                flush_eob(tid)
+                ops.append(("sym", 1, tid, (r << 4) | 1))
+                ops.append(("bits", 1 if coeffs.get(k, 0) > 0 else 0, 1))
+                for bit in pend:
+                    ops.append(("bits", bit, 1))
+                pend = []
+                r = 0
+            if r or pend:
+                eobrun += 1
+                eob_bits.extend(pend)
+                if eobrun == 0x7FFF:
+                    flush_eob(tid)
+        flush_eob(tid)
+        return ops
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for t in sorted({tsel[c] for c in range(ncomp)}):
+        qt = bytes(quants[t](p) for p in range(64))  # zigzag order
+        out += seg(0xDB, bytes([t]) + qt)
+    sof = bytearray(b"\x08" + struct.pack(">HH", height, width) + bytes([ncomp]))
+    for c, (h, v) in enumerate(sampling):
+        sof += bytes([c + 1, (h << 4) | v, tsel[c]])
+    out += seg(0xC2, bytes(sof))  # SOF2 progressive
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+
+    for scan in scans:
+        comps, ss, se, ah, al = scan
+        ops = scan_ops(scan)
+        # per-scan Huffman tables from this scan's symbol inventory
+        syms: dict[tuple[int, int], set] = {}
+        for op in ops:
+            if op[0] == "sym":
+                syms.setdefault((op[1], op[2]), set()).add(op[3])
+        tables = {}
+        for (cls, tid), ss_set in sorted(syms.items()):
+            bits_, vals_, codes = _flat_huffman(sorted(ss_set))
+            tables[(cls, tid)] = codes
+            out += seg(0xC4, bytes([(cls << 4) | tid]) + bits_ + vals_)
+        sos = bytearray([len(comps)])
+        for c in comps:
+            td = tsel[c] if ss == 0 and ah == 0 else 0
+            ta = tsel[c] if ss > 0 else 0
+            sos += bytes([c + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, bytes(sos))
+        bw = _BitWriter()
+        rst = 0
+        for op in ops:
+            if op[0] == "sym":
+                ln, code = tables[(op[1], op[2])][op[3]]
+                bw.put(code, ln)
+            elif op[0] == "bits":
+                bw.put(op[1], op[2])
+            else:  # restart marker
+                bw.align()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+        bw.align()
+        out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def synth_progressive_jpeg_bytes(media_id: int) -> bytes:
+    """One complete valid PROGRESSIVE YCbCr JPEG from the id formula:
+    the same subsampling/geometry/coefficient formulas as the color
+    baseline synth (color_sampling / color_geometry /
+    block_coefficients seeded media_id*3 + c), but the coefficients
+    live at TRUE-grid raster indices (progressive AC scans never
+    carry the MCU padding blocks, whose DC the interleaved DC scan
+    sends as zero), encoded through the 9-scan progressive_scan_script
+    with per-scan Huffman tables. Ids with media_id % 5 == 0 and more
+    than 2 MCUs carry DRI + restart markers every 2 data units in
+    EVERY scan (EOB runs flushed at each boundary)."""
+    hy, vy = color_sampling(media_id)
+    width, height, mcux, mcuy = color_geometry(media_id)
+    sampling = [(hy, vy), (1, 1), (1, 1)]
+    comp_blocks = []
+    for c, (h, v) in enumerate(sampling):
+        tw, th = progressive_true_grid(width, height, h, v, hy, vy)
+        gx, gy = mcux * h, mcuy * v
+        grid = []
+        for y in range(gy):
+            for x in range(gx):
+                if x < tw and y < th:
+                    grid.append(block_coefficients(media_id * 3 + c, y * tw + x))
+                else:
+                    grid.append({0: 0})  # MCU padding block
+        comp_blocks.append(grid)
+    restart_interval = 2 if media_id % 5 == 0 and mcux * mcuy > 2 else 0
+    return encode_progressive_jpeg(
+        width, height, sampling, comp_blocks,
+        restart_interval=restart_interval,
+    )
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -464,6 +779,16 @@ def _dht_table(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
 
 class _Undecodable(Exception):
     pass
+
+
+def _skip_stuffed(data: bytes, pos: int) -> int:
+    """Skip stuffed FF 00 pairs before a marker: the final 1-padding
+    byte of an entropy segment may legally be 0xFF, which the encoder
+    must write as FF 00 (T.81 B.1.1.5) — a marker seek that does not
+    skip it misreads a valid stream as corrupt."""
+    while data[pos : pos + 2] == b"\xff\x00":
+        pos += 2
+    return pos
 
 
 class _BitReader:
@@ -516,8 +841,11 @@ class _BitReader:
 
     def restart(self, expect: int) -> None:
         """Consume an RSTn marker at a byte boundary (discarding the
-        1-padding bits before it)."""
+        1-padding bits before it). A padding byte of all 1-bits is a
+        legal 0xFF and arrives stuffed as FF 00 (B.1.1.5) — skip such
+        pairs while seeking the marker."""
         self.nbits = 0
+        self.pos = _skip_stuffed(self.data, self.pos)
         d = self.data
         if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
             raise _Undecodable
@@ -711,9 +1039,11 @@ def decode_jpeg_components(payload: bytes):
                     coeffs[p] = _extend(reader.bits(size), size) * qt[p]
                 comp_blocks[ci][bidx] = coeffs
         # entropy data must end at EOI (after 1-padding to the byte
-        # boundary); trailing garbage is corruption
+        # boundary — an all-1s padding byte arrives stuffed as FF 00);
+        # trailing garbage is corruption
         reader.nbits = 0
-        if b[reader.pos : reader.pos + 2] != b"\xff\xd9":
+        eoi_pos = _skip_stuffed(b, reader.pos)
+        if b[eoi_pos : eoi_pos + 2] != b"\xff\xd9":
             return None
         return (
             int(width),
@@ -748,6 +1078,343 @@ def decode_jpeg_coefficients(payload: bytes):
     return width, height, blocks
 
 
+def decode_jpeg_progressive(payload: bytes):
+    """Decode a PROGRESSIVE JPEG (SOF2, Huffman-coded — T.81 Annex G)
+    to DEQUANTIZED coefficient blocks, same return shape as
+    decode_jpeg_components: (width, height, [(comp_id, h, v, blocks)])
+    with ``blocks`` the component's padded (mcux*h) x (mcuy*v) raster
+    grid of {zigzag_pos: dequantized int} (interleaved DC scans cover
+    the MCU padding blocks; non-interleaved scans walk only the true
+    ceil-grid — progressive_true_grid). Implements the full G.1.2
+    multi-scan machinery: interleaved/non-interleaved DC first scans
+    with point transform and DC prediction, raw-bit DC refinement,
+    AC first scans with EOB runs (EOBn + extension bits) and ZRL,
+    AC refinement with correction bits on nonzero-history
+    coefficients, newly-significant ±(1<<Al) insertion and EOB-run
+    correction sweeps; per-scan DHT/DQT/DRI redefinition; restart
+    markers (per-scan RST numbering, predictors and EOB runs reset,
+    EOB runs must not span a boundary). Scan-script discipline is
+    enforced per coefficient: a first scan (Ah=0) may only touch
+    never-sent coefficients, a refinement must have Ah equal to the
+    coefficient's current point transform and Al = Ah-1, and a
+    component's AC scans must follow its first DC scan — violations
+    return None. Returns None for anything corrupt or out of scope
+    (baseline SOF0 — use decode_jpeg_components — arithmetic,
+    hierarchical, 12-bit, >3 components). A spec-legal TRUNCATED
+    progression (EOI before all refinements) still returns None here:
+    the gate decoder demands the complete stream it was handed, never
+    a partial-precision guess."""
+    b = payload or b""
+    if b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    frame_comps = None  # [(comp_id, h, v, tq)] in frame order
+    restart_interval = 0
+    coef: list[list[dict[int, int]]] = []  # quantized, point-transformed
+    dc_al: list[int | None] = []  # per comp: DC's current Al (None = unsent)
+    ac_al: list[list[int | None]] = []  # per comp, per zigzag pos 1..63
+    hmax = vmax = mcux = mcuy = 0
+    try:
+        while True:
+            if pos + 2 > len(b) or b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if pos + 4 > len(b):
+                return None
+            (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            seg = b[pos + 4 : pos + 2 + seg_len]
+            if len(seg) != seg_len - 2:
+                return None
+            pos += 2 + seg_len
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                    if pq != 0:
+                        return None
+                    vals = list(seg[i + 1 : i + 65])
+                    if len(vals) != 64:
+                        return None
+                    qtables[tq] = vals
+                    i += 65
+            elif marker == 0xC4:  # DHT (redefinable between scans)
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0x0F
+                    bits = seg[i + 1 : i + 17]
+                    n = sum(bits)
+                    vals = seg[i + 17 : i + 17 + n]
+                    if len(vals) != n:
+                        return None
+                    htables[(tc, th)] = _dht_table(bits, vals)
+                    i += 17 + n
+            elif marker == 0xC2:  # SOF2 progressive
+                if frame_comps is not None:
+                    return None
+                if seg[0] != 8:
+                    return None
+                height, width = struct.unpack(">HH", seg[1:5])
+                if width == 0 or height == 0:
+                    return None
+                nf = seg[5]
+                if not 1 <= nf <= 3 or len(seg) != 6 + 3 * nf:
+                    return None
+                frame_comps = []
+                for i in range(nf):
+                    cid = seg[6 + 3 * i]
+                    h, v = seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 0x0F
+                    if not (1 <= h <= 4 and 1 <= v <= 4):
+                        return None
+                    frame_comps.append((cid, h, v, seg[8 + 3 * i]))
+                if len({c[0] for c in frame_comps}) != nf:
+                    return None
+                if nf == 1 and frame_comps[0][1:3] != (1, 1):
+                    return None
+                if nf > 1 and sum(h * v for _, h, v, _ in frame_comps) > 10:
+                    return None
+                hmax = max(h for _, h, _, _ in frame_comps)
+                vmax = max(v for _, _, v, _ in frame_comps)
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                for _, h, v, _ in frame_comps:
+                    coef.append(
+                        [dict() for _ in range(mcux * h * mcuy * v)]
+                    )
+                    dc_al.append(None)
+                    ac_al.append([None] * 64)
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # baseline/other frame types: not this decoder
+            elif marker == 0xDD:  # DRI (redefinable between scans)
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS — decode one scan
+                if frame_comps is None:
+                    return None
+                ns = seg[0]
+                if not 1 <= ns <= len(frame_comps) or len(seg) != 1 + 2 * ns + 3:
+                    return None
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+                if ah > 13 or al > 13:
+                    return None
+                # scan components: a subset of frame components, in
+                # frame order (T.81 B.2.3)
+                sel: list[tuple[int, int, int]] = []  # (ci, td, ta)
+                fi = 0
+                for i in range(ns):
+                    cid = seg[1 + 2 * i]
+                    tds = seg[2 + 2 * i]
+                    while fi < len(frame_comps) and frame_comps[fi][0] != cid:
+                        fi += 1
+                    if fi == len(frame_comps):
+                        return None
+                    sel.append((fi, tds >> 4, tds & 0x0F))
+                    fi += 1
+                if ss == 0:  # DC scan
+                    if se != 0:
+                        return None
+                    if ah == 0:  # first: per-coefficient never-sent
+                        for ci, _, _ in sel:
+                            if dc_al[ci] is not None:
+                                return None
+                            dc_al[ci] = al
+                    else:  # refinement: Ah = current Al, Al = Ah - 1
+                        for ci, _, _ in sel:
+                            if dc_al[ci] != ah or al != ah - 1:
+                                return None
+                            dc_al[ci] = al
+                else:  # AC scan: non-interleaved only
+                    if ns != 1 or not ss <= se <= 63:
+                        return None
+                    ci = sel[0][0]
+                    if dc_al[ci] is None:
+                        return None  # AC before the component's DC scan
+                    state = ac_al[ci]
+                    if ah == 0:
+                        for k in range(ss, se + 1):
+                            if state[k] is not None:
+                                return None
+                            state[k] = al
+                    else:
+                        if al != ah - 1:
+                            return None
+                        for k in range(ss, se + 1):
+                            if state[k] != ah:
+                                return None
+                            state[k] = al
+                # entropy tables for this scan
+                dc_tbl = {}
+                ac_tbl = None
+                for ci, td, ta in sel:
+                    if ss == 0 and ah == 0:
+                        if (0, td) not in htables:
+                            return None
+                        dc_tbl[ci] = htables[(0, td)]
+                    if ss > 0:
+                        if (1, ta) not in htables:
+                            return None
+                        ac_tbl = htables[(1, ta)]
+                # data-unit list: (restart-counted unit) -> [(ci, bidx)]
+                if ns > 1:
+                    units = []
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            u = []
+                            for ci, _, _ in sel:
+                                _, h, v, _ = frame_comps[ci]
+                                for bv in range(v):
+                                    for bh in range(h):
+                                        u.append(
+                                            (ci,
+                                             (my * v + bv) * (mcux * h)
+                                             + mx * h + bh)
+                                        )
+                            units.append(u)
+                else:
+                    ci = sel[0][0]
+                    _, h, v, _ = frame_comps[ci]
+                    tw, th = progressive_true_grid(
+                        width, height, h, v, hmax, vmax
+                    )
+                    gx = mcux * h
+                    units = [
+                        [(ci, y * gx + x)]
+                        for y in range(th)
+                        for x in range(tw)
+                    ]
+                reader = _BitReader(b, pos)
+                preds = {ci: 0 for ci, _, _ in sel}
+                eobrun = 0
+                rst = 0
+                for ui, unit in enumerate(units):
+                    if restart_interval and ui and ui % restart_interval == 0:
+                        if eobrun:
+                            return None  # EOB run across a restart
+                        reader.restart(rst)
+                        rst = (rst + 1) & 7
+                        preds = {ci: 0 for ci, _, _ in sel}
+                    for ci, bidx in unit:
+                        block = coef[ci][bidx]
+                        if ss == 0 and ah == 0:  # DC first
+                            size = reader.symbol(dc_tbl[ci])
+                            if size > 11:
+                                return None
+                            preds[ci] += _extend(reader.bits(size), size)
+                            block[0] = preds[ci] << al
+                        elif ss == 0:  # DC refinement: one raw bit
+                            if reader.bit():
+                                block[0] = block.get(0, 0) | (1 << al)
+                        elif ah == 0:  # AC first
+                            if eobrun:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                sym = reader.symbol(ac_tbl)
+                                r, s = sym >> 4, sym & 0x0F
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        if k > se:
+                                            return None
+                                        continue
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.bits(r)
+                                    eobrun -= 1  # this block ends now
+                                    break
+                                if s > 10:
+                                    return None
+                                k += r
+                                if k > se:
+                                    return None
+                                block[k] = _extend(reader.bits(s), s) << al
+                                k += 1
+                        else:  # AC refinement
+                            p1 = 1 << al
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    sym = reader.symbol(ac_tbl)
+                                    r, s = sym >> 4, sym & 0x0F
+                                    if s == 0 and r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += reader.bits(r)
+                                        break
+                                    if s == 0:
+                                        val = 0  # ZRL: 16 zero-history
+                                    else:
+                                        if s != 1:
+                                            return None
+                                        val = p1 if reader.bit() else -p1
+                                    while k <= se:
+                                        cur = block.get(k, 0)
+                                        if cur != 0:
+                                            if reader.bit() and not cur & p1:
+                                                block[k] = cur + (
+                                                    p1 if cur > 0 else -p1
+                                                )
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if val != 0:
+                                        if k > se:
+                                            return None
+                                        block[k] = val
+                                    elif k > se:
+                                        return None  # ZRL overran the band
+                                    k += 1
+                            if eobrun:
+                                # correction sweep over the band's rest
+                                while k <= se:
+                                    cur = block.get(k, 0)
+                                    if cur != 0:
+                                        if reader.bit() and not cur & p1:
+                                            block[k] = cur + (
+                                                p1 if cur > 0 else -p1
+                                            )
+                                    k += 1
+                                eobrun -= 1
+                if eobrun:
+                    return None  # EOB run past the last data unit
+                reader.nbits = 0
+                pos = _skip_stuffed(b, reader.pos)
+            # APPn / COM / anything else with a length: skipped
+        if frame_comps is None or None in dc_al:
+            return None
+        # completeness: every touched coefficient refined down to Al=0
+        for ci in range(len(frame_comps)):
+            if dc_al[ci] != 0:
+                return None
+            for k in range(1, 64):
+                if ac_al[ci][k] not in (None, 0):
+                    return None
+        out = []
+        for ci, (cid, h, v, tq) in enumerate(frame_comps):
+            if tq not in qtables:
+                return None
+            qt = qtables[tq]
+            blocks = []
+            for state in coef[ci]:
+                blk = {0: state.get(0, 0) * qt[0]}
+                for k, val in state.items():
+                    if k and val:
+                        blk[k] = val * qt[k]
+                blocks.append(blk)
+            out.append((cid, h, v, blocks))
+        return int(width), int(height), out
+    except (_Undecodable, struct.error, IndexError):
+        return None
+
+
 def _idct_plane(blocks, cols: int, rows: int):
     """Natural-order 8x8 blocks -> T.81 A.3.3 inverse DCT (float64)
     -> +128 level shift -> clip -> ``numpy.uint8`` (rows*8, cols*8)
@@ -774,12 +1441,15 @@ def _idct_plane(blocks, cols: int, rows: int):
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Full baseline decode. Grayscale -> ``numpy.uint8``
-    (height, width); 3-component YCbCr (any 4:4:4 / 4:2:2 / 4:2:0
-    layout with integral subsampling ratios) -> per-component IDCT,
-    chroma upsampling by pixel replication, JFIF YCbCr -> RGB ->
-    ``numpy.uint8`` (height, width, 3). The integer coefficient layer
-    is oracle-checked via decode_jpeg_components; the float IDCT +
+    """Full pixel decode — baseline (SOF0) AND progressive (SOF2)
+    Huffman JPEG. Grayscale -> ``numpy.uint8`` (height, width);
+    3-component YCbCr (any 4:4:4 / 4:2:2 / 4:2:0 layout with integral
+    subsampling ratios) -> per-component IDCT, chroma upsampling by
+    pixel replication, JFIF YCbCr -> RGB -> ``numpy.uint8``
+    (height, width, 3). The integer coefficient layer is
+    oracle-checked via decode_jpeg_components /
+    decode_jpeg_progressive (both return the same padded-grid shape,
+    so the pixel path downstream is shared); the float IDCT +
     upsample + color conversion here are pytest-pinned against
     literal transcriptions of the formulas. Returns None for corrupt
     input, 2-component frames (no standard color mapping), and
@@ -787,6 +1457,8 @@ def decode_jpeg_pixels(payload: bytes):
     import numpy as np
 
     dec = decode_jpeg_components(payload)
+    if dec is None:
+        dec = decode_jpeg_progressive(payload)
     if dec is None:
         return None
     width, height, comps = dec
@@ -914,6 +1586,88 @@ def synth_color_jpeg_payloads(media_ids: DataFrame) -> DataFrame:
     return media_ids.select("media_id").repartition(n_parts).mapInPandas(
         _build, SYNTH_SCHEMA
     )
+
+
+def synth_progressive_jpeg_payloads(media_ids: DataFrame) -> DataFrame:
+    """Arrow-batched synth: one complete valid PROGRESSIVE YCbCr JPEG
+    per id (9-scan script, per-scan Huffman tables, spectral bands +
+    successive approximation — see synth_progressive_jpeg_bytes)."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), synth_progressive_jpeg_bytes(int(mid)))
+                for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sc = media_ids.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism // 2, 1)
+    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
+        _build, SYNTH_SCHEMA
+    )
+
+
+def jpeg_progressive_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL progressive-JPEG multi-scan decode: per
+    image, the per-component dequantized-coefficient checksums over
+    each component's TRUE block grid (MCU padding blocks — which only
+    the interleaved DC scan touches — are cropped, mirroring what the
+    pixel path keeps). ``coeff_wsum`` weights each coefficient by
+    ((comp_index * 64 + true_block_index) * 64 + zigzag_pos + 1), so
+    it only matches the oracle if the spectral-band reassembly,
+    successive-approximation refinement, EOB-run bookkeeping,
+    interleaved-DC-vs-non-interleaved-AC grid mapping AND the
+    per-component quant-table selection are all bit-exact across all
+    nine scans. Undecodable or non-3-component payloads yield NULL
+    stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "width", "height", "hmax", "vmax", "n_blocks",
+            "dc_sum_y", "dc_sum_cb", "dc_sum_cr",
+            "coeff_abs_sum", "coeff_wsum",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_jpeg_progressive(bytes(payload or b""))
+                if dec is None or len(dec[2]) != 3:
+                    rows.append((int(mid),) + (None,) * 10)
+                    continue
+                width, height, comps = dec
+                hmax = max(h for _, h, _, _ in comps)
+                vmax = max(v for _, _, v, _ in comps)
+                mcux = -(-width // (8 * hmax))
+                n_blocks = 0
+                dc_sums = []
+                abs_sum = 0
+                wsum = 0
+                for c, (_, h, v, blocks) in enumerate(comps):
+                    tw, th = progressive_true_grid(
+                        width, height, h, v, hmax, vmax
+                    )
+                    gx = mcux * h
+                    dc = 0
+                    for y in range(th):
+                        for x in range(tw):
+                            blk = blocks[y * gx + x]
+                            k = y * tw + x
+                            dc += blk[0]
+                            abs_sum += sum(abs(val) for val in blk.values())
+                            wsum += sum(
+                                ((c * 64 + k) * 64 + p + 1) * val
+                                for p, val in blk.items()
+                            )
+                    dc_sums.append(dc)
+                    n_blocks += tw * th
+                rows.append(
+                    (int(mid), width, height, hmax, vmax, n_blocks,
+                     dc_sums[0], dc_sums[1], dc_sums[2], abs_sum, wsum)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_stats, JPEG_COLOR_STATS_SCHEMA)
 
 
 def jpeg_color_stats(media: DataFrame) -> DataFrame:

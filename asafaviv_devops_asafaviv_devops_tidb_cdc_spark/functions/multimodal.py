@@ -99,20 +99,21 @@ def decode_payload(payload: bytes, mime: str | None = None) -> dict:
 
 def decode_pixels(payload: bytes, mime: str):
     """Full pixel/sample decode. Uncompressed 24-bit BMP, ALL
-    deflate-framed PNG, and baseline JPEG — grayscale AND 3-component
-    YCbCr color with 4:4:4/4:2:2/4:2:0 subsampling (r11) — are
-    decoded IN-ENGINE (pure stdlib + numpy — fixed headers,
-    chunk/marker walks, a complete RFC 1951 inflate covering stored,
-    fixed- and dynamic-Huffman blocks, interleaved-MCU JPEG entropy
-    decode + IDCT + chroma upsample + YCbCr->RGB, filter
-    reconstruction). Contract (r9/r10 advice — consistent across
-    formats): corrupt input AND unsupported in-format variants both
-    return None — for JPEG that means progressive (SOF2), arithmetic,
-    hierarchical, 12-bit and >3-component frames are indistinguishable
-    from corruption by design (one uniform no-guess contract).
-    NotImplementedError is raised ONLY for containers with no decoder
-    at all — MP3/video and anything else in PIL/ffmpeg territory, not
-    present here."""
+    deflate-framed PNG, baseline JPEG — grayscale AND 3-component
+    YCbCr color with 4:4:4/4:2:2/4:2:0 subsampling — and PROGRESSIVE
+    (SOF2) Huffman JPEG (r11: spectral selection + successive
+    approximation, multi-scan reassembly) are decoded IN-ENGINE (pure
+    stdlib + numpy — fixed headers, chunk/marker walks, a complete
+    RFC 1951 inflate covering stored, fixed- and dynamic-Huffman
+    blocks, interleaved-MCU JPEG entropy decode + IDCT + chroma
+    upsample + YCbCr->RGB, filter reconstruction). Contract (r9/r10
+    advice — consistent across formats): corrupt input AND
+    unsupported in-format variants both return None — for JPEG that
+    means arithmetic-coded, hierarchical, 12-bit and >3-component
+    frames are indistinguishable from corruption by design (one
+    uniform no-guess contract). NotImplementedError is raised ONLY
+    for containers with no decoder at all — MP3/video and anything
+    else in PIL/ffmpeg territory, not present here."""
     b = payload or b""
     if (mime or "").lower() in ("image/bmp", "bmp") or b[:2] == b"BM":
         return decode_bmp_pixels(payload)

@@ -1815,6 +1815,122 @@ def q_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_jpeg_progressive_stats",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 >= 1 THEN 2 ELSE 1 END AS hy,
+         CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS vy,
+         doc_id % 2 + 1 AS mcux,
+         (doc_id // 2) % 2 + 1 AS mcuy
+  FROM documents
+),
+g AS (
+  SELECT media_id, hy, vy,
+         8 * hy * mcux - media_id % (8 * hy) AS width,
+         8 * vy * mcuy - (media_id * 3) % (8 * vy) AS height
+  FROM p
+),
+comps AS (
+  SELECT g.*, cc.c,
+         CASE WHEN cc.c = 0 THEN 1 ELSE hy END AS dx,
+         CASE WHEN cc.c = 0 THEN 1 ELSE vy END AS dy
+  FROM g CROSS JOIN (SELECT unnest([0, 1, 2]) AS c) cc
+),
+blocks AS (
+  SELECT media_id, hy, vy, width, height, c,
+         unnest(range(((width + 8 * dx - 1) // (8 * dx))
+                      * ((height + 8 * dy - 1) // (8 * dy)))) AS k,
+         media_id * 3 + c AS seed
+  FROM comps
+),
+coef AS (
+  SELECT media_id, hy, vy, width, height, c, k,
+         ((seed * 7 + k * 5) % 63) - 31 AS dc,
+         1 + (seed + k) % 8 AS p1,
+         12 + (seed * 2 + k) % 10 AS p2,
+         30 + (seed + 3 * k) % 12 AS p3,
+         CASE WHEN ((seed + 13 * k) % 19) - 9 = 0 THEN 5
+              ELSE ((seed + 13 * k) % 19) - 9 END AS a1,
+         CASE WHEN ((seed * 3 + 7 * k) % 11) - 5 = 0 THEN -3
+              ELSE ((seed * 3 + 7 * k) % 11) - 5 END AS a2,
+         CASE WHEN ((seed * 5 + k) % 7) - 3 = 0 THEN 2
+              ELSE ((seed * 5 + k) % 7) - 3 END AS a3
+  FROM blocks
+),
+d AS (
+  SELECT media_id, hy, vy, width, height, c, k, p1, p2, p3,
+         dc * (CASE WHEN c = 0 THEN 1 ELSE 2 END) AS dqc,
+         a1 * (CASE WHEN c = 0 THEN (p1 % 13) + 1
+                    ELSE (p1 % 11) + 2 END) AS dq1,
+         a2 * (CASE WHEN c = 0 THEN (p2 % 13) + 1
+                    ELSE (p2 % 11) + 2 END) AS dq2,
+         a3 * (CASE WHEN c = 0 THEN (p3 % 13) + 1
+                    ELSE (p3 % 11) + 2 END) AS dq3
+  FROM coef
+),
+s AS (
+  SELECT media_id,
+         MAX(width) AS width, MAX(height) AS height,
+         MAX(hy) AS hmax, MAX(vy) AS vmax,
+         COUNT(*) AS n_blocks,
+         SUM(CASE WHEN c = 0 THEN dqc ELSE 0 END) AS dc_sum_y,
+         SUM(CASE WHEN c = 1 THEN dqc ELSE 0 END) AS dc_sum_cb,
+         SUM(CASE WHEN c = 2 THEN dqc ELSE 0 END) AS dc_sum_cr,
+         SUM(ABS(dqc) + ABS(dq1) + ABS(dq2) + ABS(dq3)) AS abs_sum,
+         SUM(((c * 64 + k) * 64 + 1) * dqc
+             + ((c * 64 + k) * 64 + p1 + 1) * dq1
+             + ((c * 64 + k) * 64 + p2 + 1) * dq2
+             + ((c * 64 + k) * 64 + p3 + 1) * dq3) AS wsum
+  FROM d GROUP BY media_id
+)
+SELECT media_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(hmax AS INTEGER) AS hmax,
+       CAST(vmax AS INTEGER) AS vmax,
+       CAST(n_blocks AS INTEGER) AS n_blocks,
+       CAST(dc_sum_y AS BIGINT) AS dc_sum_y,
+       CAST(dc_sum_cb AS BIGINT) AS dc_sum_cb,
+       CAST(dc_sum_cr AS BIGINT) AS dc_sum_cr,
+       CAST(abs_sum AS BIGINT) AS coeff_abs_sum,
+       CAST(wsum AS BIGINT) AS coeff_wsum
+FROM s
+""",
+)
+def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5h — REAL PROGRESSIVE-JPEG (SOF2) multi-scan entropy decode
+    (r11; closes the 'progressive' slice of the codec boundary — the
+    encoding most real-world web JPEGs use): complete valid
+    progressive YCbCr JPEGs — the same 4:4:4/4:2:2/4:2:0 subsampling,
+    non-MCU-aligned dims and restart layout as the color-baseline
+    synth, but encoded through a 9-scan script (interleaved DC first
+    at Al=1, raw-bit DC refinement, spectral-selection band splits
+    1-20/21-63, Al=1 first passes + Ah=1->Al=0 refinements for
+    components 0-1, a single full-precision AC scan for component 2,
+    per-scan Huffman tables, EOB-run coding with correction-bit
+    buffering) — are synthesized from formula-derived QUANTIZED
+    coefficients at TRUE-grid indices
+    (functions/jpeg.py::synth_progressive_jpeg_bytes). A separate
+    Arrow stage (decode_jpeg_progressive) reassembles the coefficient
+    planes across all nine scans and the stats crop each component to
+    its true ceil(cw/8) x ceil(ch/8) grid — the grid progressive AC
+    scans actually cover, unlike the interleaved padded grid — so the
+    oracle (identical id-formula re-derivation, block count tw*th per
+    component) only matches if spectral reassembly, successive
+    approximation, EOB-run bookkeeping and both grid geometries are
+    bit-exact. Scan-script discipline (per-coefficient Ah/Al
+    progression) is enforced; violations and truncated progressions
+    return NULL stats. Remaining codec-library boundary:
+    arithmetic-coded/hierarchical/12-bit JPEG and MP3/video codecs."""
+    from ..functions import jpeg as JP
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = JP.synth_progressive_jpeg_payloads(ids)
+    return JP.jpeg_progressive_stats(payloads)
+
+
+@register(
     "q_wav_sample_stats",
     oracle="""
 WITH p AS (

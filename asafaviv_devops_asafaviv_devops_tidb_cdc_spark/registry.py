@@ -46,9 +46,13 @@ _QUERY_MODULES = [
 _CHECK_FIRST = [
     # Round-11 window (50 slots), composed mechanically per
     # tests/test_freshness.py:
-    # (a) 1 never-checked new registration (cap 3, one used):
+    # (a) 2 never-checked new registrations (cap 3, two used):
     #     q_jpeg_color_stats — multi-component YCbCr baseline-JPEG
-    #     entropy decode (E5g color, r10 verdict item 2);
+    #     entropy decode (E5g color, r10 verdict item 2) — and
+    #     q_jpeg_progressive_stats — progressive (SOF2) multi-scan
+    #     entropy decode (E5h, the encoding most real-world web
+    #     JPEGs use; narrows the codec boundary to arithmetic/
+    #     hierarchical/12-bit JPEG + MP3/video);
     # (b) 4 changed-path entries (scripts/freshness.py vs the
     #     verdict-round markers): q_jpeg_coeff_stats +
     #     q_png_pixel_stats (shared decoder/inflate edits: color
@@ -56,18 +60,21 @@ _CHECK_FIRST = [
     #     q_basket_pairs + q_dedup_yield_by_source (broadcast-hint
     #     audit, r10 verdict item 4: hints dropped on frames whose
     #     bound grows with scale factor);
-    # (c) rotation = the ENTIRE r5-latest cohort (13) + the 32
+    # (c) rotation = the ENTIRE r5-latest cohort (13) + the 31
     #     oldest r6-latest entries in registration order — this
-    #     window retires the r5 cohort completely; the 11 r6
+    #     window retires the r5 cohort completely; the 12 r6
     #     entries left outside tie the newest r6 inside, which the
     #     oldest-first invariant allows.
-    # --- (a) new (1) + (b) changed-path (4) ---
+    # --- (a) new (2) + (b) changed-path (4) ---
     "q_jpeg_color_stats",
+    "q_jpeg_progressive_stats",
     "q_jpeg_coeff_stats",
     "q_png_pixel_stats",
     "q_basket_pairs",
     "q_dedup_yield_by_source",
-    # --- (c) r5-latest cohort, all 13 ---
+    # --- (c) rotation: the r5-latest cohort (13) + the 31 oldest
+    # r6-latest entries (the second new registration displaced
+    # q_pq_topk, an r6 tie with the 11 r6 entries already outside) ---
     "q_stream_resume",
     "q_dq_checks",
     "q_event_drift",
@@ -81,7 +88,7 @@ _CHECK_FIRST = [
     "q_containment",
     "q_mix_epochs",
     "q_link_rank",
-    # --- (c) oldest r6-latest entries (32 of 43) ---
+    # --- oldest r6-latest entries (31 of 43) ---
     "q_old_image",
     "q_typed_cast",
     "q_filter_cmp",
@@ -113,7 +120,6 @@ _CHECK_FIRST = [
     "q_quality_score",
     "q_repetition_ratio",
     "q_pipeline_e2e",
-    "q_pq_topk",
 ]
 
 

@@ -37,6 +37,7 @@ from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import jpeg as J
 GOLDEN = Path(__file__).parent / "golden"
 GRAY_IDS = (0, 10)  # 10: restart markers
 COLOR_IDS = (6, 7, 11, 15)  # 4:4:4, 4:2:2, 4:2:0, 4:4:4+restart
+PROG_IDS = (6, 7, 11, 15)  # same variants, progressive 9-scan script
 
 
 def test_golden_bytes_pin_the_synth_encoders():
@@ -46,6 +47,9 @@ def test_golden_bytes_pin_the_synth_encoders():
     for mid in COLOR_IDS:
         want = (GOLDEN / f"color_{mid}.jpg").read_bytes()
         assert J.synth_color_jpeg_bytes(mid) == want, mid
+    for mid in PROG_IDS:
+        want = (GOLDEN / f"prog_{mid}.jpg").read_bytes()
+        assert J.synth_progressive_jpeg_bytes(mid) == want, mid
 
 
 def _pil_image(payload: bytes):
@@ -75,6 +79,30 @@ def test_libjpeg_accepts_and_matches_color_444():
         assert lib.shape == ours.shape, mid
         # IDCT variance + fixed-point vs float color conversion
         assert np.abs(lib - ours.astype(np.int16)).max() <= 4, mid
+
+
+def test_libjpeg_accepts_and_matches_progressive():
+    """libjpeg must accept the progressive fixtures (multi-scan SOF2
+    with per-scan tables, restarts, band splits and successive
+    approximation) and — since both decoders reassemble the SAME
+    coefficient planes — its pixels must agree within the same
+    variance budgets as the baseline fixtures (4:4:4 raw RGB;
+    subsampled variants via luma + per-channel means)."""
+    for mid in PROG_IDS:
+        payload = (GOLDEN / f"prog_{mid}.jpg").read_bytes()
+        im = _pil_image(payload)
+        ours = J.decode_jpeg_pixels(payload)
+        lib = np.asarray(im.convert("RGB"), dtype=np.float64)
+        assert lib.shape == ours.shape, mid
+        if mid % 3 == 0:  # 4:4:4: no upsampling-filter variance
+            assert np.abs(lib - ours.astype(np.float64)).max() <= 4, mid
+            continue
+        w = np.array([0.299, 0.587, 0.114])
+        assert np.abs(lib @ w - ours.astype(np.float64) @ w).max() <= 4, mid
+        for ch in range(3):
+            assert abs(lib[..., ch].mean() - ours[..., ch].mean()) <= 3, (
+                mid, ch,
+            )
 
 
 def test_libjpeg_matches_subsampled_luma_and_means():
