@@ -90,6 +90,7 @@ STRESS_QUERIES = {
         "q_png_pixel_stats",
         "q_jpeg_coeff_stats",
         "q_jpeg_color_stats",
+        "q_jpeg_progressive_stats",
     ],
 }
 

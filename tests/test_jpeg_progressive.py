@@ -167,6 +167,43 @@ def test_grayscale_progressive_script_roundtrip():
     assert comps[0][3] == want
 
 
+def test_subset_interleaved_dc_scan_roundtrip():
+    """A DC scan interleaving only TWO of three frame components
+    (Ns=2 — legal per T.81 B.2.3; MCU geometry stays frame-wide) plus
+    a separate non-interleaved DC scan for the third, then per-band AC
+    scans, round-trips exactly. The synth's 9-scan script never emits
+    this shape, so it pins the decoder's scan-subset handling
+    independently."""
+    mid = 35
+    hy, vy = J.color_sampling(mid)
+    width, height, mcux, mcuy = J.color_geometry(mid)
+    sampling = [(hy, vy), (1, 1), (1, 1)]
+    comp_blocks = []
+    for c, (h, v) in enumerate(sampling):
+        tw, th = J.progressive_true_grid(width, height, h, v, hy, vy)
+        gx, gy = mcux * h, mcuy * v
+        comp_blocks.append([
+            J.block_coefficients(mid * 3 + c, y * tw + x)
+            if x < tw and y < th else {0: 0}
+            for y in range(gy) for x in range(gx)
+        ])
+    scans = [
+        ([0, 1], 0, 0, 0, 1),  # DC first, comps 0+1 interleaved
+        ([2], 0, 0, 0, 0),     # DC first, comp 2 alone, full precision
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+        ([0, 1], 0, 0, 1, 0),  # DC refine for the Al=1 pair
+    ]
+    payload = J.encode_progressive_jpeg(
+        width, height, sampling, comp_blocks, scans=scans
+    )
+    dec = J.decode_jpeg_progressive(payload)
+    assert dec is not None
+    base = J.encode_color_jpeg(width, height, sampling, comp_blocks)
+    assert dec == J.decode_jpeg_components(base)
+
+
 def test_progression_discipline_rejections():
     """Scan-script violations return None: refinement without a first
     scan, AC before DC, truncated progressions (EOI before all
