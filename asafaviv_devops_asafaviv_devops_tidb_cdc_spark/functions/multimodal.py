@@ -1063,35 +1063,31 @@ def _canon_table(lengths: list[int]) -> dict[tuple[int, int], int]:
     return table
 
 
-def _inflate(stream: bytes):
-    """Pure-stdlib zlib-stream inflate, COMPLETE for deflate: STORED
-    (BTYPE=0), FIXED-HUFFMAN (BTYPE=1), and DYNAMIC-HUFFMAN (BTYPE=2)
-    blocks — RFC 1950/1951 framing, LSB-first bit packing, MSB-first
-    Huffman codes, canonical table construction from transmitted code
-    lengths (incl. the 16/17/18 run-length meta-codes), full LZ77
-    window copies (overlap-safe), adler32 verification. Returns the
-    uncompressed bytes, or None on any framing/checksum/code
-    corruption — there is no longer a deflate-shaped input this
-    function cannot decode, so the codec-library boundary moves past
-    inflate entirely (to DCT-family codecs).
+def _inflate_raw(data: bytes, pos: int = 0):
+    """Raw RFC 1951 deflate decode starting at byte offset ``pos`` of
+    ``data``: STORED (BTYPE=0), FIXED-HUFFMAN (BTYPE=1) and
+    DYNAMIC-HUFFMAN (BTYPE=2) blocks — LSB-first bit packing,
+    MSB-first Huffman codes, canonical table construction from
+    transmitted code lengths (incl. the 16/17/18 run-length
+    meta-codes), full LZ77 window copies (overlap-safe). Returns
+    (bytes, end_pos) with end_pos the offset of the first byte after
+    the final block (whole bytes preloaded into the bit accumulator
+    by a stored block are handed back), or None on any framing/code
+    corruption. The zlib framing (``_inflate``: header check bits +
+    adler32 trailer) and the gzip member framing
+    (functions/warc.py::gunzip_members: header walk + crc32/isize
+    trailer) both wrap this core — deflate itself is decoded in one
+    place.
 
     Decode is symbol-at-a-time: the fixed tree uses the closed-form
     7/8/9-bit range test; dynamic trees read bit-by-bit against the
     canonical (length, code) -> symbol map. On compressible rasters a
     block is a few hundred literals plus long matches, so the Python
     symbol loop is shallow."""
-    import zlib
-
-    if len(stream) < 6 or (stream[0] & 0x0F) != 8 or (stream[1] & 0x20):
-        return None  # not deflate, or preset dictionary (unsupported)
-    if ((stream[0] << 8) | stream[1]) % 31 != 0:
-        return None  # zlib header check bits
-    data = stream[: len(stream) - 4]  # deflate bits; last 4 = adler32
     out = bytearray()
     # LSB-first bit accumulator over data[pos:]
     buf = 0
     nbits = 0
-    pos = 2
 
     def getbits(n: int) -> int:
         nonlocal buf, nbits, pos
@@ -1227,7 +1223,7 @@ def _inflate(stream: bytes):
                 ln = getbits(16)
                 nln = getbits(16)
                 if ln != (nln ^ 0xFFFF):
-                    return None
+                    raise _Corrupt
                 take = min(nbits >> 3, ln)
                 for _ in range(take):
                     out.append(buf & 0xFF)
@@ -1235,7 +1231,7 @@ def _inflate(stream: bytes):
                     nbits -= 8
                 rest = ln - take
                 if pos + rest > len(data):
-                    return None
+                    raise _Corrupt
                 out += data[pos : pos + rest]
                 pos += rest
             elif btype == 1:
@@ -1244,21 +1240,43 @@ def _inflate(stream: bytes):
                 read_lit, read_dist = dynamic_tables()
                 huffman_block(read_lit, read_dist)
             else:
-                return None
+                raise _Corrupt
             if final:
                 break
     except _Corrupt:
         return None
+    # whole bytes preloaded by a stored block belong to whatever
+    # framing follows the deflate stream — hand them back
+    return bytes(out), pos - (nbits >> 3)
+
+
+def _inflate(stream: bytes):
+    """Pure-stdlib zlib-stream inflate over ``_inflate_raw``: RFC 1950
+    framing (header check bits, no preset dictionary) + adler32
+    verification. Returns the uncompressed bytes, or None on any
+    framing/checksum/code corruption — there is no longer a
+    deflate-shaped input this function cannot decode, so the
+    codec-library boundary moves past inflate entirely."""
+    import zlib
+
+    if len(stream) < 6 or (stream[0] & 0x0F) != 8 or (stream[1] & 0x20):
+        return None  # not deflate, or preset dictionary (unsupported)
+    if ((stream[0] << 8) | stream[1]) % 31 != 0:
+        return None  # zlib header check bits
+    res = _inflate_raw(stream[: len(stream) - 4], 2)
+    if res is None:
+        return None
+    out, end = res
     # RFC 1950: the adler32 trailer follows the final block directly
     # (after bit padding to the byte boundary) — any whole unread byte
     # between them is garbage a library inflater would reject too
     # (r10 advice). Huffman blocks leave < 8 bits in the accumulator;
     # only stored blocks can leave whole preloaded bytes in it.
-    if (nbits >> 3) + (len(data) - pos) != 0:
+    if end != len(stream) - 4:
         return None
-    if struct.unpack(">I", stream[-4:])[0] != (zlib.adler32(bytes(out)) & 0xFFFFFFFF):
+    if struct.unpack(">I", stream[-4:])[0] != (zlib.adler32(out) & 0xFFFFFFFF):
         return None
-    return bytes(out)
+    return out
 
 
 def decode_png_pixels(payload: bytes):

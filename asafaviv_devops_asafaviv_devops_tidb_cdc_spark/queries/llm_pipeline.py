@@ -1786,7 +1786,7 @@ FROM s
 """,
 )
 def q_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5g color — REAL multi-component baseline-JPEG entropy decode
+    """E5h — REAL multi-component (color) baseline-JPEG entropy decode
     (r11; closes the 'color baseline' slice of the codec boundary):
     complete valid YCbCr JPEGs — 4:4:4 / 4:2:2 / 4:2:0 subsampling
     rotating by id%3, non-MCU-aligned dims (padding blocks the
@@ -1899,7 +1899,7 @@ FROM s
 """,
 )
 def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5h — REAL PROGRESSIVE-JPEG (SOF2) multi-scan entropy decode
+    """E5i — REAL PROGRESSIVE-JPEG (SOF2) multi-scan entropy decode
     (r11; closes the 'progressive' slice of the codec boundary — the
     encoding most real-world web JPEGs use): complete valid
     progressive YCbCr JPEGs — the same 4:4:4/4:2:2/4:2:0 subsampling,
@@ -1928,6 +1928,79 @@ def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     payloads = JP.synth_progressive_jpeg_payloads(ids)
     return JP.jpeg_progressive_stats(payloads)
+
+
+@register(
+    "q_warc_extract",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n FROM documents
+),
+recs AS (
+  SELECT media_id, n, unnest(range(n)) AS r FROM p
+),
+rmeta AS (
+  SELECT media_id, n, r,
+         (media_id * 11 + r * 97) % 200 + 30 AS len,
+         CASE WHEN (media_id + r) % 3 = 0 THEN 1 ELSE 0 END AS is_resp,
+         LENGTH('http://site' || CAST((media_id * 7 + r) % 1000 AS VARCHAR)
+                || '.example/doc/' || CAST(media_id AS VARCHAR) || '/'
+                || CAST(r AS VARCHAR)) AS uri_len
+  FROM recs
+),
+bodies AS (
+  SELECT media_id, r, u.j,
+         (media_id + r * 13 + u.j * 7) % 256 AS b
+  FROM rmeta, LATERAL (SELECT unnest(range(len)) AS j) u
+),
+bsum AS (
+  SELECT media_id,
+         SUM(b) AS body_sum,
+         SUM((r * 512 + j + 1) * b) AS body_wsum
+  FROM bodies GROUP BY media_id
+),
+msum AS (
+  SELECT media_id, MAX(n) AS n_records, SUM(is_resp) AS n_responses,
+         SUM(len) AS total_len, SUM(uri_len) AS uri_len_sum
+  FROM rmeta GROUP BY media_id
+)
+SELECT m.media_id,
+       CAST(n_records AS INTEGER) AS n_records,
+       CAST(n_responses AS INTEGER) AS n_responses,
+       CAST(total_len AS BIGINT) AS total_len,
+       CAST(body_sum AS BIGINT) AS body_sum,
+       CAST(body_wsum AS BIGINT) AS body_wsum,
+       CAST(uri_len_sum AS BIGINT) AS uri_len_sum
+FROM msum m JOIN bsum USING (media_id)
+""",
+)
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36 — REAL WARC/Common-Crawl archive ingest (r11): complete
+    valid .warc.gz archives — one gzip member PER RECORD, the layout
+    that makes Common Crawl splittable — are synthesized from id
+    formulas (functions/warc.py::synth_warc_gz_bytes: 1..3 records,
+    response/request/metadata types rotating, formula bodies, member
+    compression rotating stored / library / in-engine dynamic-Huffman
+    deflate, optional FNAME/FHCRC/FEXTRA gzip header fields). A
+    separate Arrow stage walks the member chain ENTIRELY IN-ENGINE —
+    RFC 1952 header grammar, raw deflate through the same _inflate_raw
+    core the PNG path uses, per-member CRC32 + ISIZE verification —
+    then parses each member's ISO 28500 record (version line, CRLF
+    headers, mandatory Content-Length, exact-length block, two-CRLF
+    terminator) and emits the per-archive checksums; body_wsum weights
+    byte j of record r by (r*512 + j + 1), so member order AND byte
+    order must both survive the gzip + WARC walk exactly. The oracle
+    re-derives everything from the id formula. 100 TB posture: this IS
+    the first stage of a web-corpus pipeline — archives stay as opaque
+    binary columns, decode is Arrow-batched and embarrassingly
+    parallel, and the per-record gzip framing means a real corpus
+    splits at member boundaries with no coordination. Corrupt members,
+    trailer mismatches and malformed records uniformly yield NULL."""
+    from ..functions import warc as WC
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = WC.synth_warc_payloads(ids)
+    return WC.warc_extract_stats(payloads)
 
 
 @register(

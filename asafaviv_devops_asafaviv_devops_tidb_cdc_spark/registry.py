@@ -46,13 +46,17 @@ _QUERY_MODULES = [
 _CHECK_FIRST = [
     # Round-11 window (50 slots), composed mechanically per
     # tests/test_freshness.py:
-    # (a) 2 never-checked new registrations (cap 3, two used):
+    # (a) 3 never-checked new registrations (cap 3, fully used):
     #     q_jpeg_color_stats — multi-component YCbCr baseline-JPEG
-    #     entropy decode (E5g color, r10 verdict item 2) — and
+    #     entropy decode (E5g color, r10 verdict item 2);
     #     q_jpeg_progressive_stats — progressive (SOF2) multi-scan
-    #     entropy decode (E5h, the encoding most real-world web
+    #     entropy decode (E5i, the encoding most real-world web
     #     JPEGs use; narrows the codec boundary to arithmetic/
-    #     hierarchical/12-bit JPEG + MP3/video);
+    #     hierarchical/12-bit JPEG + MP3/video); and
+    #     q_warc_extract — WARC/Common-Crawl .warc.gz ingest (E36:
+    #     per-record gzip members split + inflated in-engine over
+    #     the shared _inflate_raw core, ISO 28500 record walk — the
+    #     first stage of a real 100 TB web-corpus pipeline);
     # (b) 4 changed-path entries (scripts/freshness.py vs the
     #     verdict-round markers): q_jpeg_coeff_stats +
     #     q_png_pixel_stats (shared decoder/inflate edits: color
@@ -60,21 +64,23 @@ _CHECK_FIRST = [
     #     q_basket_pairs + q_dedup_yield_by_source (broadcast-hint
     #     audit, r10 verdict item 4: hints dropped on frames whose
     #     bound grows with scale factor);
-    # (c) rotation = the ENTIRE r5-latest cohort (13) + the 31
+    # (c) rotation = the ENTIRE r5-latest cohort (13) + the 30
     #     oldest r6-latest entries in registration order — this
-    #     window retires the r5 cohort completely; the 12 r6
+    #     window retires the r5 cohort completely; the 13 r6
     #     entries left outside tie the newest r6 inside, which the
     #     oldest-first invariant allows.
-    # --- (a) new (2) + (b) changed-path (4) ---
+    # --- (a) new (3) + (b) changed-path (4) ---
     "q_jpeg_color_stats",
     "q_jpeg_progressive_stats",
+    "q_warc_extract",
     "q_jpeg_coeff_stats",
     "q_png_pixel_stats",
     "q_basket_pairs",
     "q_dedup_yield_by_source",
-    # --- (c) rotation: the r5-latest cohort (13) + the 31 oldest
-    # r6-latest entries (the second new registration displaced
-    # q_pq_topk, an r6 tie with the 11 r6 entries already outside) ---
+    # --- (c) rotation: the r5-latest cohort (13) + the 30 oldest
+    # r6-latest entries (the second and third new registrations
+    # displaced q_pq_topk and q_pipeline_e2e, r6 ties with the r6
+    # entries already outside) ---
     "q_stream_resume",
     "q_dq_checks",
     "q_event_drift",
@@ -88,7 +94,7 @@ _CHECK_FIRST = [
     "q_containment",
     "q_mix_epochs",
     "q_link_rank",
-    # --- oldest r6-latest entries (31 of 43) ---
+    # --- oldest r6-latest entries (30 of 43) ---
     "q_old_image",
     "q_typed_cast",
     "q_filter_cmp",
@@ -119,7 +125,6 @@ _CHECK_FIRST = [
     "q_lang_id",
     "q_quality_score",
     "q_repetition_ratio",
-    "q_pipeline_e2e",
 ]
 
 

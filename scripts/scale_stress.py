@@ -91,6 +91,7 @@ STRESS_QUERIES = {
         "q_jpeg_coeff_stats",
         "q_jpeg_color_stats",
         "q_jpeg_progressive_stats",
+        "q_warc_extract",
     ],
 }
 
