@@ -183,6 +183,25 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, raw
 
 
+def _mcu_units(comps: list[tuple[int, int, int]], mcux: int, mcuy: int):
+    """T.81 interleaved scan order, shared by both encoders and both
+    decoders (one copy of the index arithmetic): ``comps`` is
+    [(component_index, H, V)] in scan order; returns one list per MCU
+    of (component_index, padded-grid block index) — per MCU, each
+    component contributes its V x H block sub-array row-major over a
+    (mcux*H)-wide grid."""
+    out = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            u = []
+            for ci, h, v in comps:
+                for bv in range(v):
+                    for bh in range(h):
+                        u.append((ci, (my * v + bv) * (mcux * h) + mx * h + bh))
+            out.append(u)
+    return out
+
+
 def encode_baseline_jpeg(
     width: int,
     height: int,
@@ -318,19 +337,12 @@ def encode_color_jpeg(
         if len(comp_blocks[c]) != mcux * h * mcuy * v:
             raise ValueError("component block grid does not match sampling")
 
-    def mcus() -> Iterator[list[tuple[int, int]]]:
+    def mcus() -> list[list[tuple[int, int]]]:
         """Interleaved scan order: per MCU, (component, block index in
         that component's raster grid) for each data unit."""
-        for my in range(mcuy):
-            for mx in range(mcux):
-                units = []
-                for c, (h, v) in enumerate(sampling):
-                    for bv in range(v):
-                        for bh in range(h):
-                            units.append(
-                                (c, (my * v + bv) * (mcux * h) + mx * h + bh)
-                            )
-                yield units
+        return _mcu_units(
+            [(c, h, v) for c, (h, v) in enumerate(sampling)], mcux, mcuy
+        )
 
     # pass 1: symbol inventories for the four Huffman tables
     dc_syms: dict[int, set] = {0: set(), 1: set()}
@@ -542,19 +554,10 @@ def encode_progressive_jpeg(
         padded-grid block index) list it covers — an MCU for
         interleaved scans, a single true-grid block otherwise."""
         if len(comps) > 1:
-            out = []
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    u = []
-                    for c in comps:
-                        h, v = sampling[c]
-                        for bv in range(v):
-                            for bh in range(h):
-                                u.append(
-                                    (c, (my * v + bv) * (mcux * h) + mx * h + bh)
-                                )
-                    out.append(u)
-            return out
+            return _mcu_units(
+                [(c, sampling[c][0], sampling[c][1]) for c in comps],
+                mcux, mcuy,
+            )
         c = comps[0]
         h, v = sampling[c]
         tw, th = progressive_true_grid(width, height, h, v, hmax, vmax)
@@ -981,26 +984,29 @@ def decode_jpeg_components(payload: bytes):
             cols = (width + 7) // 8
             rows = (height + 7) // 8
             grids = [(cols, rows)]
-            n_mcus = cols * rows
-            mcu_units = [[(0, k)] for k in range(n_mcus)]
         else:
             hmax = max(h for _, h, _, _ in frame_comps)
             vmax = max(v for _, _, v, _ in frame_comps)
             mcux = -(-width // (8 * hmax))
             mcuy = -(-height // (8 * vmax))
-            n_mcus = mcux * mcuy
             grids = [(mcux * h, mcuy * v) for _, h, v, _ in frame_comps]
-            mcu_units = []
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    units = []
-                    for ci, (_, h, v, _) in enumerate(frame_comps):
-                        for bv in range(v):
-                            for bh in range(h):
-                                units.append(
-                                    (ci, (my * v + bv) * (mcux * h) + mx * h + bh)
-                                )
-                    mcu_units.append(units)
+        # forged-dims guard BEFORE any O(width*height) allocation:
+        # every data unit costs at least one Huffman symbol = one bit
+        # of entropy data, so a grid larger than 8x the remaining
+        # payload bytes cannot be backed by a complete scan — reject
+        # a tiny payload claiming 65535x65535 in microseconds instead
+        # of preallocating gigabytes (r11 review finding)
+        total_units = sum(gx * gy for gx, gy in grids)
+        if total_units > 8 * (len(b) - pos):
+            return None
+        if nf == 1:
+            mcu_units = [[(0, k)] for k in range(total_units)]
+        else:
+            mcu_units = _mcu_units(
+                [(ci, h, v) for ci, (_, h, v, _) in enumerate(frame_comps)],
+                mcux, mcuy,
+            )
+        n_mcus = len(mcu_units)
         comp_blocks: list[list] = [
             [None] * (gx * gy) for gx, gy in grids
         ]
@@ -1057,6 +1063,33 @@ def decode_jpeg_components(payload: bytes):
         return None
 
 
+def _peek_frame_header(b: bytes):
+    """(SOFn marker byte, component count) from one cheap marker walk,
+    or None — lets the wrappers dispatch baseline vs progressive and
+    reject wrong-component-count payloads WITHOUT a full entropy
+    decode (r11 review finding: the grayscale wrapper was fully
+    entropy-decoding 3-component images just to discard them, and the
+    pixel path paid two marker walks per corrupt payload)."""
+    if b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    try:
+        while pos + 4 <= len(b) and b[pos] == 0xFF:
+            marker = b[pos + 1]
+            if marker == 0xD9:
+                return None
+            (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                seg = b[pos + 4 : pos + 2 + seg_len]
+                if len(seg) < 6:
+                    return None
+                return marker, seg[5]
+            pos += 2 + seg_len
+    except struct.error:
+        return None
+    return None
+
+
 def decode_jpeg_coefficients(payload: bytes):
     """Decode a baseline single-component JPEG to its DEQUANTIZED
     coefficient blocks: returns (width, height, blocks) where blocks
@@ -1066,6 +1099,9 @@ def decode_jpeg_coefficients(payload: bytes):
     Returns None for anything corrupt, for multi-component frames
     (decode those via decode_jpeg_components), and for out-of-scope
     variants (progressive, arithmetic, 16-bit tables)."""
+    head = _peek_frame_header(payload or b"")
+    if head is None or head != (0xC0, 1):
+        return None  # cheap bail: no 3-component entropy decode
     dec = decode_jpeg_components(payload)
     if dec is None:
         return None
@@ -1181,6 +1217,18 @@ def decode_jpeg_progressive(payload: bytes):
                 vmax = max(v for _, _, v, _ in frame_comps)
                 mcux = -(-width // (8 * hmax))
                 mcuy = -(-height // (8 * vmax))
+                # forged-dims guard BEFORE any O(width*height)
+                # allocation: a complete progression needs a DC scan
+                # covering every padded block at >= 1 bit per data
+                # unit, so grids larger than 8x the remaining payload
+                # bytes cannot be backed by the stream — reject cheap
+                # (r11 review finding, same bound as the baseline
+                # decoder)
+                total = sum(
+                    mcux * h * mcuy * v for _, h, v, _ in frame_comps
+                )
+                if total > 8 * (len(b) - pos):
+                    return None
                 for _, h, v, _ in frame_comps:
                     coef.append(
                         [dict() for _ in range(mcux * h * mcuy * v)]
@@ -1261,20 +1309,11 @@ def decode_jpeg_progressive(payload: bytes):
                         ac_tbl = htables[(1, ta)]
                 # data-unit list: (restart-counted unit) -> [(ci, bidx)]
                 if ns > 1:
-                    units = []
-                    for my in range(mcuy):
-                        for mx in range(mcux):
-                            u = []
-                            for ci, _, _ in sel:
-                                _, h, v, _ = frame_comps[ci]
-                                for bv in range(v):
-                                    for bh in range(h):
-                                        u.append(
-                                            (ci,
-                                             (my * v + bv) * (mcux * h)
-                                             + mx * h + bh)
-                                        )
-                            units.append(u)
+                    units = _mcu_units(
+                        [(ci, frame_comps[ci][1], frame_comps[ci][2])
+                         for ci, _, _ in sel],
+                        mcux, mcuy,
+                    )
                 else:
                     ci = sel[0][0]
                     _, h, v, _ = frame_comps[ci]
@@ -1456,9 +1495,15 @@ def decode_jpeg_pixels(payload: bytes):
     non-integral subsampling ratios."""
     import numpy as np
 
-    dec = decode_jpeg_components(payload)
-    if dec is None:
+    head = _peek_frame_header(payload or b"")
+    if head is None:
+        return None
+    if head[0] == 0xC0:  # one walk decides the frame type (r11 review)
+        dec = decode_jpeg_components(payload)
+    elif head[0] == 0xC2:
         dec = decode_jpeg_progressive(payload)
+    else:
+        return None
     if dec is None:
         return None
     width, height, comps = dec
@@ -1503,21 +1548,11 @@ JPEG_STATS_SCHEMA = (
 
 
 def synth_jpeg_payloads(media_ids: DataFrame) -> DataFrame:
-    """Arrow-batched synth: one complete valid baseline JPEG per id."""
+    """Arrow-batched synth: one complete valid baseline JPEG per id
+    (shared stage scaffold: multimodal.synth_payload_stage)."""
+    from .multimodal import synth_payload_stage
 
-    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                (int(mid), synth_jpeg_bytes(int(mid)))
-                for mid in pdf["media_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
-    sc = media_ids.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism // 2, 1)
-    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
-        _build, SYNTH_SCHEMA
-    )
+    return synth_payload_stage(media_ids, synth_jpeg_bytes)
 
 
 def jpeg_coeff_stats(media: DataFrame) -> DataFrame:
@@ -1571,41 +1606,21 @@ JPEG_COLOR_STATS_SCHEMA = (
 def synth_color_jpeg_payloads(media_ids: DataFrame) -> DataFrame:
     """Arrow-batched synth: one complete valid baseline YCbCr JPEG
     per id (subsampling variant, padded MCU grid and restart layout
-    all formula-derived — see synth_color_jpeg_bytes)."""
+    all formula-derived — see synth_color_jpeg_bytes; shared stage
+    scaffold: multimodal.synth_payload_stage)."""
+    from .multimodal import synth_payload_stage
 
-    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                (int(mid), synth_color_jpeg_bytes(int(mid)))
-                for mid in pdf["media_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
-    sc = media_ids.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism // 2, 1)
-    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
-        _build, SYNTH_SCHEMA
-    )
+    return synth_payload_stage(media_ids, synth_color_jpeg_bytes)
 
 
 def synth_progressive_jpeg_payloads(media_ids: DataFrame) -> DataFrame:
     """Arrow-batched synth: one complete valid PROGRESSIVE YCbCr JPEG
     per id (9-scan script, per-scan Huffman tables, spectral bands +
-    successive approximation — see synth_progressive_jpeg_bytes)."""
+    successive approximation — see synth_progressive_jpeg_bytes;
+    shared stage scaffold: multimodal.synth_payload_stage)."""
+    from .multimodal import synth_payload_stage
 
-    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                (int(mid), synth_progressive_jpeg_bytes(int(mid)))
-                for mid in pdf["media_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
-    sc = media_ids.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism // 2, 1)
-    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
-        _build, SYNTH_SCHEMA
-    )
+    return synth_payload_stage(media_ids, synth_progressive_jpeg_bytes)
 
 
 def jpeg_progressive_stats(media: DataFrame) -> DataFrame:

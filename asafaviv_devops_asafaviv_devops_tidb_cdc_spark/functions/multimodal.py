@@ -125,9 +125,9 @@ def decode_pixels(payload: bytes, mime: str):
         return _jpeg.decode_jpeg_pixels(payload)
     raise NotImplementedError(
         "pixel decoding beyond uncompressed BMP, deflate-framed PNG and "
-        "baseline JPEG (grayscale + YCbCr color) requires optional codecs "
-        "(PIL/ffmpeg); decode_payload provides header metadata, "
-        "fake_decode_features the deterministic feature stand-in"
+        "baseline + progressive JPEG (grayscale + YCbCr color) requires "
+        "optional codecs (PIL/ffmpeg); decode_payload provides header "
+        "metadata, fake_decode_features the deterministic feature stand-in"
     )
 
 
@@ -252,6 +252,26 @@ DECODE_SCHEMA = (
     "media_id long, format string, width int, height int, "
     "channels int, sample_rate int"
 )
+
+
+def synth_payload_stage(media_ids: DataFrame, synth_fn) -> DataFrame:
+    """Shared Arrow synth scaffold for every per-id bytes builder
+    (JPEG gray/color/progressive, WARC): repartition to half the
+    cores (synth is CPU-bound; leave headroom for the decode stage)
+    and mapInPandas ``synth_fn(media_id) -> bytes`` into
+    (media_id, payload) rows. One copy of the stage policy — tune the
+    parallelism here, not in four pasted builders (r11 review)."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(mid), synth_fn(int(mid))) for mid in pdf["media_id"]]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    sc = media_ids.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism // 2, 1)
+    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
 
 
 def synth_container_payloads(media_ids: DataFrame) -> DataFrame:

@@ -304,21 +304,11 @@ WARC_STATS_SCHEMA = (
 
 
 def synth_warc_payloads(media_ids: DataFrame) -> DataFrame:
-    """Arrow-batched synth: one complete .warc.gz archive per id."""
+    """Arrow-batched synth: one complete .warc.gz archive per id
+    (shared stage scaffold: multimodal.synth_payload_stage)."""
+    from .multimodal import synth_payload_stage
 
-    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                (int(mid), synth_warc_gz_bytes(int(mid)))
-                for mid in pdf["media_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["media_id", "payload"])
-
-    sc = media_ids.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism // 2, 1)
-    return media_ids.select("media_id").repartition(n_parts).mapInPandas(
-        _build, SYNTH_SCHEMA
-    )
+    return synth_payload_stage(media_ids, synth_warc_gz_bytes)
 
 
 def warc_extract_stats(media: DataFrame) -> DataFrame:

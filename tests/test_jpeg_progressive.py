@@ -259,6 +259,34 @@ def test_duplicate_first_scan_rejected():
     assert J.decode_jpeg_progressive(spliced) is None
 
 
+def test_forged_dimensions_rejected_without_allocation():
+    """Review finding (r11): a tiny payload whose SOF claims
+    65535x65535 must be rejected by the payload-size bound (>= 1 bit
+    of entropy data per data unit) BEFORE any O(width*height)
+    allocation — in microseconds, not after gigabytes. Pins both
+    decoders."""
+    import time
+
+    gray = bytearray(J.synth_jpeg_bytes(5))
+    sof = gray.index(b"\xff\xc0")
+    gray[sof + 5 : sof + 9] = struct.pack(">HH", 60000, 60000)
+    t0 = time.perf_counter()
+    assert J.decode_jpeg_components(bytes(gray)) is None
+    assert J.decode_jpeg_coefficients(bytes(gray)) is None
+    color = bytearray(J.synth_color_jpeg_bytes(7))
+    sofc = color.index(b"\xff\xc0")
+    color[sofc + 5 : sofc + 9] = struct.pack(">HH", 65535, 65535)
+    assert J.decode_jpeg_components(bytes(color)) is None
+    prog = bytearray(J.synth_progressive_jpeg_bytes(7))
+    sof2 = prog.index(b"\xff\xc2")
+    prog[sof2 + 5 : sof2 + 9] = struct.pack(">HH", 65535, 65535)
+    assert J.decode_jpeg_progressive(bytes(prog)) is None
+    assert J.decode_jpeg_pixels(bytes(prog)) is None
+    # the whole battery must run in well under a second — a
+    # preallocating decoder takes tens of seconds and gigabytes here
+    assert time.perf_counter() - t0 < 1.0
+
+
 def test_stuffed_ff_padding_before_markers_decodes():
     """Regression (r11): a 1-padding byte of all ones is a legal 0xFF
     written as FF 00 — the marker seek before RSTn/EOI must skip it.
