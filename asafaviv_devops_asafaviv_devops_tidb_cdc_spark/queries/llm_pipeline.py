@@ -1613,8 +1613,9 @@ def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode_png_pixels / png_pixel_stats). The oracle brute-forces the
     position-weighted checksum from the formula — px_wsum only
     matches if framing, Huffman decode, AND filter inversion are all
-    byte-exact. Remaining codec-library boundary: DCT-family codecs
-    (JPEG/MP3) only."""
+    byte-exact. Remaining codec-library boundary (r11): arithmetic/
+    hierarchical/12-bit JPEG and MP3/video codecs only — baseline AND
+    progressive JPEG decode in-engine (q_jpeg_*_stats)."""
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     payloads = multimodal.synth_png_payloads(ids)
     return multimodal.png_pixel_stats(payloads)
@@ -1805,8 +1806,9 @@ def q_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     luma-vs-chroma quant-table selection must all agree bit-exactly.
     The float half (per-plane IDCT, replication upsample,
     JFIF YCbCr->RGB in decode_jpeg_pixels) is pytest-pinned against
-    literal formula transcriptions. Remaining codec-library boundary:
-    progressive/arithmetic JPEG and MP3/video codecs."""
+    literal formula transcriptions. Remaining codec-library boundary
+    (r11: progressive landed as E5i): arithmetic/hierarchical/12-bit
+    JPEG and MP3/video codecs."""
     from ..functions import jpeg as JP
 
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
