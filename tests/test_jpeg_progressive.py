@@ -259,6 +259,23 @@ def test_duplicate_first_scan_rejected():
     assert J.decode_jpeg_progressive(spliced) is None
 
 
+def test_peek_frame_header_agrees_with_decoders():
+    """The one-walk dispatch (_peek_frame_header) must never disagree
+    with the full decoders: every synth payload peeks to its true
+    (SOFn, component count), and anything the peek rejects the full
+    decoders reject too."""
+    for mid in range(40):
+        assert J._peek_frame_header(J.synth_jpeg_bytes(mid)) == (0xC0, 1)
+        assert J._peek_frame_header(J.synth_color_jpeg_bytes(mid)) == (0xC0, 3)
+        assert J._peek_frame_header(
+            J.synth_progressive_jpeg_bytes(mid)
+        ) == (0xC2, 3)
+    for junk in (b"", b"\xff\xd8", b"\xff\xd8\xff\xd9", b"\x00" * 40):
+        assert J._peek_frame_header(junk) is None
+        assert J.decode_jpeg_components(junk) is None
+        assert J.decode_jpeg_progressive(junk) is None
+
+
 def test_forged_dimensions_rejected_without_allocation():
     """Review finding (r11): a tiny payload whose SOF claims
     65535x65535 must be rejected by the payload-size bound (>= 1 bit
