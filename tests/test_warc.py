@@ -80,6 +80,29 @@ def test_arbitrary_gzip_member_roundtrip(body, mode, mtime, fname, fhcrc):
     assert gzip.decompress(member) == body  # library agrees
 
 
+def test_fcomment_field_skipped():
+    """The synth never emits FCOMMENT, but real gzip writers do — the
+    header walk must skip it by its own grammar (zero-terminated) and
+    still verify the trailer. Built by hand since gzip_member doesn't
+    expose it."""
+    import zlib as _z
+
+    body = b"warc-ish payload"
+    co = _z.compressobj(6, _z.DEFLATED, -15)
+    raw = co.compress(body) + co.flush()
+    head = bytearray(b"\x1f\x8b\x08")
+    head.append(16)  # FCOMMENT
+    head += struct.pack("<I", 42) + b"\x00\xff"
+    head += b"made by a real writer\x00"
+    member = bytes(head) + raw + struct.pack(
+        "<II", _z.crc32(body) & 0xFFFFFFFF, len(body)
+    )
+    assert W.gunzip_members(member) == [body]
+    assert gzip.decompress(member) == body
+    # unterminated comment -> corrupt, not a hang
+    assert W.gunzip_members(bytes(head[:-1]) + raw) is None
+
+
 def test_rejects_corrupt_members_and_records():
     good = W.synth_warc_gz_bytes(9)
     assert W.extract_warc_stats(good) is not None
