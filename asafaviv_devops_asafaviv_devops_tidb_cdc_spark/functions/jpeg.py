@@ -25,15 +25,17 @@ subsampling, per-component quantization tables and Huffman-table
 selectors, interleaved MCU order with padding blocks for
 non-MCU-aligned dimensions, and MCU-counted restart intervals that
 reset every component's DC predictor (r11; decode_jpeg_components is
-the general baseline decoder, decode_jpeg_coefficients the strict
-grayscale view the r10 gate pinned) — AND 8-bit PROGRESSIVE (SOF2)
+the general sequential decoder — SOF0 baseline and, since r11,
+SOF1 extended sequential at 8 OR 12 bits with Pq=1 16-bit quant
+tables — decode_jpeg_coefficients the strict grayscale view the r10
+gate pinned) — AND 8-bit PROGRESSIVE (SOF2)
 Huffman frames (r11; decode_jpeg_progressive): multi-scan spectral
 selection, successive approximation (DC point transform + raw-bit
 refinement, AC first/refinement scans with EOB-run coding and
 correction bits), interleaved DC + non-interleaved AC grid
 geometries, per-scan table/DRI redefinition. Arithmetic-coded,
-hierarchical and 12-bit variants remain out of scope and return
-None, as does any corrupt input (never a guess, never a misleading
+hierarchical and 12-bit-PROGRESSIVE variants remain out of scope and
+return None, as does any corrupt input (never a guess, never a misleading
 raise; same contract as the BMP/PNG decoders in
 functions/multimodal.py).
 
@@ -208,13 +210,20 @@ def encode_baseline_jpeg(
     blocks: list[dict[int, int]],
     restart_interval: int = 0,
     quant=quant_table_value,
+    precision: int = 8,
 ) -> bytes:
-    """Complete valid baseline grayscale JPEG from QUANTIZED
+    """Complete valid sequential grayscale JPEG from QUANTIZED
     coefficient blocks ({zigzag_pos: value}, raster order): real
-    DQT/DHT/SOF0/SOS segments, per-file Huffman tables embedded in DHT
+    DQT/DHT/SOF/SOS segments, per-file Huffman tables embedded in DHT
     (the decoder must parse them, never assume Annex K), byte-stuffed
     entropy data, and optional DRI + RSTn restart markers (DC
-    predictor resets, bit realign)."""
+    predictor resets, bit realign). ``precision`` 8 emits SOF0
+    baseline with an 8-bit (Pq=0) quant table; 12 emits SOF1 extended
+    sequential with a 16-bit (Pq=1) table — the entropy layer is
+    byte-identical, which is exactly what the decoder must prove it
+    handles (r11)."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     # symbol inventories for the two Huffman tables
     dc_sizes = set()
     ac_symbols = set()
@@ -244,12 +253,19 @@ def encode_baseline_jpeg(
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
-    qt = bytes(quant(p) for p in range(64))  # zigzag order
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xDB, b"\x00" + qt)  # DQT, Pq=0 Tq=0
+    if precision == 8:
+        qt = bytes(quant(p) for p in range(64))  # zigzag order
+        out += seg(0xDB, b"\x00" + qt)  # DQT, Pq=0 Tq=0
+        sof_marker = 0xC0  # SOF0 baseline
+    else:
+        qt = b"".join(struct.pack(">H", quant(p)) for p in range(64))
+        out += seg(0xDB, b"\x10" + qt)  # DQT, Pq=1 Tq=0 (16-bit)
+        sof_marker = 0xC1  # SOF1 extended sequential
     out += seg(
-        0xC0,  # SOF0 baseline
-        b"\x08" + struct.pack(">HH", height, width) + b"\x01" + b"\x01\x11\x00",
+        sof_marker,
+        bytes([precision]) + struct.pack(">HH", height, width)
+        + b"\x01" + b"\x01\x11\x00",
     )
     out += seg(0xC4, b"\x00" + dc_bits + dc_vals)  # DHT DC table 0
     out += seg(0xC4, b"\x10" + ac_bits + ac_vals)  # DHT AC table 0
@@ -295,14 +311,21 @@ def encode_baseline_jpeg(
 
 
 def synth_jpeg_bytes(media_id: int) -> bytes:
-    """One complete valid baseline JPEG from the id formula; ids
+    """One complete valid sequential JPEG from the id formula; ids
     divisible by 5 (with >2 blocks) carry DRI + restart markers every
-    2 MCUs so the gate exercises predictor resets and bit realigns."""
+    2 MCUs so the gate exercises predictor resets and bit realigns,
+    and ids with media_id % 7 == 3 are emitted as 12-BIT SOF1 extended
+    sequential (16-bit Pq=1 quant table) — same coefficients, same
+    oracle, different container, so the gate proves the 12-bit parse
+    path too (r11)."""
     bx, by = image_geometry(media_id)
     n_blocks = bx * by
     blocks = [block_coefficients(media_id, k) for k in range(n_blocks)]
     restart_interval = 2 if media_id % 5 == 0 and n_blocks > 2 else 0
-    return encode_baseline_jpeg(8 * bx, 8 * by, blocks, restart_interval)
+    precision = 12 if media_id % 7 == 3 else 8
+    return encode_baseline_jpeg(
+        8 * bx, 8 * by, blocks, restart_interval, precision=precision
+    )
 
 
 def encode_color_jpeg(
@@ -878,9 +901,11 @@ def decode_jpeg_components(payload: bytes):
     interleaved MCU order with per-component DC predictors, and
     restart intervals count MCUs (all predictors reset). Every step
     is integer-exact — the oracle-checkable half of JPEG decode.
-    Returns None for anything corrupt or out of scope (progressive,
-    arithmetic, hierarchical, 12-bit, >3 components, >10 data units
-    per MCU)."""
+    Handles SOF0 baseline (8-bit, Pq=0 quant tables) AND SOF1
+    extended sequential (8 or 12 bit, Pq=0/1 tables, DC SSSS up to
+    15) — the entropy layer is identical (r11). Returns None for
+    anything corrupt or out of scope (progressive, arithmetic,
+    hierarchical, >3 components, >10 data units per MCU)."""
     b = payload or b""
     if b[:2] != b"\xff\xd8":
         return None
@@ -888,6 +913,7 @@ def decode_jpeg_components(payload: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
+    precision = 8
     frame_comps = None  # [(comp_id, h, v, tq)] in frame order
     scan_sel = None  # [(dc_sel, ac_sel)] aligned with frame order
     restart_interval = 0
@@ -907,13 +933,23 @@ def decode_jpeg_components(payload: bytes):
                 i = 0
                 while i < len(seg):
                     pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                    if pq != 0:  # 16-bit tables out of scope
-                        return None
-                    vals = list(seg[i + 1 : i + 65])
-                    if len(vals) != 64:
+                    if pq == 0:
+                        vals = list(seg[i + 1 : i + 65])
+                        if len(vals) != 64:
+                            return None
+                        i += 65
+                    elif pq == 1:  # 16-bit table (12-bit frames, B.2.4.1)
+                        raw = seg[i + 1 : i + 129]
+                        if len(raw) != 128:
+                            return None
+                        vals = [
+                            (raw[2 * j] << 8) | raw[2 * j + 1]
+                            for j in range(64)
+                        ]
+                        i += 129
+                    else:
                         return None
                     qtables[tq] = vals
-                    i += 65
             elif marker == 0xC4:  # DHT (possibly several tables)
                 i = 0
                 while i + 17 <= len(seg):
@@ -925,8 +961,16 @@ def decode_jpeg_components(payload: bytes):
                         return None
                     htables[(tc, th)] = _dht_table(bits, vals)
                     i += 17 + n
-            elif marker == 0xC0:  # SOF0 baseline
-                if seg[0] != 8:  # 12-bit precision out of scope
+            elif marker in (0xC0, 0xC1):
+                # SOF0 baseline (8-bit only, T.81 B.2.2) or SOF1
+                # extended sequential (8 or 12 bit) — the Huffman
+                # entropy layer is identical; only the precision byte,
+                # the quant-table precision option and the DC
+                # magnitude bound differ (r11: 12-bit support)
+                precision = seg[0]
+                if marker == 0xC0 and precision != 8:
+                    return None
+                if marker == 0xC1 and precision not in (8, 12):
                     return None
                 height, width = struct.unpack(">HH", seg[1:5])
                 nf = seg[5]
@@ -945,9 +989,9 @@ def decode_jpeg_components(payload: bytes):
                     return None  # single component: no subsampling
                 if nf > 1 and sum(h * v for _, h, v, _ in frame_comps) > 10:
                     return None  # T.81 B.2.3 MCU data-unit cap
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                             0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline frame types: out of scope
+                return None  # non-sequential frame types: out of scope
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", seg[:2])
             elif marker == 0xDA:  # SOS
@@ -1021,8 +1065,8 @@ def decode_jpeg_components(payload: bytes):
             for ci, bidx in mcu_units[mi]:
                 qt = qts[ci]
                 size = reader.symbol(dc_ts[ci])
-                if size > 11:
-                    return None
+                if size > (11 if precision == 8 else 15):
+                    return None  # T.81 F.1.2.1.2: DC SSSS bound
                 diff = _extend(reader.bits(size), size)
                 preds[ci] += diff
                 coeffs = {0: preds[ci] * qt[0]}
@@ -1064,12 +1108,13 @@ def decode_jpeg_components(payload: bytes):
 
 
 def _peek_frame_header(b: bytes):
-    """(SOFn marker byte, component count) from one cheap marker walk,
-    or None — lets the wrappers dispatch baseline vs progressive and
-    reject wrong-component-count payloads WITHOUT a full entropy
-    decode (r11 review finding: the grayscale wrapper was fully
-    entropy-decoding 3-component images just to discard them, and the
-    pixel path paid two marker walks per corrupt payload)."""
+    """(SOFn marker byte, sample precision, component count) from one
+    cheap marker walk, or None — lets the wrappers dispatch
+    sequential vs progressive and reject wrong-component-count or
+    wrong-precision payloads WITHOUT a full entropy decode (r11
+    review finding: the grayscale wrapper was fully entropy-decoding
+    3-component images just to discard them, and the pixel path paid
+    two marker walks per corrupt payload)."""
     if b[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -1083,7 +1128,7 @@ def _peek_frame_header(b: bytes):
                 seg = b[pos + 4 : pos + 2 + seg_len]
                 if len(seg) < 6:
                     return None
-                return marker, seg[5]
+                return marker, seg[0], seg[5]
             pos += 2 + seg_len
     except struct.error:
         return None
@@ -1098,9 +1143,10 @@ def decode_jpeg_coefficients(payload: bytes):
     r10 gate pinned (queries/llm_pipeline.py::q_jpeg_coeff_stats).
     Returns None for anything corrupt, for multi-component frames
     (decode those via decode_jpeg_components), and for out-of-scope
-    variants (progressive, arithmetic, 16-bit tables)."""
+    variants (progressive, arithmetic). 12-bit SOF1 frames decode
+    (r11) — same entropy layer, wider DC bound, Pq=1 tables."""
     head = _peek_frame_header(payload or b"")
-    if head is None or head != (0xC0, 1):
+    if head is None or head[0] not in (0xC0, 0xC1) or head[2] != 1:
         return None  # cheap bail: no 3-component entropy decode
     dec = decode_jpeg_components(payload)
     if dec is None:
@@ -1496,9 +1542,13 @@ def decode_jpeg_pixels(payload: bytes):
     import numpy as np
 
     head = _peek_frame_header(payload or b"")
-    if head is None:
+    if head is None or head[1] != 8:
+        # the uint8 pixel path is 8-bit only: a 12-bit frame's level
+        # shift is +2048 and its output range needs uint16 —
+        # coefficient decode handles 12-bit (decode_jpeg_components);
+        # pixels for it stay out of scope
         return None
-    if head[0] == 0xC0:  # one walk decides the frame type (r11 review)
+    if head[0] in (0xC0, 0xC1):  # one walk decides the frame type
         dec = decode_jpeg_components(payload)
     elif head[0] == 0xC2:
         dec = decode_jpeg_progressive(payload)

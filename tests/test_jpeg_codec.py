@@ -47,6 +47,7 @@ def test_formula_roundtrip_exact_including_restart_ids():
     by=st.integers(min_value=1, max_value=4),
     restart=st.integers(min_value=0, max_value=5),
     qseed=st.integers(min_value=0, max_value=1000),
+    precision=st.sampled_from([8, 12]),
     blocks=st.lists(
         st.dictionaries(
             keys=st.integers(min_value=0, max_value=63),
@@ -58,11 +59,13 @@ def test_formula_roundtrip_exact_including_restart_ids():
     ),
 )
 @settings(max_examples=80, deadline=None)
-def test_arbitrary_coefficient_roundtrip(bx, by, restart, qseed, blocks):
+def test_arbitrary_coefficient_roundtrip(bx, by, restart, qseed,
+                                          precision, blocks):
     """encode -> decode must be the identity on dequantized
     coefficients for ANY block contents: any zigzag positions (long
     zero runs exercise ZRL), any magnitudes up to 10 bits, any restart
-    interval, any (nonzero) quant table."""
+    interval, any (nonzero) quant table — at BOTH precisions (SOF0
+    8-bit / SOF1 12-bit with Pq=1 tables, r11)."""
     n = bx * by
     blocks = (blocks * ((n // len(blocks)) + 1))[:n]
 
@@ -70,7 +73,8 @@ def test_arbitrary_coefficient_roundtrip(bx, by, restart, qseed, blocks):
         return (qseed + p) % 17 + 1
 
     payload = J.encode_baseline_jpeg(
-        8 * bx, 8 * by, blocks, restart_interval=restart, quant=quant
+        8 * bx, 8 * by, blocks, restart_interval=restart, quant=quant,
+        precision=precision,
     )
     dec = J.decode_jpeg_coefficients(payload)
     assert dec is not None
@@ -91,7 +95,9 @@ def test_arbitrary_coefficient_roundtrip(bx, by, restart, qseed, blocks):
 
 
 def test_idct_pixels_match_literal_t81_formula():
-    for mid in (0, 7, 10, 23, 444):
+    # 8-bit ids only (mid % 7 != 3): the uint8 pixel path is 8-bit by
+    # design; 12-bit SOF1 ids coefficient-decode but yield no pixels
+    for mid in (0, 7, 5, 23, 445):
         px = J.decode_jpeg_pixels(J.synth_jpeg_bytes(mid))
         w, h, blocks = J.decode_jpeg_coefficients(J.synth_jpeg_bytes(mid))
         bx = (w + 7) // 8
@@ -134,7 +140,9 @@ def test_rejects_corrupt_and_out_of_scope():
     multi = bytearray(good)
     multi[sof + 9] = 3
     assert J.decode_jpeg_coefficients(bytes(multi)) is None
-    # 16-bit quant table: out of scope
+    # Pq=1 on an 8-bit file's 65-byte DQT payload: the 16-bit table
+    # grammar (r11: now in scope for 12-bit SOF1) expects 128 value
+    # bytes, so the truncated segment is structural corruption
     dqt = bytearray(good)
     i = dqt.index(b"\xff\xdb")
     dqt[i + 4] = 0x10
@@ -162,10 +170,15 @@ def test_decoder_skips_appn_and_com_segments():
 def test_decode_pixels_routes_jpeg():
     from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import multimodal
 
-    good = J.synth_jpeg_bytes(3)
+    good = J.synth_jpeg_bytes(4)
     px = multimodal.decode_pixels(good, "image/jpeg")
     assert px is not None and px.ndim == 2
     # corrupt JPEG -> None (uniform contract), other containers raise
     assert multimodal.decode_pixels(b"\xff\xd8\xff\xd9", "image/jpeg") is None
+    # 12-bit SOF1 (id % 7 == 3): coefficients decode in-engine, the
+    # uint8 pixel layer declares it out of scope -> None
+    twelve = J.synth_jpeg_bytes(3)
+    assert J.decode_jpeg_coefficients(twelve) is not None
+    assert multimodal.decode_pixels(twelve, "image/jpeg") is None
     with pytest.raises(NotImplementedError):
         multimodal.decode_pixels(b"ID3\x03mp3ish", "audio/mpeg")

@@ -35,13 +35,15 @@ import pytest
 from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import jpeg as J
 
 GOLDEN = Path(__file__).parent / "golden"
-GRAY_IDS = (0, 10)  # 10: restart markers
+GRAY_IDS = (0, 5)  # 5: restart markers (8-bit — PIL cross-decodable)
+GRAY12_IDS = (10,)  # 12-bit SOF1 + restarts: byte-pin only (stock
+# libjpeg is built for 8-bit samples, so no PIL cross-decode)
 COLOR_IDS = (6, 7, 11, 15)  # 4:4:4, 4:2:2, 4:2:0, 4:4:4+restart
 PROG_IDS = (6, 7, 11, 15)  # same variants, progressive 9-scan script
 
 
 def test_golden_bytes_pin_the_synth_encoders():
-    for mid in GRAY_IDS:
+    for mid in GRAY_IDS + GRAY12_IDS:
         want = (GOLDEN / f"gray_{mid}.jpg").read_bytes()
         assert J.synth_jpeg_bytes(mid) == want, mid
     for mid in COLOR_IDS:
@@ -50,6 +52,11 @@ def test_golden_bytes_pin_the_synth_encoders():
     for mid in PROG_IDS:
         want = (GOLDEN / f"prog_{mid}.jpg").read_bytes()
         assert J.synth_progressive_jpeg_bytes(mid) == want, mid
+    # the 12-bit fixture really is SOF1/precision-12 on the wire and
+    # coefficient-decodes in-engine
+    pay = (GOLDEN / "gray_10.jpg").read_bytes()
+    assert b"\xff\xc1" in pay and pay[pay.index(b"\xff\xc1") + 4] == 12
+    assert J.decode_jpeg_coefficients(pay) is not None
 
 
 def _pil_image(payload: bytes):

@@ -265,11 +265,14 @@ def test_peek_frame_header_agrees_with_decoders():
     (SOFn, component count), and anything the peek rejects the full
     decoders reject too."""
     for mid in range(40):
-        assert J._peek_frame_header(J.synth_jpeg_bytes(mid)) == (0xC0, 1)
-        assert J._peek_frame_header(J.synth_color_jpeg_bytes(mid)) == (0xC0, 3)
+        want_gray = (0xC1, 12, 1) if mid % 7 == 3 else (0xC0, 8, 1)
+        assert J._peek_frame_header(J.synth_jpeg_bytes(mid)) == want_gray
+        assert J._peek_frame_header(
+            J.synth_color_jpeg_bytes(mid)
+        ) == (0xC0, 8, 3)
         assert J._peek_frame_header(
             J.synth_progressive_jpeg_bytes(mid)
-        ) == (0xC2, 3)
+        ) == (0xC2, 8, 3)
     for junk in (b"", b"\xff\xd8", b"\xff\xd8\xff\xd9", b"\x00" * 40):
         assert J._peek_frame_header(junk) is None
         assert J.decode_jpeg_components(junk) is None
