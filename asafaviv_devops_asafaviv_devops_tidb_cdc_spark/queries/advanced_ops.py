@@ -1289,6 +1289,8 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", "embedding",
             similarity.sq_norm("embedding").alias("nv"),
         )
+        # broadcast-bounded: q = the fixed probe_ids rows (constant
+        # query-set size, SF-independent)
         .crossJoin(F.broadcast(q))
         .select(
             "query_id",

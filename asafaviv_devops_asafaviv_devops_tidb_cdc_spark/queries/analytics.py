@@ -81,9 +81,13 @@ LIMIT 10
 )
 def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape — shipping priority: three selective predicates
-    each pushed to its own scan, customer broadcast into orders, the
-    surviving orders joined to lineitem, then a global top-10 by
-    revenue (tie-broken deterministically)."""
+    each pushed to its own scan, the surviving orders joined to
+    lineitem, then a global top-10 by revenue (tie-broken
+    deterministically). No explicit broadcast hint on customer — it
+    grows linearly with scale factor (~15 B rows at 100 TB), so a
+    hard hint would OOM the driver at scale; AQE picks broadcast at
+    gate SF on its own and stays free to shuffle at 100x (r12
+    broadcast-hint audit)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
@@ -93,7 +97,7 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(units_as_dollars(F.sum(revenue_units())).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -118,10 +122,13 @@ GROUP BY 1
 """,
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape — local supplier volume: six-table snowflake
-    where customer/supplier/nation/region broadcast and only the
-    orders-lineitem join shuffles; the region filter prunes through
-    the broadcast chain before any fact rows move."""
+    """TPC-H Q5 shape — local supplier volume: six-table snowflake.
+    Only nation/region keep broadcast hints (constant 25/5 rows);
+    customer and supplier grow linearly with scale factor, so they
+    carry no hint — AQE broadcasts them at gate SF and shuffles them
+    at 100x where a hard hint would OOM the driver (r12
+    broadcast-hint audit). The region filter still prunes through
+    the join chain before any fact rows move."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -130,9 +137,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -199,9 +206,11 @@ LIMIT 20
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape — returned-item reporting: who returned the
     most revenue last quarter. Returnflag pushes into the lineitem
-    scan, the quarter window into orders; customer and nation
-    broadcast; one fact-fact shuffle, then top-20 with a deterministic
-    custkey tiebreak."""
+    scan, the quarter window into orders; only nation keeps a
+    broadcast hint (constant 25 rows) — customer grows with scale
+    factor, so it carries none and AQE decides (broadcast at gate SF,
+    shuffle at 100x; r12 broadcast-hint audit); one fact-fact
+    shuffle, then top-20 with a deterministic custkey tiebreak."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders").filter(
@@ -211,7 +220,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(units_as_dollars(F.sum(revenue_units())).alias("revenue"))
@@ -239,7 +248,9 @@ GROUP BY 1
 def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape — promotion revenue share per ship month
     (our part types have no PROMO class; ECONOMY stands in).
-    Conditional aggregation over a broadcast part join. The ratio is
+    Conditional aggregation over the part join — no broadcast hint:
+    part grows with scale factor (~20 B rows at 100 TB), so AQE
+    decides the strategy (r12 broadcast-hint audit). The ratio is
     exact integer ppm over integer revenue units — no float division
     anywhere, so no engine can diverge. (Integer-unit sums bound the
     ppm numerator to ~1e18 at sf10; beyond that, pre-divide units.)"""
@@ -252,7 +263,7 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
         .agg(
             F.sum(promo).alias("_promo_u"),
@@ -285,7 +296,9 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     then keep the argmax row(s). The scalar subquery becomes a
     broadcast of a 1-row global max joined back into the aggregate —
     no single-partition global window, which would serialize at
-    scale."""
+    scale. Only the 1-row max keeps a hint; supplier grows with
+    scale factor, so its join is unhinted and AQE decides (r12
+    broadcast-hint audit)."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
@@ -295,7 +308,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     return (
         totals.join(F.broadcast(mx), totals.units == F.col("_mx"))
-        .join(F.broadcast(s), totals.l_suppkey == s.s_suppkey)
+        .join(s, totals.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", units_as_dollars(F.col("units")).alias("total_revenue"))
     )
 
@@ -321,9 +334,11 @@ GROUP BY 1, 2, 3
 def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — volume shipping between two nations by year:
     the bidirectional nation-pair predicate lands on two BROADCAST
-    nation copies (distinct aliases), so the pair filter prunes fact
-    rows before the single orders-lineitem shuffle; year() is computed
-    post-join on survivors only."""
+    nation copies (distinct aliases, constant 25 rows each), so the
+    pair filter prunes fact rows before the single orders-lineitem
+    shuffle; year() is computed post-join on survivors only. Supplier
+    and customer carry no hint — both grow with scale factor, so AQE
+    decides their strategy (r12 broadcast-hint audit)."""
     s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
     n1 = _t(spark, sf_dir, "nation").alias("n1")
@@ -337,8 +352,8 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("n1.n_name") == "NATION_2") & (F.col("n2.n_name") == "NATION_1"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
         .filter(pair)
@@ -376,10 +391,13 @@ GROUP BY 1
 )
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape — market share of one supplier nation within a
-    customer region for one part type, per order year. All seven
-    dimension hops broadcast; the fact tables meet in one shuffle; the
-    share is exact integer ppm (no float division), the same
-    cross-engine-deterministic ratio idiom as q_promo_share."""
+    customer region for one part type, per order year. Only the
+    constant-size dimensions (nation x2, region) keep broadcast
+    hints; part/supplier/customer grow with scale factor, so their
+    joins are unhinted and AQE decides (r12 broadcast-hint audit).
+    The fact tables meet in one shuffle; the share is exact integer
+    ppm (no float division), the same cross-engine-deterministic
+    ratio idiom as q_promo_share."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
@@ -392,10 +410,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sn.n_name") == "NATION_3", revenue_units()
     ).otherwise(F.lit(0).cast("long"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn.n_nationkey"))
         .join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn.n_nationkey"))
@@ -465,7 +483,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey (co-partitioned: both sides shuffle on l_partkey once).
     Quantities are integral doubles, so SUM is exact at any partition
     order, and the 0.2x cut is one IEEE multiply/divide — identical in
-    both engines."""
+    both engines. The part join is unhinted — part grows with scale
+    factor, so AQE decides (r12 broadcast-hint audit)."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
     pa = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
@@ -475,7 +494,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_cut")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(pa, l.l_partkey == pa.pa_partkey)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
@@ -507,8 +526,9 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape — large-volume customers: the HAVING subquery
     becomes a pre-aggregated key set LEFT SEMI-joined into lineitem
     (both sides partition on orderkey — AQE sees the reused exchange),
-    then customer broadcasts into the survivors. Top-100 with
-    deterministic orderkey tiebreak."""
+    then customer joins the survivors unhinted — customer grows with
+    scale factor, so AQE decides its strategy (r12 broadcast-hint
+    audit). Top-100 with deterministic orderkey tiebreak."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -521,7 +541,7 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(big, l.l_orderkey == F.col("big_orderkey"), "left_semi")
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name",
             "c_custkey",
@@ -671,9 +691,11 @@ def q_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape — parts/supplier relationship report: distinct
     supplier count per (brand, type, size) with a NOT-IN exclusion
     subquery (suppliers "with complaints" — negative balance stands in
-    for the missing comment column). The exclusion list is tiny and
-    becomes a broadcast LEFT ANTI join (null-safe here: keys are
-    non-null); the brand/type/size predicates all push to the part
+    for the missing comment column). The exclusion LEFT ANTI join and
+    the filtered-part join are both unhinted — both sides derive from
+    SF-growing tables (supplier, part), so AQE decides (it broadcasts
+    them at gate SF; r12 broadcast-hint audit). Null-safe here: keys
+    are non-null. The brand/type/size predicates all push to the part
     scan; COUNT(DISTINCT) shuffles once on the group key with the
     suppkey carried for the distinct-aggregate expand."""
     l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
@@ -688,8 +710,8 @@ def q_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("bad_suppkey"))
     )
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == F.col("bad_suppkey"), "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bad, l.l_suppkey == F.col("bad_suppkey"), "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -715,12 +737,14 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     a naive engine evaluates the OR after the join. Catalyst extracts
     the common-subexpression bounds: the per-side implied predicates
     (p_size >= 1, quantity/size upper bounds from the OR's union) push
-    into BOTH scans, part broadcasts, and the residual OR evaluates in
-    the join's codegen stage. Revenue accumulates in exact integer
+    into BOTH scans, the part join is unhinted (part grows with scale
+    factor — AQE broadcasts at gate SF, shuffles at 100x; r12
+    broadcast-hint audit), and the residual OR evaluates in the
+    join's codegen stage. Revenue accumulates in exact integer
     1e-4-dollar units."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(p, l.l_partkey == p.p_partkey)
     cond = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 5)
@@ -802,9 +826,12 @@ GROUP BY 1, 2
 )
 def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape — product-line profit by (supplier nation, ship
-    year): the fact table meets THREE dimensions, every one broadcast
-    (part is pre-filtered to the PROMO line before the join, so the
-    build side shrinks at the scan), and profit accumulates as
+    year): the fact table meets THREE dimensions — only nation keeps
+    a broadcast hint (constant 25 rows); part and supplier grow with
+    scale factor, so their joins are unhinted and AQE decides (r12
+    broadcast-hint audit). Part is pre-filtered to the PROMO line
+    before the join, so the build side shrinks at the scan, and
+    profit accumulates as
     revenue-units minus a unit-cost term (10% of retail per unit,
     i.e. retail_cents x 10 in 1e-4-dollar units) — all exact BIGINT
     arithmetic, so the sum is partition-order-proof. The planner
@@ -818,8 +845,8 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.lit(10)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -965,8 +992,11 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no partsupp table): the supply relation derives from lineitem as
     the cheapest observed lot price per (part, supplier) in exact
     cents. Physical strategy: ONE fact shuffle builds the compact
-    supply aggregate; part / supplier / nation / region are all
-    broadcast (the part filter prunes the build side at its scan); the
+    supply aggregate; only nation/region (constant 25/5 rows) keep
+    broadcast hints — part and the supplier-derived ``eur`` frame grow
+    with scale factor, so their joins are unhinted and AQE decides
+    (r12 broadcast-hint audit); the part filter still prunes the
+    build side at its scan; the
     correlated MIN resolves as a single ``min(struct(...))`` per-part
     aggregation over the already-compact candidate frame — no second
     fact scan, no window sort, ties broken by suppkey via lexicographic
@@ -993,8 +1023,8 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = supply.join(
-        F.broadcast(p), supply.l_partkey == p.p_partkey
-    ).join(F.broadcast(eur), supply.l_suppkey == F.col("s_suppkey"))
+        p, supply.l_partkey == p.p_partkey
+    ).join(eur, supply.l_suppkey == F.col("s_suppkey"))
     best = cand.groupBy(F.col("p_partkey").alias("partkey")).agg(
         F.min(
             F.struct(
@@ -1053,13 +1083,16 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema: for 'red'-named parts shipped in 1995, flag (part,
     supplier) pairs whose shipped quantity exceeds 20 % of the part's
     total, then report flagged ASIA-region suppliers. Physical
-    strategy: the part-name filter broadcasts into the fact scan
-    (semi-ish prune before the agg), ONE fact shuffle builds the
+    strategy: the part-name filter semi-joins into the fact scan
+    (prune before the agg), ONE fact shuffle builds the
     (part, supplier) quantity aggregate, the per-part total is a
     window over that already-compact frame (no second fact pass — the
     Q20 subquery collapses into the window), and the 20 % threshold is
     an exact integer cross-multiply (qty*5 > total) so no division can
-    ulp-flip a boundary pair. Supplier/nation/region broadcast."""
+    ulp-flip a boundary pair. Only nation/region (constant rows) keep
+    broadcast hints; the part semi-join and the supplier-derived
+    ``asia`` frame grow with scale factor, so those joins are unhinted
+    and AQE decides (r12 broadcast-hint audit)."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
     s = _t(spark, sf_dir, "supplier")
@@ -1072,7 +1105,7 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
             & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
         )
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .join(p, l.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_sp"))
     )
@@ -1085,7 +1118,7 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
     )
     return (
-        flagged.join(F.broadcast(asia), flagged.l_suppkey == F.col("s_suppkey"))
+        flagged.join(asia, flagged.l_suppkey == F.col("s_suppkey"))
         .groupBy(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supp_name"),

@@ -182,14 +182,16 @@ GROUP BY 1
 """,
 )
 def q_join_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 — broadcast hash equi-join over the FK (reference
-    sql/schema.sql:30-31 declares orders->users/products). customer is
-    the small dim — broadcast keeps the fact-side scan shuffle-free at
-    any scale."""
+    """J1 — hash equi-join over the FK (reference sql/schema.sql:30-31
+    declares orders->users/products). customer is the smaller side but
+    grows linearly with scale factor, so it carries NO explicit
+    broadcast hint — AQE picks broadcast-hash at gate SF on its own
+    and stays free to shuffle at 100x, where a hard hint would OOM
+    the driver (r12 broadcast-hint audit)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.count("*").alias("n_orders"),
@@ -218,8 +220,10 @@ GROUP BY 1, 2
 )
 def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — multi-way star join, revenue by region/nation. Fact table
-    shuffles once on l_orderkey (SMJ with orders under AQE); the three
-    dims are broadcast so no extra fact shuffles. revenue accumulates
+    shuffles once on l_orderkey (SMJ with orders under AQE); only the
+    constant-size dims keep broadcast hints (nation 25 rows, region 5)
+    — customer grows with scale factor, so its join is unhinted and
+    AQE decides (r12 broadcast-hint audit). revenue accumulates
     in exact integer 1e-4-dollar units (associative — no row-order or
     rounding divergence), emitted as dollars via one exact
     BIGINT->DOUBLE conversion (queries/_money.py)."""
@@ -230,7 +234,7 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

@@ -147,6 +147,9 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("d", "cum_before")
     tot = m.agg(F.count("*").alias("n_total"))
     ranked = (
+        # broadcast-bounded: offsets has one row per distinct d =
+        # quantized x100 mean-token-length — value-domain-bounded
+        # (~1e3 distinct), independent of corpus size
         m.join(F.broadcast(offsets), "d")
         .withColumn(
             "rank",
@@ -263,6 +266,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = _mg_candidates(items).distinct().withColumn("is_cand", F.lit(True))
     counted = (
+        # broadcast-bounded: cand = Misra-Gries summaries, <= 64 rows
+        # per partition by construction (bounded counter map)
         items.join(F.broadcast(cand), "item", "left")
         .groupBy(
             F.when(F.col("is_cand"), F.col("item")).alias("item")
@@ -668,6 +673,7 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.filter((F.col("label") == 7) & (F.col("vec_id") != 0))
     scored = (
         rebalance(cand)
+        # broadcast-bounded: q = the single vec_id == 0 row
         .crossJoin(F.broadcast(q))
         .select("vec_id", similarity.cosine("embedding", "qv").alias("cos_raw"))
     )

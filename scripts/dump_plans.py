@@ -20,7 +20,11 @@ HEADLINE = {
         "CDC parse chain P1-P5 + aggregation — the reference's "
         "load-bearing path as ONE fused map stage"
     ),
-    "q_join_star": "multi-way star join — fact scan pruned to 3 columns, all dims broadcast",
+    "q_join_star": (
+        "multi-way star join — fact scan pruned to 3 columns; "
+        "nation/region hinted (constant rows), customer unhinted so "
+        "AQE decides (broadcast at gate SF, free to shuffle at 100x)"
+    ),
     "q_filter_cmp": "filter pushdown — predicates reach the parquet scan",
     "q_cosine_topk": "brute-force cosine top-k — broadcast query vector, no shuffle until top-k",
     "q_minhash_neardup": (
@@ -43,7 +47,8 @@ HEADLINE = {
     ),
     "q_big_orders": (
         "TPC-H Q18 shape — HAVING subquery as pre-aggregated semi-join, "
-        "both sides partitioned on orderkey, customer broadcast"
+        "both sides partitioned on orderkey; customer unhinted (AQE "
+        "broadcasts at gate SF, shuffles at 100x)"
     ),
     "q_running_total": (
         "per-key running totals — single hash shuffle on custkey feeds "
@@ -84,8 +89,9 @@ HEADLINE = {
         "nothing materializes on the driver (r4)"
     ),
     "q_min_cost_supplier": (
-        "TPC-H Q2 shape — one fact agg builds the supply relation, "
-        "all dims broadcast, correlated MIN as min(struct) per part (r5)"
+        "TPC-H Q2 shape — one fact agg builds the supply relation; "
+        "only nation/region hinted, part/supplier-derived sides left "
+        "to AQE (r12); correlated MIN as min(struct) per part"
     ),
     "q_excess_suppliers": (
         "TPC-H Q20 shape — single fact pass; the nested subquery "
