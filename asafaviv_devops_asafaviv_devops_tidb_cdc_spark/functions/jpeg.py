@@ -1083,6 +1083,8 @@ def decode_jpeg_components(payload: bytes):
                         if p > 63:
                             return None
                         continue
+                    if size > (10 if precision == 8 else 14):
+                        return None  # T.81 F.1.2.2.1: AC SSSS bound
                     p += run + 1
                     if p > 63:
                         return None

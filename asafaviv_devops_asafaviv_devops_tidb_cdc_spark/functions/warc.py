@@ -180,7 +180,11 @@ def parse_warc_record(block: bytes):
     be WARC/1.0 or WARC/1.1, header lines are ``Name: value`` CRLF
     pairs up to an empty line, Content-Length is mandatory and the
     body must be exactly that long, and the record must end with the
-    two-CRLF terminator and nothing else."""
+    two-CRLF terminator and nothing else. ISO 28500 defines every
+    named field as non-repeatable EXCEPT WARC-Concurrent-To (5.7), so
+    a repeated WARC-Concurrent-To folds into one comma-joined value
+    (real Common Crawl revisit/metadata records use this) while any
+    other duplicate is structural corruption (r11 advice)."""
     if not (block.startswith(b"WARC/1.0\r\n") or block.startswith(b"WARC/1.1\r\n")):
         return None
     pos = block.index(b"\r\n") + 2
@@ -202,8 +206,11 @@ def parse_warc_record(block: bytes):
         except UnicodeDecodeError:
             return None
         if name in headers:
-            return None  # duplicate field in a synth record: corrupt
-        headers[name] = value
+            if name != "WARC-Concurrent-To":
+                return None  # ISO 28500: only Concurrent-To repeats
+            headers[name] = headers[name] + ", " + value
+        else:
+            headers[name] = value
     cl = headers.get("Content-Length")
     if cl is None or not cl.isdigit():
         return None

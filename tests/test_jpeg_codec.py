@@ -157,6 +157,25 @@ def test_rejects_corrupt_and_out_of_scope():
         assert dec is None or isinstance(dec, tuple)
 
 
+def test_rejects_oversized_ac_magnitude_category():
+    # T.81 F.1.2.2.1 caps AC SSSS at 10 for 8-bit frames (14 for
+    # 12-bit). encode_baseline_jpeg will happily emit a non-conformant
+    # stream for a quantized coefficient needing SSSS=11 — the decoder
+    # must reject it, mirroring the DC bound (r11 advice).
+    over_8 = J.encode_baseline_jpeg(8, 8, [{0: 1, 1: 1500}])  # SSSS 11
+    assert J.decode_jpeg_coefficients(over_8) is None
+    ok_8 = J.encode_baseline_jpeg(8, 8, [{0: 1, 1: 1000}])  # SSSS 10
+    assert J.decode_jpeg_coefficients(ok_8) is not None
+    over_12 = J.encode_baseline_jpeg(
+        8, 8, [{0: 1, 1: 20000}], precision=12
+    )  # SSSS 15
+    assert J.decode_jpeg_coefficients(over_12) is None
+    ok_12 = J.encode_baseline_jpeg(
+        8, 8, [{0: 1, 1: 10000}], precision=12
+    )  # SSSS 14
+    assert J.decode_jpeg_coefficients(ok_12) is not None
+
+
 def test_decoder_skips_appn_and_com_segments():
     good = J.synth_jpeg_bytes(9)
     want = J.decode_jpeg_coefficients(good)

@@ -151,6 +151,24 @@ def test_rejects_malformed_warc_grammar():
     # a member holding TWO records is not the Common Crawl layout
     two = W.gzip_member(rec + rec, 0, 1)
     assert W.extract_warc_stats(two) is None
+    # ISO 28500 5.7: WARC-Concurrent-To is the one repeatable field —
+    # repeats fold into a comma-joined value; any other duplicate is
+    # structural corruption (r11 advice)
+    multi = W.build_warc_record(
+        [
+            ("WARC-Type", "metadata"),
+            ("WARC-Concurrent-To", "<urn:uuid:a>"),
+            ("WARC-Concurrent-To", "<urn:uuid:b>"),
+        ],
+        body,
+    )
+    hdrs, got = W.parse_warc_record(multi)
+    assert got == body
+    assert hdrs["WARC-Concurrent-To"] == "<urn:uuid:a>, <urn:uuid:b>"
+    dup = W.build_warc_record(
+        [("WARC-Type", "response"), ("WARC-Type", "request")], body
+    )
+    assert W.parse_warc_record(dup) is None
 
 
 def test_stats_null_for_corrupt_payload_in_stage():
