@@ -2006,6 +2006,85 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_warc_html_text",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n FROM documents
+),
+recs AS (
+  SELECT media_id, unnest(range(n)) AS r FROM p
+),
+keep AS (
+  SELECT media_id, CAST(r AS INTEGER) AS r, media_id % 40 + 10 AS t
+  FROM recs
+  WHERE (media_id + r) % 3 = 0
+    AND (media_id + r) % 4 != 1
+    AND (media_id + r) % 5 != 2
+),
+toks AS (
+  SELECT media_id, r, u.k,
+         (media_id * 7 + r * 13 + u.k * 3) % 1000 AS v
+  FROM keep, LATERAL (SELECT unnest(range(t)) AS k) u
+),
+body AS (
+  SELECT media_id, r,
+         string_agg(CASE WHEN k % 5 = 0
+                         THEN '<tok' || CAST(v AS VARCHAR) || '>'
+                         ELSE 'tok' || CAST(v AS VARCHAR) END,
+                    ' ' ORDER BY k) AS toktext
+  FROM toks GROUP BY 1, 2
+),
+txt AS (
+  SELECT k.media_id, k.r, k.t,
+         'Doc ' || CAST(k.media_id AS VARCHAR) || ' '
+         || CAST(k.r AS VARCHAR) || ' Doc & '
+         || CAST(k.media_id AS VARCHAR) || ' ' || b.toktext
+         || ' link ' || CAST(k.media_id AS VARCHAR) || ' @end "q"'
+           AS text
+  FROM keep k JOIN body b USING (media_id, r)
+)
+SELECT media_id, r,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(t + 10 AS BIGINT) AS n_tokens,
+       md5(text) AS text_md5
+FROM txt
+""",
+)
+def q_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37 — WARC -> VISIBLE-TEXT extraction, the Common Crawl WET
+    stage (r12; the stage every web-corpus pipeline runs right after
+    E36's raw ingest). Complete valid .warc.gz crawl slices are
+    synthesized from id formulas
+    (functions/html_text.py::synth_warc_html_gz_bytes): 1..3 records
+    (one gzip member each — the splittable CC layout), response
+    records carrying full HTTP/1.1 messages (status line, case-rotated
+    header names, content-length check) whose HTML bodies contain
+    every hazard a naive extractor trips on — <style> with braces,
+    <script> with markup inside a string literal and a bare ``<``
+    comparison, comments wrapping markup, entity-encoded tokens,
+    a ``>`` inside a quoted attribute value, uppercase tags. A
+    separate Arrow stage (warc_html_text_stats) walks the archive
+    ENTIRELY IN-ENGINE — gzip + WARC via the shared E36 grammar, then
+    HTTP parse, then a linear quote-aware tag scanner that drops
+    comment/script/style wholesale, strips tags, decodes character
+    references AFTER stripping (the double-decode bug is a pinned
+    test) and collapses whitespace — and emits one row per kept
+    (200, text/html) page: text length, token count, md5. The oracle
+    reconstructs the exact extracted text from the id formula in SQL
+    and re-hashes it, so the gate only passes if the keep-rule, the
+    element-skip rules, entity decode order and whitespace collapse
+    are all byte-exact. Cross-validated against stdlib html.parser in
+    tests/test_html_text.py. 100 TB posture: identical to E36 —
+    opaque binary columns, Arrow-batched map stage, no shuffle, splits
+    at gzip member boundaries."""
+    from ..functions import html_text as HT
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = HT.synth_warc_html_payloads(ids)
+    return HT.warc_html_text_stats(payloads)
+
+
+@register(
     "q_wav_sample_stats",
     oracle="""
 WITH p AS (
@@ -2191,6 +2270,8 @@ def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     return (
+        # broadcast-bounded: df_ has <= len(_SEARCH_TERMS) rows (tf is
+        # pre-filtered to the fixed query terms); n is a 1-row scalar
         tf.join(F.broadcast(df_), "term")
         .join(F.broadcast(n))
         .groupBy("doc_id")
@@ -3069,10 +3150,14 @@ def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counts bucketed by unordered (source, source) — the
     acquisition-diligence report that says which feeds duplicate which
     (high off-diagonal mass = you are paying twice for the same data).
-    Serves from the MATERIALIZED pair artifact (one scan) with the
-    doc->source lookup broadcast; planted ids map to their base doc via
-    % 1e6, and the unordered pair key uses least/greatest so the
-    matrix is symmetric-collapsed identically in both engines."""
+    Serves from the MATERIALIZED pair artifact (one scan); the
+    doc->source lookup joins UNHINTED — it projects the full documents
+    table, which grows linearly with corpus size, so a hard broadcast
+    hint would OOM the driver at 100 TB; AQE broadcasts it at gate SF
+    and shuffles at scale (r12 broadcast-hint audit). Planted ids map
+    to their base doc via % 1e6, and the unordered pair key uses
+    least/greatest so the matrix is symmetric-collapsed identically
+    in both engines."""
     from ..sources.cluster_store import ngram_pair_table
 
     docs = _docs(spark, sf_dir).select("doc_id", "source")
@@ -3084,8 +3169,8 @@ def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("idb"), F.col("source").alias("src_b")
     )
     return (
-        pairs.join(F.broadcast(sa), pairs.doc_a % 1000000 == F.col("ida"))
-        .join(F.broadcast(sb), pairs.doc_b % 1000000 == F.col("idb"))
+        pairs.join(sa, pairs.doc_a % 1000000 == F.col("ida"))
+        .join(sb, pairs.doc_b % 1000000 == F.col("idb"))
         .groupBy(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),
@@ -3125,6 +3210,8 @@ def _pq_pieces(spark: SparkSession, sf_dir: str):
         "i -> CAST(floor((sub[i-1] - c[i-1]) * (sub[i-1] - c[i-1]) * 1e12 + 0.5)"
         " AS BIGINT)), 0L, (acc, x) -> acc + x)"
     )
+    # broadcast-bounded: cents = _PQ_CENTS x _PQ_SUBSPACES codebook
+    # rows (both fixed constants, SF-independent)
     scored = subs.join(F.broadcast(cents), "s").select(
         "vec_id", "s", "cid", d2.alias("d2_pico")
     )

@@ -1,0 +1,197 @@
+"""WARC -> visible-text extraction (E37, the CC-WET stage): formula
+roundtrip, stdlib html.parser cross-validation (the in-container
+reference implementation), extraction-hazard pins, and corruption
+rejection."""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import html_text as H
+
+
+# ---------------------------------------------------------------------------
+# reference extractor: stdlib html.parser
+# ---------------------------------------------------------------------------
+
+
+class _RefExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self._parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip += 1
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style") and self._skip:
+            self._skip -= 1
+
+    def handle_data(self, data):
+        if not self._skip:
+            self._parts.append(data)
+
+
+def ref_extract(html: str) -> str:
+    p = _RefExtractor()
+    p.feed(html)
+    p.close()
+    # html.parser yields U+00A0 for &nbsp;; our contract folds it into
+    # ordinary whitespace like every WET pipeline does
+    return " ".join("".join(p._parts).replace("\xa0", " ").split())
+
+
+# ---------------------------------------------------------------------------
+# roundtrip + cross-validation
+# ---------------------------------------------------------------------------
+
+
+def test_formula_roundtrip_and_stdlib_cross_validation():
+    n_pages = 0
+    for mid in list(range(80)) + [12345, 999983]:
+        pages = H.extract_html_pages(H.synth_warc_html_gz_bytes(mid))
+        assert pages is not None, mid
+        expect = [
+            r
+            for r in range(H.html_record_count(mid))
+            if H.html_record_type(mid, r) == "response"
+            and H.html_is_html(mid, r)
+            and H.html_is_ok(mid, r)
+        ]
+        assert [r for r, _ in pages] == expect, mid
+        for r, text in pages:
+            assert text == H.expected_visible_text(mid, r), (mid, r)
+            # the stdlib parser agrees on the raw page
+            assert ref_extract(H.build_page_html(mid, r)) == text, (mid, r)
+            n_pages += 1
+    assert n_pages > 20
+
+
+def test_extraction_hazards():
+    ex = H.extract_visible_text
+    # script content with markup inside a string literal + bare <
+    assert ex('<script>if (a < 3) { x("<p>no</p>"); }</script>yes') == "yes"
+    # style with braces; uppercase raw-text tag
+    assert ex("<STYLE>body { color: red; }</STYLE>ok") == "ok"
+    # comments wrapping markup vanish without injecting whitespace
+    # (matches html.parser: data 'a' + data 'b' with no boundary)
+    assert ex("a<!-- <p>hidden</p> -->b") == "ab"
+    assert ex("a <!-- <p>hidden</p> --> b") == "a b"
+    # quote-aware tag scan: > inside attribute values
+    assert ex('<a title="t>u" href=\'x>y\'>link</a>') == "link"
+    # entity decode AFTER strip: literal markup survives as text
+    assert ex("&lt;script&gt;alert(1)&lt;/script&gt;") == (
+        "<script>alert(1)</script>"
+    )
+    # numeric + hex + unknown refs
+    assert ex("&#64;&#x40; &unknown; &amp;amp;") == "@@ &unknown; &amp;"
+    # whitespace collapse across block boundaries
+    assert ex("<p>a</p>\n\t <div> b\n c</div>") == "a b c"
+    # unterminated constructs: nothing visible past them, never a hang
+    assert ex("a<!-- no close") == "a"
+    assert ex("a<script>no close") == "a"
+    assert ex("a<b attr='unterminated") == "a"
+
+
+_WORD = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    words=st.lists(_WORD, min_size=0, max_size=12),
+    tags=st.lists(st.sampled_from(["p", "div", "span", "b", "h1"]),
+                  min_size=0, max_size=6),
+    script_body=_WORD,
+    comment_body=_WORD,
+    seed=st.integers(0, 9),
+)
+def test_property_matches_stdlib_parser(
+    words, tags, script_body, comment_body, seed
+):
+    """Well-formed HTML assembled from random words/structure: our
+    linear scanner and stdlib html.parser must extract identical
+    visible text."""
+    parts = [f"<!-- {comment_body} -->", f"<script>var x = '{script_body}';</script>"]
+    for i, w in enumerate(words):
+        if tags and seed != 0:
+            t = tags[i % len(tags)]
+            parts.append(f"<{t} id=\"a{i}\" title='q>{i}'>{w}</{t}>")
+        else:
+            parts.append(w)
+    html = "<html><body>" + "\n".join(parts) + "</body></html>"
+    assert H.extract_visible_text(html) == ref_extract(html)
+
+
+# ---------------------------------------------------------------------------
+# HTTP grammar + corruption
+# ---------------------------------------------------------------------------
+
+
+def test_http_parse_grammar():
+    ok = b"HTTP/1.1 200 OK\r\ncontent-type: text/html\r\nContent-Length: 2\r\n\r\nhi"
+    status, hdrs, body = H.parse_http_response(ok)
+    assert (status, body) == (200, b"hi")
+    assert hdrs["content-type"] == "text/html"  # names fold to lower
+    assert H.parse_http_response(b"") is None
+    assert H.parse_http_response(b"ICY 200 OK\r\n\r\n") is None
+    assert H.parse_http_response(b"HTTP/1.1 2x0 OK\r\n\r\n") is None
+    # content-length mismatch is structural corruption
+    bad = ok.replace(b"Length: 2", b"Length: 9")
+    assert H.parse_http_response(bad) is None
+    # header line without a colon
+    assert H.parse_http_response(b"HTTP/1.1 200 OK\r\nnocolon\r\n\r\n") is None
+
+
+def test_archive_corruption_yields_none_pages_skip_rules_dont():
+    good = H.synth_warc_html_gz_bytes(21)
+    assert H.extract_html_pages(b"") is None
+    assert H.extract_html_pages(good[:-4]) is None  # truncated member
+    flipped = bytearray(good)
+    flipped[len(flipped) // 2] ^= 0xFF
+    assert H.extract_html_pages(bytes(flipped)) is None
+    # a response whose HTTP layer is corrupt poisons the archive ...
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import warc as W
+
+    bad_http = W.build_warc_record(
+        [("WARC-Type", "response")], b"NOT-HTTP body"
+    )
+    assert H.extract_html_pages(W.gzip_member(bad_http, 0, 0)) is None
+    # ... but non-response / non-200 / non-html records merely skip
+    req = W.build_warc_record([("WARC-Type", "request")], b"GET / HTTP/1.1")
+    assert H.extract_html_pages(W.gzip_member(req, 0, 0)) == []
+    pdf = W.build_warc_record(
+        [("WARC-Type", "response")],
+        b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n%PDF",
+    )
+    assert H.extract_html_pages(W.gzip_member(pdf, 0, 0)) == []
+    gone = W.build_warc_record(
+        [("WARC-Type", "response")],
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n<p>x</p>",
+    )
+    assert H.extract_html_pages(W.gzip_member(gone, 0, 0)) == []
+
+
+def test_stage_emits_rows_in_spark(spark):
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["q_warc_html_text"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    one = {r["media_id"]: r for r in rows}
+    mid = next(iter(one))
+    r = one[mid]
+    import hashlib
+
+    # cross-check one row against the pure-Python layer
+    want = H.expected_visible_text(mid, r["r"])
+    assert r["n_chars"] == len(want)
+    assert r["text_md5"] == hashlib.md5(want.encode()).hexdigest()
