@@ -954,25 +954,27 @@ def synth_png_payloads(media_ids: DataFrame) -> DataFrame:
                 raster = (
                     (mid * 13 + np.arange(3 * w * h, dtype=np.int64)) % 256
                 ).astype(np.uint8).reshape(h, 3 * w)
-                # encode-side filtering: decoder must invert exactly
-                lines = bytearray()
-                prev = np.zeros(3 * w, dtype=np.uint8)
-                for r in range(h):
-                    f = (mid + r) % 3
-                    raw = raster[r]
-                    if f == 0:
-                        filt = raw
-                    elif f == 1:  # Sub: minus left pixel's same byte
-                        left = np.concatenate(
-                            [np.zeros(3, dtype=np.uint8), raw[:-3]]
-                        )
-                        filt = (raw.astype(np.int16) - left) % 256
-                    else:  # Up: minus the row above (raw domain)
-                        filt = (raw.astype(np.int16) - prev) % 256
-                    lines.append(f)
-                    lines.extend(filt.astype(np.uint8).tobytes())
-                    prev = raw
-                body = bytes(lines)
+                # encode-side filtering, whole-raster vectorized
+                # (uint8 subtraction wraps mod 256 natively); the
+                # decoder must invert exactly
+                left = np.zeros_like(raster)
+                left[:, 3:] = raster[:, :-3]
+                above = np.zeros_like(raster)
+                above[1:] = raster[:-1]
+                ftypes = (mid + np.arange(h)) % 3
+                filt = np.where(
+                    (ftypes == 1)[:, None],
+                    raster - left,  # Sub: minus left pixel's same byte
+                    np.where(
+                        (ftypes == 2)[:, None],
+                        raster - above,  # Up: minus the row above
+                        raster,  # None
+                    ),
+                )
+                lines = np.empty((h, 1 + 3 * w), dtype=np.uint8)
+                lines[:, 0] = ftypes
+                lines[:, 1:] = filt
+                body = lines.tobytes()
                 variant = mid % 3
                 if variant == 1:
                     # fixed-Huffman framing via the library ENCODER
@@ -1055,12 +1057,23 @@ class _Corrupt(Exception):
 _CLEN_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
 
 
-def _canon_table(lengths: list[int]) -> dict[tuple[int, int], int]:
+def _fast_table(lengths: list[int]) -> tuple[list[int], int]:
     """Canonical Huffman decode table from per-symbol code lengths
-    (RFC 1951 §3.2.2): (bit-length, MSB-first code) -> symbol. Raises
-    _Corrupt for an over-subscribed code; incomplete codes are allowed
-    at construction (deflate permits e.g. a single-distance-code tree)
-    and unassigned codes surface as decode-time _Corrupt."""
+    (RFC 1951 §3.2.2), laid out for O(1) symbol decode: a flat list of
+    ``1 << max_len`` entries indexed by the next ``max_len`` input
+    bits AS THEY SIT IN THE LSB-FIRST ACCUMULATOR (deflate packs
+    MSB-first Huffman codes into LSB-first bytes, so each code's bits
+    are reversed once here at build time instead of once per symbol at
+    decode time). Entry = ``sym << 4 | code_len``; 0 marks a bit
+    pattern no code covers. Returns (table, max_len).
+
+    Raises _Corrupt for an over-subscribed code; incomplete codes are
+    allowed at construction (deflate permits e.g. a
+    single-distance-code tree) and their unassigned patterns surface
+    as decode-time _Corrupt via the 0 entry. Build cost is
+    2^max_len * fill, amortized: the fixed-tree tables build once at
+    import, dynamic trees once per block against thousands of decoded
+    symbols."""
     max_len = max(lengths, default=0)
     if max_len == 0 or max_len > 15:
         raise _Corrupt
@@ -1075,12 +1088,30 @@ def _canon_table(lengths: list[int]) -> dict[tuple[int, int], int]:
         next_code[bits] = code
         if code + bl_count[bits] > (1 << bits):
             raise _Corrupt  # over-subscribed
-    table: dict[tuple[int, int], int] = {}
+    size = 1 << max_len
+    table = [0] * size
     for sym, ln in enumerate(lengths):
-        if ln:
-            table[(ln, next_code[ln])] = sym
-            next_code[ln] += 1
-    return table
+        if not ln:
+            continue
+        msb = next_code[ln]
+        next_code[ln] += 1
+        rev = 0
+        for _ in range(ln):
+            rev = (rev << 1) | (msb & 1)
+            msb >>= 1
+        entry = (sym << 4) | ln
+        step = 1 << ln
+        # C-speed fill: every pattern whose low ln bits equal the
+        # reversed code decodes to this symbol
+        table[rev::step] = [entry] * (size >> ln)
+    return table, max_len
+
+
+# RFC 1951 §3.2.6 fixed trees, built once: literal/length symbols
+# 0-143 -> 8 bits, 144-255 -> 9, 256-279 -> 7, 280-287 -> 8; distance
+# symbols 0-31 -> 5 bits (30/31 are reserved and rejected at use).
+_FIXED_LIT_FAST = _fast_table([8] * 144 + [9] * 112 + [7] * 24 + [8] * 8)
+_FIXED_DIST_FAST = _fast_table([5] * 32)
 
 
 def _inflate_raw(data: bytes, pos: int = 0):
@@ -1099,113 +1130,152 @@ def _inflate_raw(data: bytes, pos: int = 0):
     trailer) both wrap this core — deflate itself is decoded in one
     place.
 
-    Decode is symbol-at-a-time: the fixed tree uses the closed-form
-    7/8/9-bit range test; dynamic trees read bit-by-bit against the
-    canonical (length, code) -> symbol map. On compressible rasters a
-    block is a few hundred literals plus long matches, so the Python
-    symbol loop is shallow."""
+    Decode is symbol-at-a-time against LSB-first lookup tables
+    (``_fast_table``): refill the accumulator to the tree's max code
+    length, index once, consume the matched length — no per-bit walk.
+    A matched length of 0 (pattern of an incomplete tree) or longer
+    than the bits actually remaining is corruption."""
     out = bytearray()
+    n = len(data)
     # LSB-first bit accumulator over data[pos:]
     buf = 0
     nbits = 0
 
-    def getbits(n: int) -> int:
+    def getbits(k: int) -> int:
         nonlocal buf, nbits, pos
-        while nbits < n:
-            if pos >= len(data):
+        while nbits < k:
+            if pos >= n:
                 raise _Corrupt
             buf |= data[pos] << nbits
             pos += 1
             nbits += 8
-        v = buf & ((1 << n) - 1)
-        buf >>= n
-        nbits -= n
+        v = buf & ((1 << k) - 1)
+        buf >>= k
+        nbits -= k
         return v
 
-    def code_msb(width: int, start: int = 0) -> int:
-        c = start
-        for _ in range(width):
-            c = (c << 1) | getbits(1)
-        return c
-
-    def fixed_lit_len() -> int:
-        c = code_msb(7)
-        if c <= 0x17:
-            return 256 + c
-        c = (c << 1) | getbits(1)  # 8 bits
-        if 0x30 <= c <= 0xBF:
-            return c - 0x30
-        if 0xC0 <= c <= 0xC7:
-            return 280 + (c - 0xC0)
-        c = (c << 1) | getbits(1)  # 9 bits
-        if 0x190 <= c <= 0x1FF:
-            return 144 + (c - 0x190)
-        raise _Corrupt
-
-    def fixed_dist() -> int:
-        return code_msb(5)
-
-    def table_reader(table: dict[tuple[int, int], int]):
-        def read() -> int:
-            c = 0
-            for ln in range(1, 16):
-                c = (c << 1) | getbits(1)
-                sym = table.get((ln, c))
-                if sym is not None:
-                    return sym
+    def read_sym(tbl: list[int], mlen: int) -> int:
+        nonlocal buf, nbits, pos
+        while nbits < mlen and pos < n:
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        entry = tbl[buf & ((1 << mlen) - 1)]
+        ln = entry & 15
+        if ln == 0 or ln > nbits:
             raise _Corrupt
+        buf >>= ln
+        nbits -= ln
+        return entry >> 4
 
-        return read
-
-    def huffman_block(read_lit, read_dist) -> None:
-        nonlocal out
-        while True:
-            sym = read_lit()
-            if sym == 256:
-                return
-            if sym < 256:
-                out.append(sym)
-                continue
-            if sym > 285:
-                raise _Corrupt
-            li = sym - 257
-            length = _LEN_BASE[li] + (
-                getbits(_LEN_EXTRA[li]) if _LEN_EXTRA[li] else 0
-            )
-            dc = read_dist()
-            if dc > 29:
-                raise _Corrupt
-            dist = _DIST_BASE[dc] + (
-                getbits(_DIST_EXTRA[dc]) if _DIST_EXTRA[dc] else 0
-            )
-            # RFC 1951 §2: the LZ77 window is 32 KB. Distances beyond
-            # it are in fact unrepresentable — code 29 + 13 extra bits
-            # tops out at exactly 32768 and the reserved codes 30/31
-            # are rejected above — so this cap is defense-in-depth
-            # documentation of the window bound (r10 advice: stay as
-            # strict as the library), not a reachable branch.
-            if dist > len(out) or dist > 32768:
-                raise _Corrupt
-            start = len(out) - dist
-            if dist >= length:
-                out += out[start : start + length]
-            else:  # overlapping copy: byte-at-a-time semantics
-                for i in range(length):
-                    out.append(out[start + i])
+    def huffman_block(lit, dist) -> None:
+        # The per-symbol hot loop. Bit-accumulator state is copied
+        # into plain locals (cell-variable reads cost ~2x a local) and
+        # written back on every exit path via the finally block, so
+        # getbits/read_sym callers and the outer block loop always see
+        # the true position — including when _Corrupt propagates.
+        nonlocal out, buf, nbits, pos
+        b, nb, p = buf, nbits, pos
+        lit_tbl, lit_mlen = lit
+        lit_mask = (1 << lit_mlen) - 1
+        if dist is not None:
+            dist_tbl, dist_mlen = dist
+            dist_mask = (1 << dist_mlen) - 1
+        append = out.append
+        try:
+            while True:
+                while nb < lit_mlen and p < n:
+                    b |= data[p] << nb
+                    p += 1
+                    nb += 8
+                entry = lit_tbl[b & lit_mask]
+                ln = entry & 15
+                if ln == 0 or ln > nb:
+                    raise _Corrupt
+                b >>= ln
+                nb -= ln
+                sym = entry >> 4
+                if sym < 256:
+                    append(sym)
+                    continue
+                if sym == 256:
+                    return
+                if sym > 285:
+                    raise _Corrupt
+                li = sym - 257
+                eb = _LEN_EXTRA[li]
+                if eb:
+                    while nb < eb and p < n:
+                        b |= data[p] << nb
+                        p += 1
+                        nb += 8
+                    if nb < eb:
+                        raise _Corrupt
+                    length = _LEN_BASE[li] + (b & ((1 << eb) - 1))
+                    b >>= eb
+                    nb -= eb
+                else:
+                    length = _LEN_BASE[li]
+                if dist is None:
+                    raise _Corrupt  # literal-only block emitted a match
+                while nb < dist_mlen and p < n:
+                    b |= data[p] << nb
+                    p += 1
+                    nb += 8
+                entry = dist_tbl[b & dist_mask]
+                ln = entry & 15
+                if ln == 0 or ln > nb:
+                    raise _Corrupt
+                b >>= ln
+                nb -= ln
+                dc = entry >> 4
+                if dc > 29:
+                    raise _Corrupt
+                eb = _DIST_EXTRA[dc]
+                if eb:
+                    while nb < eb and p < n:
+                        b |= data[p] << nb
+                        p += 1
+                        nb += 8
+                    if nb < eb:
+                        raise _Corrupt
+                    dist_ = _DIST_BASE[dc] + (b & ((1 << eb) - 1))
+                    b >>= eb
+                    nb -= eb
+                else:
+                    dist_ = _DIST_BASE[dc]
+                # RFC 1951 §2: the LZ77 window is 32 KB. Distances
+                # beyond it are in fact unrepresentable — code 29 + 13
+                # extra bits tops out at exactly 32768 and the
+                # reserved codes 30/31 are rejected above — so this
+                # cap is defense-in-depth documentation of the window
+                # bound (r10 advice: stay as strict as the library),
+                # not a reachable branch.
+                if dist_ > len(out) or dist_ > 32768:
+                    raise _Corrupt
+                start = len(out) - dist_
+                if dist_ >= length:
+                    out += out[start : start + length]
+                else:  # overlapping copy: byte-at-a-time semantics
+                    for i in range(length):
+                        append(out[start + i])
+        finally:
+            buf, nbits, pos = b, nb, p
 
     def dynamic_tables():
         """Parse a BTYPE=2 header (RFC 1951 §3.2.7) into lit/len and
-        distance decode tables."""
+        distance decode tables ((table, max_len) pairs; None distance
+        marks a literal-only block)."""
         hlit = getbits(5) + 257
         hdist = getbits(5) + 1
         hclen = getbits(4) + 4
         cl_lengths = [0] * 19
         for i in range(hclen):
             cl_lengths[_CLEN_ORDER[i]] = getbits(3)
-        read_cl = table_reader(_canon_table(cl_lengths))
+        cl_tbl, cl_mlen = _fast_table(cl_lengths)
         lengths: list[int] = []
         while len(lengths) < hlit + hdist:
-            sym = read_cl()
+            sym = read_sym(cl_tbl, cl_mlen)
             if sym < 16:
                 lengths.append(sym)
             elif sym == 16:
@@ -1218,17 +1288,12 @@ def _inflate_raw(data: bytes, pos: int = 0):
                 lengths.extend([0] * (11 + getbits(7)))
         if len(lengths) != hlit + hdist:
             raise _Corrupt  # run-length spill across the boundary
-        lit_table = _canon_table(lengths[:hlit])
+        lit = _fast_table(lengths[:hlit])
         dist_lengths = lengths[hlit:]
         if max(dist_lengths, default=0) == 0:
             # literal-only block: any distance code is corruption
-            def no_dist() -> int:
-                raise _Corrupt
-
-            return table_reader(lit_table), no_dist
-        return table_reader(lit_table), table_reader(
-            _canon_table(dist_lengths)
-        )
+            return lit, None
+        return lit, _fast_table(dist_lengths)
 
     try:
         while True:
@@ -1255,10 +1320,10 @@ def _inflate_raw(data: bytes, pos: int = 0):
                 out += data[pos : pos + rest]
                 pos += rest
             elif btype == 1:
-                huffman_block(fixed_lit_len, fixed_dist)
+                huffman_block(_FIXED_LIT_FAST, _FIXED_DIST_FAST)
             elif btype == 2:
-                read_lit, read_dist = dynamic_tables()
-                huffman_block(read_lit, read_dist)
+                lit, dist = dynamic_tables()
+                huffman_block(lit, dist)
             else:
                 raise _Corrupt
             if final:
@@ -1343,36 +1408,47 @@ def decode_png_pixels(payload: bytes):
     if body is None or len(body) != h * (1 + 3 * w):
         return None
     bpp, stride = 3, 3 * w
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    cur_rows = rows[:, 1:]
     raster = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
-        line = body[r * (1 + stride) : (r + 1) * (1 + stride)]
-        f, cur = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
+        f = ftypes[r]
+        cur = cur_rows[r]
         if f == 0:
-            raw = cur
-        elif f == 2:  # Up: vectorized over the whole scanline
-            raw = (cur + prev) % 256
-        elif f == 1:  # Sub: per-channel prefix sum, vectorized
-            raw = (
-                cur.reshape(-1, bpp).astype(np.int64).cumsum(axis=0) % 256
-            ).astype(np.int32).reshape(-1)
+            raster[r] = cur
+        elif f == 2:  # Up: uint8 add wraps mod 256 natively
+            np.add(cur, prev, out=raster[r])
+        elif f == 1:  # Sub: per-channel prefix sum (cumsum promotes
+            # uint8 to int64; the uint8 cast wraps mod 256)
+            raster[r] = (
+                cur.reshape(-1, bpp).cumsum(axis=0).astype(np.uint8)
+            ).reshape(-1)
         elif f in (3, 4):  # Average / Paeth: inherently left-recursive
-            raw = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = raw[x - bpp] if x >= bpp else 0  # left (reconstructed)
-                bb = prev[x]  # above
-                if f == 3:
-                    pred = (a + bb) // 2
-                else:
-                    c = prev[x - bpp] if x >= bpp else 0  # upper-left
-                    p = a + bb - c
-                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
-                raw[x] = (cur[x] + pred) % 256
+            # — plain-int lists beat numpy scalar indexing ~10x here
+            cur_l = cur.tolist()
+            prev_l = prev.tolist()
+            raw = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = raw[x - bpp] if x >= bpp else 0  # reconstructed left
+                    raw[x] = (cur_l[x] + ((a + prev_l[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = raw[x - bpp] if x >= bpp else 0
+                    bb = prev_l[x]
+                    c = prev_l[x - bpp] if x >= bpp else 0
+                    # |p-a|,|p-b|,|p-c| for p=a+b-c reduce to:
+                    pa, pb, pc = abs(bb - c), abs(a - c), abs(a + bb - 2 * c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                    )
+                    raw[x] = (cur_l[x] + pred) & 0xFF
+            raster[r] = raw
         else:
             return None
-        raster[r] = raw.astype(np.uint8)
-        prev = raw
+        prev = raster[r]
     return raster.reshape(h, w, 3)
 
 

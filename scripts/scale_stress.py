@@ -92,6 +92,7 @@ STRESS_QUERIES = {
         "q_jpeg_color_stats",
         "q_jpeg_progressive_stats",
         "q_warc_extract",
+        "q_warc_html_text",
     ],
 }
 
