@@ -67,13 +67,65 @@ def html_token(media_id: int, r: int, k: int) -> str:
     return f"<tok{v}>" if k % 5 == 0 else f"tok{v}"
 
 
+def html_link_count(media_id: int, r: int) -> int:
+    """Formula links in the page's <ul> block (the fixed 'link {id}'
+    anchor is separate and always present)."""
+    return (media_id + r) % 4 + 1
+
+
+def html_page_host(media_id: int, r: int) -> str:
+    return f"http://site{(media_id * 7 + r) % 1000}.example"
+
+
+def html_page_url(media_id: int, r: int) -> str:
+    return f"{html_page_host(media_id, r)}/page/{media_id}/{r}"
+
+
+def html_link_href(media_id: int, r: int, k: int) -> str:
+    """The raw href AS WRITTEN in the page (entities included),
+    rotating through the reference classes RFC 3986 5.2 resolves
+    differently: absolute, root-relative, document-relative,
+    parent-relative with a query whose & arrives entity-encoded."""
+    v = (media_id * 11 + r * 7 + k * 5) % 1000
+    return (
+        f"http://ext{v}.example/d/{v}",
+        f"/p/{v}",
+        f"d/{v}",
+        f"../x?a={v}&amp;b=2",
+    )[k % 4]
+
+
+def expected_resolved_links(media_id: int, r: int) -> list[str]:
+    """Document-order absolute link targets of the page (mirrored by
+    the q_warc_links oracle SQL)."""
+    host = html_page_host(media_id, r)
+    links = [f"{host}/u?a=1&b"]  # the fixed 'link {id}' anchor
+    for k in range(html_link_count(media_id, r)):
+        v = (media_id * 11 + r * 7 + k * 5) % 1000
+        kind = k % 4
+        if kind == 0:
+            links.append(f"http://ext{v}.example/d/{v}")
+        elif kind == 1:
+            links.append(f"{host}/p/{v}")
+        elif kind == 2:
+            # base /page/{id}/{r} -> dir /page/{id}/ -> d/{v}
+            links.append(f"{host}/page/{media_id}/d/{v}")
+        else:
+            # ../x from /page/{id}/ -> /page/x; &amp; decodes to &
+            links.append(f"{host}/page/x?a={v}&b=2")
+    return links
+
+
 def expected_visible_text(media_id: int, r: int) -> str:
     toks = " ".join(
         html_token(media_id, r, k) for k in range(html_token_count(media_id))
     )
+    anchors = " ".join(
+        f"a{k}" for k in range(html_link_count(media_id, r))
+    )
     return (
         f"Doc {media_id} {r} Doc & {media_id} {toks} "
-        f'link {media_id} @end "q"'
+        f'link {media_id} {anchors} @end "q"'
     )
 
 
@@ -107,6 +159,13 @@ def build_page_html(media_id: int, r: int) -> str:
         f"<H1>Doc &amp; {media_id}</H1>\n"
         f"<p id=\"c{r}\">{toks}</p>\n"
         f"<a href=\"/u?a=1&amp;b\" title=\"t>u\">link {media_id}</a>\n"
+        "<ul>\n"
+        + "".join(
+            f'<li><a class="l{k}" href="{html_link_href(media_id, r, k)}">'
+            f"a{k}</a></li>\n"
+            for k in range(html_link_count(media_id, r))
+        )
+        + "</ul>\n"
         "<p>&#64;end &quot;q&quot;</p>\n"
         "</body></html>\n"
     )
@@ -326,20 +385,217 @@ def extract_visible_text(html: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# link extraction (the web-graph stage): attribute parsing + RFC 3986
+# relative resolution
+# ---------------------------------------------------------------------------
+
+_SCHEME_RE_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789+-."
+
+
+def _has_scheme(ref: str) -> bool:
+    colon = ref.find(":")
+    if colon <= 0:
+        return False
+    head = ref[:colon].lower()
+    return head[0].isalpha() and all(c in _SCHEME_RE_CHARS for c in head)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 5.2.4."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    # a trailing '.' / '..' segment keeps the directory slash
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    return "/".join(out)
+
+
+def _split_url(url: str):
+    """(scheme, authority | None, path, query) — fragment already
+    stripped, userinfo/ports carried inside authority verbatim; None
+    authority marks an opaque/path-only reference (``mailto:x``,
+    ``x:y/z``), which must round-trip without gaining ``//``."""
+    scheme, rest = url.split(":", 1)
+    authority: str | None = None
+    path, query = "", ""
+    if rest.startswith("//"):
+        rest = rest[2:]
+        cut = len(rest)
+        for ch in ("/", "?"):
+            p = rest.find(ch)
+            if p >= 0:
+                cut = min(cut, p)
+        authority, rest = rest[:cut], rest[cut:]
+    if "?" in rest:
+        path, query = rest.split("?", 1)
+    else:
+        path = rest
+    return scheme.lower(), authority, path, query
+
+
+def _join_url(scheme: str, authority: str | None, path: str, query: str) -> str:
+    out = f"{scheme}:{path}" if authority is None else f"{scheme}://{authority}{path}"
+    if query:
+        out += f"?{query}"
+    return out
+
+
+def resolve_url(base: str, ref: str):
+    """RFC 3986 5.2 reference resolution (strict, no fragment in the
+    output — WET link extraction targets documents, not anchors).
+    Returns the absolute target, or None for refs that aren't
+    document links (empty / fragment-only). Cross-validated against
+    stdlib urllib.parse.urljoin in tests."""
+    ref = ref.split("#", 1)[0]
+    if not ref:
+        return None
+    if _has_scheme(ref):
+        s, a, p, q = _split_url(ref)
+        # dot-segment removal applies to hierarchical URLs only —
+        # an opaque ref (mailto:x, x:y/../z) round-trips verbatim
+        return _join_url(s, a, _remove_dot_segments(p) if a is not None else p, q)
+    b_scheme, b_auth, b_path, b_query = _split_url(base)
+    if ref.startswith("//"):
+        s, a, p, q = _split_url(f"{b_scheme}:{ref}")
+        return _join_url(b_scheme, a, _remove_dot_segments(p), q)
+    if ref.startswith("?"):
+        return _join_url(b_scheme, b_auth, b_path, ref[1:])
+    if "?" in ref:
+        path, query = ref.split("?", 1)
+    else:
+        path, query = ref, ""
+    if path.startswith("/"):
+        merged = path
+    else:
+        # merge with the base directory (RFC 3986 5.3 "merge")
+        base_dir = b_path[: b_path.rfind("/") + 1] if "/" in b_path else "/"
+        merged = (base_dir or "/") + path
+    return _join_url(b_scheme, b_auth, _remove_dot_segments(merged), query)
+
+
+def _parse_attrs(tag_body: str) -> dict[str, str]:
+    """Attribute name -> RAW value (entities not yet decoded) of one
+    start tag's interior (name and attrs, no angle brackets). Handles
+    double-quoted, single-quoted and unquoted values and bare boolean
+    attributes; names fold to lowercase."""
+    attrs: dict[str, str] = {}
+    i, n = 0, len(tag_body)
+    # skip the element name
+    while i < n and not tag_body[i].isspace():
+        i += 1
+    while i < n:
+        while i < n and tag_body[i].isspace():
+            i += 1
+        if i >= n or tag_body[i] == "/":
+            break
+        j = i
+        while j < n and tag_body[j] not in "=/ \t\r\n":
+            j += 1
+        name = tag_body[i:j].lower()
+        i = j
+        while i < n and tag_body[i].isspace():
+            i += 1
+        if i < n and tag_body[i] == "=":
+            i += 1
+            while i < n and tag_body[i].isspace():
+                i += 1
+            if i < n and tag_body[i] in "\"'":
+                quote = tag_body[i]
+                end = tag_body.find(quote, i + 1)
+                if end < 0:
+                    attrs[name] = tag_body[i + 1 :]
+                    break
+                attrs[name] = tag_body[i + 1 : end]
+                i = end + 1
+            else:
+                j = i
+                while j < n and not tag_body[j].isspace():
+                    j += 1
+                attrs[name] = tag_body[i:j]
+                i = j
+        elif name:
+            attrs[name] = ""
+    return attrs
+
+
+_NON_DOCUMENT_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+
+
+def extract_links(html: str, base_url: str) -> list[str]:
+    """Absolute link targets of every <a href=...> in document order:
+    the web-graph stage (feeds URL-level dedup and link-rank). The
+    href value is entity-decoded (attribute values carry &amp; in
+    valid HTML) before RFC 3986 resolution against the page URL;
+    fragment-only, empty and non-document-scheme (javascript:,
+    mailto:, ...) refs are skipped. Comments and script/style bodies
+    are skipped with the same rules as extract_visible_text, so a
+    commented-out <a> is never an edge."""
+    links: list[str] = []
+    i, n = 0, len(html)
+    lower = html.lower()
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            break
+        if html.startswith("<!--", lt):
+            close = html.find("-->", lt + 4)
+            i = n if close < 0 else close + 3
+            continue
+        end = _tag_end(html, lt)
+        if end < 0:
+            break
+        j = lt + 1
+        closing = j < n and html[j] == "/"
+        if closing:
+            j += 1
+        k = j
+        while k < n and (html[k].isalnum() or html[k] in "-_"):
+            k += 1
+        name = lower[j:k]
+        if name in _RAWTEXT_SKIP and not closing:
+            close = lower.find("</" + name, end)
+            if close < 0:
+                break
+            end2 = _tag_end(html, close)
+            i = n if end2 < 0 else end2
+            continue
+        if name == "a" and not closing:
+            attrs = _parse_attrs(html[lt + 1 : end - 1])
+            href = attrs.get("href")
+            if href is not None:
+                href = _decode_charrefs(href).strip()
+                if href and not href.lower().startswith(
+                    _NON_DOCUMENT_SCHEMES
+                ):
+                    resolved = resolve_url(base_url, href)
+                    if resolved is not None:
+                        links.append(resolved)
+        i = end
+    return links
+
+
+# ---------------------------------------------------------------------------
 # archive walk
 # ---------------------------------------------------------------------------
 
 
-def extract_html_pages(payload: bytes):
-    """All ``200 text/html`` pages of one archive as
-    [(record_index, visible_text)], or None if any gzip member, WARC
-    record or HTTP message is structurally corrupt. Non-response
-    records, non-200 statuses and non-HTML content types are skipped,
-    not errors — that's the WET keep-rule, not corruption."""
+def _walk_html_pages(payload: bytes):
+    """The shared WET keep-rule walk: all ``200 text/html`` pages of
+    one archive as [(record_index, page_url, html)], or None if any
+    gzip member, WARC record or HTTP message is structurally corrupt.
+    Non-response records, non-200 statuses and non-HTML content types
+    are skipped, not errors — that's the keep-rule, not corruption."""
     members = gunzip_members(payload or b"")
     if members is None:
         return None
-    pages: list[tuple[int, str]] = []
+    pages: list[tuple[int, str, str]] = []
     for r, member in enumerate(members):
         rec = parse_warc_record(member)
         if rec is None:
@@ -360,8 +616,27 @@ def extract_html_pages(payload: bytes):
             doc = payload_bytes.decode("utf-8")
         except UnicodeDecodeError:
             return None
-        pages.append((r, extract_visible_text(doc)))
+        pages.append((r, headers.get("WARC-Target-URI", ""), doc))
     return pages
+
+
+def extract_html_pages(payload: bytes):
+    """[(record_index, visible_text)] per kept page, or None on
+    structural corruption (see _walk_html_pages)."""
+    pages = _walk_html_pages(payload)
+    if pages is None:
+        return None
+    return [(r, extract_visible_text(doc)) for r, _, doc in pages]
+
+
+def extract_page_links(payload: bytes):
+    """[(record_index, [absolute link targets])] per kept page, or
+    None on structural corruption. Links resolve against the record's
+    WARC-Target-URI (the crawl's statement of where the page lives)."""
+    pages = _walk_html_pages(payload)
+    if pages is None:
+        return None
+    return [(r, extract_links(doc, url)) for r, url, doc in pages]
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +646,7 @@ def extract_html_pages(payload: bytes):
 HTML_TEXT_SCHEMA = (
     "media_id long, r int, n_chars long, n_tokens long, text_md5 string"
 )
+LINKS_SCHEMA = "media_id long, r int, n_links long, links_md5 string"
 
 
 def synth_warc_html_payloads(media_ids: DataFrame) -> DataFrame:
@@ -409,3 +685,33 @@ def warc_html_text_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(_extract, HTML_TEXT_SCHEMA)
+
+
+def warc_links_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched web-graph edge extraction: one output row per
+    kept page — (media_id, record index, outlink count, md5 of the
+    newline-joined absolute targets in document order). Corrupt
+    archives contribute no rows; the oracle enumerates the keep-rule
+    pages and reconstructs every resolved URL from the id formula."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "r", "n_links", "links_md5"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pages = extract_page_links(bytes(payload or b""))
+                if pages is None:
+                    continue
+                for r, links in pages:
+                    joined = "\n".join(links)
+                    rows.append(
+                        (
+                            int(mid),
+                            int(r),
+                            len(links),
+                            hashlib.md5(joined.encode("utf-8")).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_extract, LINKS_SCHEMA)

@@ -2034,18 +2034,31 @@ body AS (
                     ' ' ORDER BY k) AS toktext
   FROM toks GROUP BY 1, 2
 ),
+anch AS (
+  SELECT media_id, r,
+         string_agg('a' || CAST(u.k AS VARCHAR), ' ' ORDER BY u.k)
+           AS anchors,
+         CAST(COUNT(*) AS BIGINT) AS n_anchors
+  FROM keep, LATERAL (
+    SELECT unnest(range((media_id + r) % 4 + 1)) AS k
+  ) u
+  GROUP BY 1, 2
+),
 txt AS (
-  SELECT k.media_id, k.r, k.t,
+  SELECT k.media_id, k.r, k.t, a.n_anchors,
          'Doc ' || CAST(k.media_id AS VARCHAR) || ' '
          || CAST(k.r AS VARCHAR) || ' Doc & '
          || CAST(k.media_id AS VARCHAR) || ' ' || b.toktext
-         || ' link ' || CAST(k.media_id AS VARCHAR) || ' @end "q"'
+         || ' link ' || CAST(k.media_id AS VARCHAR) || ' '
+         || a.anchors || ' @end "q"'
            AS text
-  FROM keep k JOIN body b USING (media_id, r)
+  FROM keep k
+  JOIN body b USING (media_id, r)
+  JOIN anch a USING (media_id, r)
 )
 SELECT media_id, r,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
-       CAST(t + 10 AS BIGINT) AS n_tokens,
+       CAST(t + 10 + n_anchors AS BIGINT) AS n_tokens,
        md5(text) AS text_md5
 FROM txt
 """,
@@ -2082,6 +2095,82 @@ def q_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     payloads = HT.synth_warc_html_payloads(ids)
     return HT.warc_html_text_stats(payloads)
+
+
+@register(
+    "q_warc_links",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n FROM documents
+),
+recs AS (
+  SELECT media_id, unnest(range(n)) AS r FROM p
+),
+keep AS (
+  SELECT media_id, CAST(r AS INTEGER) AS r,
+         'http://site' || CAST((media_id * 7 + r) % 1000 AS VARCHAR)
+           || '.example' AS host
+  FROM recs
+  WHERE (media_id + r) % 3 = 0
+    AND (media_id + r) % 4 != 1
+    AND (media_id + r) % 5 != 2
+),
+l AS (
+  SELECT media_id, r, host, u.k,
+         (media_id * 11 + r * 7 + u.k * 5) % 1000 AS v
+  FROM keep, LATERAL (
+    SELECT unnest(range((media_id + r) % 4 + 1)) AS k
+  ) u
+),
+resolved AS (
+  SELECT media_id, r, host, k,
+         CASE k % 4
+           WHEN 0 THEN 'http://ext' || CAST(v AS VARCHAR)
+                       || '.example/d/' || CAST(v AS VARCHAR)
+           WHEN 1 THEN host || '/p/' || CAST(v AS VARCHAR)
+           WHEN 2 THEN host || '/page/' || CAST(media_id AS VARCHAR)
+                       || '/d/' || CAST(v AS VARCHAR)
+           ELSE host || '/page/x?a=' || CAST(v AS VARCHAR) || '&b=2'
+         END AS url
+  FROM l
+)
+SELECT media_id, r,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_links,
+       md5(ANY_VALUE(host) || '/u?a=1&b' || chr(10)
+           || string_agg(url, chr(10) ORDER BY k)) AS links_md5
+FROM resolved
+GROUP BY 1, 2
+""",
+)
+def q_warc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 — per-page LINK extraction + RFC 3986 resolution over the
+    E37 crawl slices: the web-graph stage that follows WET extraction
+    in every web-corpus pipeline (outlink edges feed URL-level dedup,
+    crawl frontier scoring and link-rank — q_link_rank consumes edges
+    of exactly this shape). The same archive walk and keep-rule as
+    q_warc_html_text, then per kept page: every <a href=...> start
+    tag's attributes are parsed (quoted/unquoted values, names folded
+    lowercase), the href value is ENTITY-DECODED (valid HTML writes &
+    as &amp; inside attribute values) and resolved against the
+    record's WARC-Target-URI with the RFC 3986 5.2 algorithm —
+    absolute refs pass through, //network-path, /root-relative,
+    document-relative and ../parent refs each take their own merge +
+    remove_dot_segments path, fragments drop, javascript:/mailto:
+    skip. Resolution is cross-validated against stdlib
+    urllib.parse.urljoin (where urljoin itself follows RFC 3986; its
+    empty-path-segment collapse is a documented stdlib deviation our
+    WHATWG-matching behavior pins in tests). The oracle reconstructs
+    every resolved URL from the id formula in SQL and re-hashes the
+    document-order newline join, so attribute parsing, entity decode,
+    each resolution class and edge ORDER must all be byte-exact.
+    100 TB posture: same as E36/E37 — Arrow map stage, no shuffle;
+    the emitted (page, links_md5) rows key the downstream edge-list
+    shuffle by target only when a graph is actually built."""
+    from ..functions import html_text as HT
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = HT.synth_warc_html_payloads(ids)
+    return HT.warc_links_stats(payloads)
 
 
 @register(

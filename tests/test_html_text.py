@@ -179,6 +179,84 @@ def test_archive_corruption_yields_none_pages_skip_rules_dont():
     assert H.extract_html_pages(W.gzip_member(gone, 0, 0)) == []
 
 
+# ---------------------------------------------------------------------------
+# link extraction (E38)
+# ---------------------------------------------------------------------------
+
+
+def test_link_formula_roundtrip_and_urljoin_cross_validation():
+    from urllib.parse import urljoin
+
+    n_pages = 0
+    for mid in list(range(80)) + [4242, 999999]:
+        pages = H.extract_page_links(H.synth_warc_html_gz_bytes(mid))
+        assert pages is not None, mid
+        for r, links in pages:
+            assert links == H.expected_resolved_links(mid, r), (mid, r)
+            # every synth resolution agrees with stdlib urljoin
+            base = H.html_page_url(mid, r)
+            raw = ["/u?a=1&b"] + [
+                H.html_link_href(mid, r, k).replace("&amp;", "&")
+                for k in range(H.html_link_count(mid, r))
+            ]
+            assert links == [urljoin(base, h) for h in raw], (mid, r)
+            n_pages += 1
+    assert n_pages > 20
+
+
+def test_rfc3986_resolution_matches_urljoin():
+    from urllib.parse import urljoin
+
+    base = "http://h.example/a/b/c?q=1"
+    for ref in [
+        "g", "./g", "../g", "../../g", "../../../g", "/g",
+        "//o.example/x", "?y=2", "g?y=2#s", "g/", ".", "..",
+        "g/../h", "g/./h", "HTTP://UP.example/P", "http://x.example",
+        "x:y/z", "x:y/../z", "mailto:a@b", "/a/./b/../c",
+    ]:
+        assert H.resolve_url(base, ref) == (
+            urljoin(base, ref).split("#", 1)[0] or None
+        ), ref
+    # empty / fragment-only refs are not document links
+    assert H.resolve_url(base, "") is None
+    assert H.resolve_url(base, "#top") is None
+    # documented stdlib DEVIATION: urljoin collapses empty path
+    # segments ('a//b' -> 'a/b'); RFC 3986 5.2.4 and the WHATWG URL
+    # standard (what browsers resolve) both keep them — we pin the
+    # standard behavior, not the stdlib quirk
+    assert H.resolve_url(base, "a//b") == "http://h.example/a/b/a//b"
+
+
+def test_link_extraction_rules():
+    base = "http://h.example/dir/page"
+    ex = lambda html: H.extract_links(html, base)  # noqa: E731
+    # attribute forms: double/single/unquoted; entity decode in values
+    assert ex('<a href="x">1</a><a href=\'y\'>2</a><a href=z>3</a>') == [
+        "http://h.example/dir/x",
+        "http://h.example/dir/y",
+        "http://h.example/dir/z",
+    ]
+    assert ex('<a href="u?a=1&amp;b=2">e</a>') == [
+        "http://h.example/dir/u?a=1&b=2"
+    ]
+    # skipped refs: fragment-only, javascript:, mailto:, empty
+    assert ex('<a href="#s">f</a><a href="javascript:x()">j</a>'
+              '<a href="mailto:a@b">m</a><a href="">e</a>') == []
+    # commented-out and script-embedded anchors are never edges
+    assert ex('<!-- <a href="no">c</a> -->'
+              '<script>var s = \'<a href="no">s</a>\';</script>'
+              '<a href="yes">y</a>') == ["http://h.example/dir/yes"]
+    # <a> without href; closing tags; case-insensitive tag/attr names
+    assert ex('<a name="anchor">n</a><A HREF="up">u</A>') == [
+        "http://h.example/dir/up"
+    ]
+    # document order is the contract (the md5 hashes the join order)
+    assert ex('<a href="/b">1</a><a href="/a">2</a>') == [
+        "http://h.example/b",
+        "http://h.example/a",
+    ]
+
+
 def test_stage_emits_rows_in_spark(spark):
     from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
 
