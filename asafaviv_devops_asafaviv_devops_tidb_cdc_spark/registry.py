@@ -44,87 +44,76 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-11 window (50 slots), composed mechanically per
-    # tests/test_freshness.py:
-    # (a) 3 never-checked new registrations (cap 3, fully used):
-    #     q_jpeg_color_stats — multi-component YCbCr baseline-JPEG
-    #     entropy decode (E5g color, r10 verdict item 2);
-    #     q_jpeg_progressive_stats — progressive (SOF2) multi-scan
-    #     entropy decode (E5i, the encoding most real-world web
-    #     JPEGs use; narrows the codec boundary to arithmetic/
-    #     hierarchical/12-bit JPEG + MP3/video); and
-    #     q_warc_extract — WARC/Common-Crawl .warc.gz ingest (E36:
-    #     per-record gzip members split + inflated in-engine over
-    #     the shared _inflate_raw core, ISO 28500 record walk — the
-    #     first stage of a real 100 TB web-corpus pipeline);
-    # (b) 4 changed-path entries (scripts/freshness.py vs the
-    #     verdict-round markers): q_jpeg_coeff_stats +
-    #     q_png_pixel_stats (shared decoder/inflate edits: color
-    #     routing, RFC 1951/1950 strictness — r10 advice) and
-    #     q_basket_pairs + q_dedup_yield_by_source (broadcast-hint
-    #     audit, r10 verdict item 4: hints dropped on frames whose
-    #     bound grows with scale factor);
-    # (c) rotation = the ENTIRE r5-latest cohort (13) + the 30
-    #     oldest r6-latest entries in registration order — this
-    #     window retires the r5 cohort completely; the 13 r6
-    #     entries left outside tie the newest r6 inside, which the
-    #     oldest-first invariant allows.
-    # --- (a) new (3) + (b) changed-path (4) ---
-    "q_jpeg_color_stats",
-    "q_jpeg_progressive_stats",
-    "q_warc_extract",
-    "q_jpeg_coeff_stats",
-    "q_png_pixel_stats",
-    "q_basket_pairs",
-    "q_dedup_yield_by_source",
-    # --- (c) rotation: the r5-latest cohort (13) + the 30 oldest
-    # r6-latest entries (the second and third new registrations
-    # displaced q_pq_topk and q_pipeline_e2e, r6 ties with the r6
-    # entries already outside) ---
-    "q_stream_resume",
-    "q_dq_checks",
-    "q_event_drift",
-    "q_events_format_parity",
-    "q_snapshot_roundtrip",
-    "q_retention_sweep",
-    "q_bucketed_join",
-    "q_weighted_mix",
-    "q_delta_join",
+    # Round-12 window (50 slots), composed mechanically per
+    # tests/test_freshness.py (scripts/freshness.py is the source of
+    # truth; this list just pins its output):
+    # (a) 2 never-checked new registrations: q_warc_html_text (E37)
+    #     and q_warc_links (E38 link extraction + RFC 3986
+    #     resolution, urljoin-cross-validated) —
+    #     WARC -> visible-text extraction (the CC-WET stage; HTTP
+    #     parse + quote-aware tag strip + entity decode, oracle
+    #     re-hashes the SQL-reconstructed text);
+    # (b) 28 changed-path entries: the r12 broadcast-hint audit
+    #     (16 TPC-H-shape queries de-hinted + q_neardup_source_matrix
+    #     + the six bounded-broadcast pragma sites), the shared
+    #     inflate rewrite (fast-table Huffman decode: q_png_pixel_stats
+    #     + q_warc_extract), the T.81 AC-SSSS bound
+    #     (q_jpeg_coeff_stats/q_jpeg_color_stats), and the
+    #     WARC-Concurrent-To repeatable-field fix (q_warc_extract);
+    # (c) rotation = the ENTIRE remaining r6-latest cohort (10, which
+    #     retires r6 completely) + the 11 oldest r7-latest entries in
+    #     registration order; the r7 entries left outside tie the
+    #     newest r7 inside, which the oldest-first invariant allows.
+    "q_warc_html_text",
+    "q_warc_links",
+    "q_ann_filtered",
+    "q_big_orders",
     "q_curriculum",
-    "q_containment",
-    "q_mix_epochs",
-    "q_link_rank",
-    # --- oldest r6-latest entries (30 of 43) ---
-    "q_old_image",
-    "q_typed_cast",
-    "q_filter_cmp",
-    "q_arith_update",
+    "q_disjunctive_revenue",
+    "q_doc_search",
+    "q_excess_suppliers",
+    "q_heavy_hitters",
     "q_join_fk",
     "q_join_star",
-    "q_cdc_replay",
-    "q_union_variants",
-    "q_except_deleted",
-    "q_snapshot_diff",
-    "q_ops_pivot",
-    "q_session_windows",
-    "q_pricing_summary",
-    "q_ship_priority",
+    "q_jpeg_coeff_stats",
+    "q_jpeg_color_stats",
+    "q_knn_classify",
     "q_local_supplier_volume",
-    "q_returned_items",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_nation_profit",
+    "q_nation_volume",
+    "q_neardup_source_matrix",
+    "q_png_pixel_stats",
+    "q_pq_encode",
+    "q_pq_topk",
     "q_promo_share",
+    "q_returned_items",
+    "q_ship_priority",
+    "q_small_qty_revenue",
+    "q_supplier_parts",
     "q_top_supplier",
-    "q_dedup_exact",
-    "q_simhash",
-    "q_simhash_neardup",
-    "q_ngram_jaccard",
-    "q_neardup_clusters",
-    "q_cosine_topk",
-    "q_ivf_topk",
-    "q_text_stats",
-    "q_token_count",
-    "q_lang_id",
-    "q_quality_score",
-    "q_repetition_ratio",
+    "q_warc_extract",
+    "q_pipeline_e2e",
+    "q_alert_sustained",
+    "q_log_ingest",
+    "q_log_error_rate",
+    "q_running_total",
+    "q_shard_manifest",
+    "q_sample_fixed",
+    "q_sample_per_group",
+    "q_text_embedding_stats",
+    "q_source_gini",
+    "q_sha2",
+    "q_lsh_buckets",
+    "q_fingerprint",
+    "q_scrub_text",
+    "q_props_json",
+    "q_multimodal_meta",
+    "q_media_chunks",
+    "q_split_assign",
+    "q_stratified_sample",
+    "q_unigram_surprise",
 ]
 
 
