@@ -28,6 +28,7 @@ one-record-per-gzip-member layout splits at member boundaries.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -60,6 +61,31 @@ def html_token_count(media_id: int) -> int:
     return media_id % 40 + 10
 
 
+def html_charset_mode(media_id: int, r: int) -> int:
+    """0: UTF-8 declared only by <meta charset> (header has no
+    charset param — the sniffing path); 2: windows-1252 with curly
+    quotes; 4: iso-8859-1 with an 0xE9 byte; else: UTF-8 declared in
+    the Content-Type header. Real crawls mix all four. (media_id//3
+    keeps the rotation independent of the (media_id + r) % 3
+    keep-rule, which would otherwise pin kept pages to modes 0/3.)"""
+    return (media_id // 3 + r) % 6
+
+
+def html_extra_token(media_id: int, r: int):
+    """The page's one non-ASCII token (None for plain-ASCII modes) —
+    present in the visible text only if the right codec decoded the
+    right bytes."""
+    mode = html_charset_mode(media_id, r)
+    v8 = (media_id + r) % 97
+    if mode == 0:
+        return f"grü{v8}"  # ü: 2 UTF-8 bytes, meta-sniffed
+    if mode == 2:
+        return f"“q{v8}”"  # curly quotes: cp1252 0x93/0x94
+    if mode == 4:
+        return f"café{v8}"  # é: latin-1 0xE9
+    return None
+
+
 def html_token(media_id: int, r: int, k: int) -> str:
     v = (media_id * 7 + r * 13 + k * 3) % 1000
     # every 5th token arrives entity-encoded in the HTML and must
@@ -85,13 +111,23 @@ def html_link_href(media_id: int, r: int, k: int) -> str:
     """The raw href AS WRITTEN in the page (entities included),
     rotating through the reference classes RFC 3986 5.2 resolves
     differently: absolute, root-relative, document-relative,
-    parent-relative with a query whose & arrives entity-encoded."""
+    parent-relative with a query whose & arrives entity-encoded.
+    Odd-v absolute links arrive MESSY — uppercase host, explicit
+    default :80 port — and the parent-relative query is written in
+    unsorted param order, so URL-level dedup (q_url_dedup) only
+    collapses them if canonicalization is real; q_warc_links'
+    document-order hashes pin the messy forms verbatim."""
     v = (media_id * 11 + r * 7 + k * 5) % 1000
+    absolute = (
+        f"http://EXT{v}.example:80/d/{v}"
+        if v % 2 == 1
+        else f"http://ext{v}.example/d/{v}"
+    )
     return (
-        f"http://ext{v}.example/d/{v}",
+        absolute,
         f"/p/{v}",
         f"d/{v}",
-        f"../x?a={v}&amp;b=2",
+        f"../x?b=2&amp;a={v}",
     )[k % 4]
 
 
@@ -104,14 +140,42 @@ def expected_resolved_links(media_id: int, r: int) -> list[str]:
         v = (media_id * 11 + r * 7 + k * 5) % 1000
         kind = k % 4
         if kind == 0:
-            links.append(f"http://ext{v}.example/d/{v}")
+            # resolution PRESERVES the messy authority (RFC 3986
+            # lowercases nothing but the scheme); canonicalization
+            # is a separate, later stage (q_url_dedup)
+            links.append(
+                f"http://EXT{v}.example:80/d/{v}"
+                if v % 2 == 1
+                else f"http://ext{v}.example/d/{v}"
+            )
         elif kind == 1:
             links.append(f"{host}/p/{v}")
         elif kind == 2:
             # base /page/{id}/{r} -> dir /page/{id}/ -> d/{v}
             links.append(f"{host}/page/{media_id}/d/{v}")
         else:
-            # ../x from /page/{id}/ -> /page/x; &amp; decodes to &
+            # ../x from /page/{id}/ -> /page/x; &amp; decodes to &;
+            # param order as written (unsorted)
+            links.append(f"{host}/page/x?b=2&a={v}")
+    return links
+
+
+def expected_canonical_links(media_id: int, r: int) -> list[str]:
+    """expected_resolved_links after canonicalization: lowercase
+    scheme+host, default port stripped, empty path -> '/', query
+    params sorted (mirrored by the q_url_dedup oracle SQL)."""
+    host = html_page_host(media_id, r)
+    links = [f"{host}/u?a=1&b"]
+    for k in range(html_link_count(media_id, r)):
+        v = (media_id * 11 + r * 7 + k * 5) % 1000
+        kind = k % 4
+        if kind == 0:
+            links.append(f"http://ext{v}.example/d/{v}")
+        elif kind == 1:
+            links.append(f"{host}/p/{v}")
+        elif kind == 2:
+            links.append(f"{host}/page/{media_id}/d/{v}")
+        else:
             links.append(f"{host}/page/x?a={v}&b=2")
     return links
 
@@ -123,9 +187,11 @@ def expected_visible_text(media_id: int, r: int) -> str:
     anchors = " ".join(
         f"a{k}" for k in range(html_link_count(media_id, r))
     )
+    extra = html_extra_token(media_id, r)
+    extra = f"{extra} " if extra else ""
     return (
         f"Doc {media_id} {r} Doc & {media_id} {toks} "
-        f'link {media_id} {anchors} @end "q"'
+        f'link {media_id} {anchors} {extra}@end "q"'
     )
 
 
@@ -149,9 +215,13 @@ def build_page_html(media_id: int, r: int) -> str:
         )
         for k in range(html_token_count(media_id))
     )
+    mode = html_charset_mode(media_id, r)
+    meta = '<meta charset="utf-8">\n' if mode == 0 else ""
+    extra = html_extra_token(media_id, r)
+    extra_p = f"<p>{extra}</p>\n" if extra else ""
     return (
         "<!DOCTYPE html>\n"
-        f"<html><head><title>Doc {media_id} {r}</title>\n"
+        f"<html><head>{meta}<title>Doc {media_id} {r}</title>\n"
         f"<style type=\"text/css\">body {{ color: #fff; }} /* s{media_id} */</style>\n"
         f"<script>if ({media_id} < 3) {{ document.write(\"<p>hidden</p>\"); }}</script>\n"
         "</head>\n<body>\n"
@@ -166,7 +236,8 @@ def build_page_html(media_id: int, r: int) -> str:
             for k in range(html_link_count(media_id, r))
         )
         + "</ul>\n"
-        "<p>&#64;end &quot;q&quot;</p>\n"
+        + extra_p
+        + "<p>&#64;end &quot;q&quot;</p>\n"
         "</body></html>\n"
     )
 
@@ -175,10 +246,26 @@ def build_http_response(media_id: int, r: int) -> bytes:
     """One HTTP/1.1 response message: formula status (404 rotates in),
     formula content type (application/pdf rotates in), header-name
     case rotating lower on odd records (header names are
-    case-insensitive per RFC 9110 and real crawls mix them)."""
+    case-insensitive per RFC 9110 and real crawls mix them), and the
+    charset declared the way real crawls declare it — a Content-Type
+    parameter (utf-8 / ISO-8859-1 / Windows-1252, parameter case and
+    quoting varying) or only a <meta charset> inside the body (the
+    sniffing path, html_charset_mode 0)."""
     if html_is_html(media_id, r):
-        body = build_page_html(media_id, r).encode("utf-8")
-        ctype = "text/html; charset=utf-8"
+        mode = html_charset_mode(media_id, r)
+        page = build_page_html(media_id, r)
+        if mode == 0:
+            body = page.encode("utf-8")
+            ctype = "text/html"  # charset only in <meta>
+        elif mode == 2:
+            body = page.encode("cp1252")
+            ctype = 'text/html; charset="Windows-1252"'
+        elif mode == 4:
+            body = page.encode("latin-1")
+            ctype = "text/html; CHARSET=ISO-8859-1"
+        else:
+            body = page.encode("utf-8")
+            ctype = "text/html; charset=utf-8"
     else:
         body = b"%PDF-1.4 " + bytes(
             (media_id + r * 13 + j * 7) % 256 for j in range(32)
@@ -265,6 +352,43 @@ def parse_http_response(data: bytes):
         if not cl.isdigit() or int(cl) != len(body):
             return None
     return status, headers, body
+
+
+# ---------------------------------------------------------------------------
+# charset resolution (real crawls are not all UTF-8)
+# ---------------------------------------------------------------------------
+
+# IANA names (and common aliases) of the codecs a 100 TB crawl
+# actually contains in volume; anything else skips the page rather
+# than guessing (the WET keep-rule, not corruption).
+_CODECS = {
+    "utf-8": "utf-8", "utf8": "utf-8", "us-ascii": "utf-8",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+}
+
+_META_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I)
+
+
+def _charset_param(ctype: str):
+    """The charset parameter of a Content-Type value, lowercased and
+    unquoted (parameter names are case-insensitive per RFC 9110), or
+    None when the header doesn't declare one."""
+    for part in ctype.split(";")[1:]:
+        if "=" in part:
+            k, v = part.split("=", 1)
+            if k.strip().lower() == "charset":
+                return v.strip().strip("\"'").lower()
+    return None
+
+
+def _sniff_meta_charset(body: bytes):
+    """HTML5-style prescan of the first 1024 bytes for a
+    ``<meta charset=...>`` declaration (the path pages take when the
+    HTTP header omits the charset). ASCII-compatible byte scan, so it
+    works before the codec is known."""
+    m = _META_CHARSET_RE.search(body[:1024])
+    return m.group(1).decode("ascii").lower() if m else None
 
 
 # ---------------------------------------------------------------------------
@@ -612,8 +736,20 @@ def _walk_html_pages(payload: bytes):
         ctype = hhdrs.get("content-type", "")
         if not ctype.lower().startswith("text/html"):
             continue
+        # charset: Content-Type parameter, else HTML5 meta prescan,
+        # else the UTF-8 default; unknown charsets skip the page
+        # (keep-rule), a decode ERROR under a declared charset is
+        # corruption
+        charset = (
+            _charset_param(ctype)
+            or _sniff_meta_charset(payload_bytes)
+            or "utf-8"
+        )
+        codec = _CODECS.get(charset)
+        if codec is None:
+            continue
         try:
-            doc = payload_bytes.decode("utf-8")
+            doc = payload_bytes.decode(codec)
         except UnicodeDecodeError:
             return None
         pages.append((r, headers.get("WARC-Target-URI", ""), doc))
@@ -685,6 +821,31 @@ def warc_html_text_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(_extract, HTML_TEXT_SCHEMA)
+
+
+EDGES_SCHEMA = "media_id long, r int, url string"
+
+
+def warc_edges(media: DataFrame) -> DataFrame:
+    """Arrow-batched edge emission: one row per (page, outlink) with
+    the RAW resolved target — canonicalization is deliberately NOT
+    done here but downstream in Spark codegen (q_url_dedup), so the
+    normalize-then-shuffle pattern a 100 TB web graph needs stays in
+    the engine, not in Python."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "r", "url"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pages = extract_page_links(bytes(payload or b""))
+                if pages is None:
+                    continue
+                for r, links in pages:
+                    rows.extend((int(mid), int(r), u) for u in links)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_extract, EDGES_SCHEMA)
 
 
 def warc_links_stats(media: DataFrame) -> DataFrame:

@@ -2044,21 +2044,33 @@ anch AS (
   ) u
   GROUP BY 1, 2
 ),
+extra AS (
+  SELECT media_id, r,
+         CASE (media_id // 3 + r) % 6
+           WHEN 0 THEN 'gr' || chr(252) || CAST((media_id + r) % 97 AS VARCHAR) || ' '
+           WHEN 2 THEN chr(8220) || 'q' || CAST((media_id + r) % 97 AS VARCHAR) || chr(8221) || ' '
+           WHEN 4 THEN 'caf' || chr(233) || CAST((media_id + r) % 97 AS VARCHAR) || ' '
+           ELSE ''
+         END AS tok
+  FROM keep
+),
 txt AS (
   SELECT k.media_id, k.r, k.t, a.n_anchors,
+         CASE WHEN e.tok = '' THEN 0 ELSE 1 END AS n_extra,
          'Doc ' || CAST(k.media_id AS VARCHAR) || ' '
          || CAST(k.r AS VARCHAR) || ' Doc & '
          || CAST(k.media_id AS VARCHAR) || ' ' || b.toktext
          || ' link ' || CAST(k.media_id AS VARCHAR) || ' '
-         || a.anchors || ' @end "q"'
+         || a.anchors || ' ' || e.tok || '@end "q"'
            AS text
   FROM keep k
   JOIN body b USING (media_id, r)
   JOIN anch a USING (media_id, r)
+  JOIN extra e USING (media_id, r)
 )
 SELECT media_id, r,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
-       CAST(t + 10 + n_anchors AS BIGINT) AS n_tokens,
+       CAST(t + 10 + n_anchors + n_extra AS BIGINT) AS n_tokens,
        md5(text) AS text_md5
 FROM txt
 """,
@@ -2071,8 +2083,14 @@ def q_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/html_text.py::synth_warc_html_gz_bytes): 1..3 records
     (one gzip member each — the splittable CC layout), response
     records carrying full HTTP/1.1 messages (status line, case-rotated
-    header names, content-length check) whose HTML bodies contain
-    every hazard a naive extractor trips on — <style> with braces,
+    header names, content-length check) whose HTML bodies rotate
+    through the charsets a real crawl contains — UTF-8 declared in
+    the Content-Type parameter (case/quoting varying), Windows-1252
+    with curly quotes, ISO-8859-1 with a bare 0xE9, and UTF-8
+    declared ONLY by <meta charset> (the HTML5 prescan/sniffing
+    path); each non-UTF-8 page carries a non-ASCII token that reaches
+    the visible text only if the right codec decoded the right bytes
+    — and contain every hazard a naive extractor trips on — <style> with braces,
     <script> with markup inside a string literal and a bare ``<``
     comparison, comments wrapping markup, entity-encoded tokens,
     a ``>`` inside a quoted attribute value, uppercase tags. A
@@ -2125,12 +2143,15 @@ l AS (
 resolved AS (
   SELECT media_id, r, host, k,
          CASE k % 4
-           WHEN 0 THEN 'http://ext' || CAST(v AS VARCHAR)
-                       || '.example/d/' || CAST(v AS VARCHAR)
+           WHEN 0 THEN CASE WHEN v % 2 = 1
+                       THEN 'http://EXT' || CAST(v AS VARCHAR)
+                            || '.example:80/d/' || CAST(v AS VARCHAR)
+                       ELSE 'http://ext' || CAST(v AS VARCHAR)
+                            || '.example/d/' || CAST(v AS VARCHAR) END
            WHEN 1 THEN host || '/p/' || CAST(v AS VARCHAR)
            WHEN 2 THEN host || '/page/' || CAST(media_id AS VARCHAR)
                        || '/d/' || CAST(v AS VARCHAR)
-           ELSE host || '/page/x?a=' || CAST(v AS VARCHAR) || '&b=2'
+           ELSE host || '/page/x?b=2&a=' || CAST(v AS VARCHAR)
          END AS url
   FROM l
 )
@@ -2171,6 +2192,112 @@ def q_warc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     payloads = HT.synth_warc_html_payloads(ids)
     return HT.warc_links_stats(payloads)
+
+
+@register(
+    "q_url_dedup",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n FROM documents
+),
+recs AS (
+  SELECT media_id, unnest(range(n)) AS r FROM p
+),
+keep AS (
+  SELECT media_id, CAST(r AS INTEGER) AS r,
+         'http://site' || CAST((media_id * 7 + r) % 1000 AS VARCHAR)
+           || '.example' AS host
+  FROM recs
+  WHERE (media_id + r) % 3 = 0
+    AND (media_id + r) % 4 != 1
+    AND (media_id + r) % 5 != 2
+),
+l AS (
+  SELECT media_id, r, host, u.k,
+         (media_id * 11 + r * 7 + u.k * 5) % 1000 AS v
+  FROM keep, LATERAL (
+    SELECT unnest(range((media_id + r) % 4 + 1)) AS k
+  ) u
+),
+edges AS (
+  SELECT media_id, r, host || '/u?a=1&b' AS url FROM keep
+  UNION ALL
+  SELECT media_id, r,
+         CASE k % 4
+           WHEN 0 THEN 'http://ext' || CAST(v AS VARCHAR)
+                       || '.example/d/' || CAST(v AS VARCHAR)
+           WHEN 1 THEN host || '/p/' || CAST(v AS VARCHAR)
+           WHEN 2 THEN host || '/page/' || CAST(media_id AS VARCHAR)
+                       || '/d/' || CAST(v AS VARCHAR)
+           ELSE host || '/page/x?a=' || CAST(v AS VARCHAR) || '&b=2'
+         END AS url
+  FROM l
+)
+SELECT url,
+       CAST(COUNT(*) AS BIGINT) AS n_refs,
+       CAST(COUNT(DISTINCT media_id * 4 + r) AS BIGINT) AS n_pages
+FROM edges
+GROUP BY 1
+ORDER BY n_refs DESC, url
+LIMIT 100
+""",
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E39 — URL CANONICALIZATION + URL-level dedup census, the
+    cheapest dedup tier of a web-corpus pipeline (collapse re-crawled
+    and trivially-variant URLs BEFORE paying content hashing, let
+    alone MinHash): the E38 edge stream's raw resolved targets are
+    normalized — scheme and host lowercased, default :80/:443 ports
+    stripped, empty path -> '/', query params sorted — and the census
+    reports the top-100 most-referenced canonical targets with total
+    reference and distinct-source-page counts. The synth makes the
+    canonicalization LOAD-BEARING: odd-v absolute links arrive as
+    'http://EXT{v}.example:80/...' and the parent-relative query in
+    unsorted param order (q_warc_links pins those messy forms
+    verbatim), so this census only matches the oracle's canonical
+    reconstruction if every normalization step actually ran. Physical
+    plan: edge emission is the shared Arrow walk (warc_edges);
+    canonicalization is a MAP-ONLY CODEGEN pass (parse_url /
+    regexp_extract / array_sort — no Python in the normalize path);
+    the census is ONE hash shuffle on the canonical key with map-side
+    partial aggregation, then TakeOrderedAndProject top-100 with a
+    deterministic url tiebreak — never a global sort. At 100 TB the
+    canonical key is exactly what a crawl-frontier/robots layer
+    shards by, so this exchange is reused by every downstream
+    URL-keyed consumer."""
+    from ..functions import html_text as HT
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    edges = HT.warc_edges(HT.synth_warc_html_payloads(ids))
+    port = "regexp_extract(parse_url(url, 'AUTHORITY'), ':([0-9]+)$', 1)"
+    scheme = "lower(parse_url(url, 'PROTOCOL'))"
+    canon = F.expr(
+        f"{scheme} || '://' || lower(parse_url(url, 'HOST')) || "
+        f"CASE WHEN {port} = '' THEN '' "
+        f"     WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
+        f"     WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
+        f"     ELSE ':' || {port} END || "
+        "CASE WHEN parse_url(url, 'PATH') IS NULL "
+        "          OR parse_url(url, 'PATH') = '' THEN '/' "
+        "     ELSE parse_url(url, 'PATH') END || "
+        "CASE WHEN parse_url(url, 'QUERY') IS NULL "
+        "          OR parse_url(url, 'QUERY') = '' THEN '' "
+        "     ELSE '?' || array_join(array_sort(split("
+        "parse_url(url, 'QUERY'), '&')), '&') END"
+    )
+    return (
+        edges.select(
+            canon.alias("url"),
+            (F.col("media_id") * 4 + F.col("r")).alias("page_key"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.countDistinct("page_key").alias("n_pages"),
+        )
+        .orderBy(F.desc("n_refs"), "url")
+        .limit(100)
+    )
 
 
 @register(

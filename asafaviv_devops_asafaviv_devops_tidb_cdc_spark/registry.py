@@ -47,9 +47,11 @@ _CHECK_FIRST = [
     # Round-12 window (50 slots), composed mechanically per
     # tests/test_freshness.py (scripts/freshness.py is the source of
     # truth; this list just pins its output):
-    # (a) 2 never-checked new registrations: q_warc_html_text (E37)
-    #     and q_warc_links (E38 link extraction + RFC 3986
-    #     resolution, urljoin-cross-validated) —
+    # (a) 3 never-checked new registrations (cap 3, fully used):
+    #     q_warc_html_text (E37), q_warc_links (E38 link
+    #     extraction + RFC 3986 resolution,
+    #     urljoin-cross-validated), q_url_dedup (E39 URL
+    #     canonicalization + census) —
     #     WARC -> visible-text extraction (the CC-WET stage; HTTP
     #     parse + quote-aware tag strip + entity decode, oracle
     #     re-hashes the SQL-reconstructed text);
@@ -66,6 +68,7 @@ _CHECK_FIRST = [
     #     newest r7 inside, which the oldest-first invariant allows.
     "q_warc_html_text",
     "q_warc_links",
+    "q_url_dedup",
     "q_ann_filtered",
     "q_big_orders",
     "q_curriculum",
@@ -113,7 +116,6 @@ _CHECK_FIRST = [
     "q_media_chunks",
     "q_split_assign",
     "q_stratified_sample",
-    "q_unigram_surprise",
 ]
 
 

@@ -179,6 +179,38 @@ def test_archive_corruption_yields_none_pages_skip_rules_dont():
     assert H.extract_html_pages(W.gzip_member(gone, 0, 0)) == []
 
 
+def test_charset_resolution():
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import warc as W
+
+    def page(body, ctype):
+        rec = W.build_warc_record(
+            [("WARC-Type", "response")],
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode()
+            + body,
+        )
+        return W.gzip_member(rec, 0, 0)
+
+    # latin-1 byte 0xE9 under a case/quote-varied charset parameter
+    got = H.extract_html_pages(page(b"<p>caf\xe9</p>", 'text/html; CHARSET="ISO-8859-1"'))
+    assert got == [(0, "café")]
+    # cp1252 curly quotes
+    got = H.extract_html_pages(page(b"<p>\x93q\x94</p>", "text/html; charset=windows-1252"))
+    assert got == [(0, "“q”")]
+    # no header charset: HTML5 meta prescan finds utf-8
+    body = '<meta charset="utf-8"><p>grü</p>'.encode("utf-8")
+    assert H.extract_html_pages(page(body, "text/html")) == [(0, "grü")]
+    # unknown charset: page skipped (keep-rule), not corruption
+    assert H.extract_html_pages(page(b"<p>x</p>", "text/html; charset=shift_jis")) == []
+    # invalid bytes under a DECLARED utf-8: corruption
+    assert H.extract_html_pages(page(b"<p>\xff\xfe</p>", "text/html; charset=utf-8")) is None
+    # the synth rotation reaches every mode among kept pages
+    modes = set()
+    for mid in range(200):
+        for r, _ in H.extract_html_pages(H.synth_warc_html_gz_bytes(mid)):
+            modes.add(H.html_charset_mode(mid, r))
+    assert modes == {0, 1, 2, 3, 4, 5}
+
+
 # ---------------------------------------------------------------------------
 # link extraction (E38)
 # ---------------------------------------------------------------------------
@@ -255,6 +287,51 @@ def test_link_extraction_rules():
         "http://h.example/b",
         "http://h.example/a",
     ]
+
+
+def test_url_canonicalization_in_spark(spark):
+    """The q_url_dedup canonicalization is a Spark codegen expression;
+    drive it through the registered query's own normalize logic on
+    crafted messy URLs."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+
+    registry.load_all()
+    # reuse the query's expression by running the full query at smoke
+    # SF and checking the messy forms collapsed: every odd-v absolute
+    # link (EXT…:80) must appear only in canonical lowercase no-port
+    # form, and every query string must be param-sorted
+    rows = registry.QUERIES["q_url_dedup"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "census empty"
+    for row in rows:
+        u = row["url"]
+        assert "EXT" not in u and ":80" not in u, u
+        if "?" in u:
+            params = u.split("?", 1)[1].split("&")
+            assert params == sorted(params), u
+        assert row["n_refs"] >= row["n_pages"] >= 1
+    # cross-check one expected canonical target is present with the
+    # right counts derived from the pure-Python layer
+    import collections
+
+    expect = collections.Counter()
+    pages = collections.defaultdict(set)
+    # sf0.001 documents: enumerate ids via the synth keep-rule over
+    # the actual doc ids the query used — recover them from the edges
+    # stage instead of reading parquet schemas here
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions import html_text as HT
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (doc_id,) in df.select("doc_id").collect():
+        mid = int(doc_id)
+        pl = HT.extract_page_links(HT.synth_warc_html_gz_bytes(mid))
+        for r, _links in pl:
+            for cu in HT.expected_canonical_links(mid, r):
+                expect[cu] += 1
+                pages[cu].add((mid, r))
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = [(row["url"], row["n_refs"], row["n_pages"]) for row in rows]
+    want = [(u, n, len(pages[u])) for u, n in top]
+    assert got == want
 
 
 def test_stage_emits_rows_in_spark(spark):
