@@ -827,17 +827,28 @@ def _deflate_dynamic(body: bytes) -> bytes:
     def huff_lengths(counter: Counter) -> dict[int, int]:
         if len(counter) == 1:
             return {next(iter(counter)): 1}
-        heap = [(f, i, [s]) for i, (s, f) in enumerate(sorted(counter.items()))]
+        # Huffman via parent pointers (no per-merge symbol-list
+        # concatenation): leaves get ids in sorted-symbol order,
+        # internal nodes increasing ids, so the (freq, id) tie-break
+        # reproduces the previous (freq, tick) merge order exactly.
+        items = sorted(counter.items())
+        heap = [(f, i) for i, (_s, f) in enumerate(items)]
         heapq.heapify(heap)
-        depth: dict[int, int] = {s: 0 for s in counter}
-        tick = len(heap)
+        parent: dict[int, int] = {}
+        nid = len(items)
         while len(heap) > 1:
-            f1, _, s1 = heapq.heappop(heap)
-            f2, _, s2 = heapq.heappop(heap)
-            for s in s1 + s2:
-                depth[s] += 1
-            heapq.heappush(heap, (f1 + f2, tick, s1 + s2))
-            tick += 1
+            f1, i1 = heapq.heappop(heap)
+            f2, i2 = heapq.heappop(heap)
+            parent[i1] = nid
+            parent[i2] = nid
+            heapq.heappush(heap, (f1 + f2, nid))
+            nid += 1
+        # parents always have larger ids, so one descending-id pass
+        # resolves every depth
+        depths = {nid - 1: 0}
+        for node in range(nid - 2, -1, -1):
+            depths[node] = depths[parent[node]] + 1
+        depth = {s: depths[i] for i, (s, _f) in enumerate(items)}
         # Depth > 15 IS reachable in general (Fibonacci-skewed byte
         # frequencies can force depth 16 with ~2.6k symbols — r10
         # advice); it is unreachable only for this synth's small
@@ -881,23 +892,39 @@ def _deflate_dynamic(body: bytes) -> bytes:
     while len(hclen_lengths) > 4 and hclen_lengths[-1] == 0:
         hclen_lengths.pop()
 
-    bits = bytearray()
-    cur = 0
-    ncur = 0
+    import numpy as np
+
+    # Header bits collected as a flat 0/1 list (a few hundred bits);
+    # the body's literal codes — the hot path, one code per input
+    # byte — are emitted VECTORIZED below and the whole stream packs
+    # in one np.packbits call (LSB-first byte fill, zero padding to
+    # the byte boundary, both per RFC 1951).
+    head: list[int] = []
 
     def put(value: int, width: int) -> None:  # LSB-first field
-        nonlocal cur, ncur
-        cur |= (value & ((1 << width) - 1)) << ncur
-        ncur += width
-        while ncur >= 8:
-            bits.append(cur & 0xFF)
-            cur >>= 8
-            ncur -= 8
+        for i in range(width):
+            head.append((value >> i) & 1)
 
-    def put_code(sym: int, codes: dict[int, tuple[int, int]]) -> None:
-        ln, code = codes[sym]
-        for i in range(ln - 1, -1, -1):  # MSB-first within the code
-            put((code >> i) & 1, 1)
+    def emit_codes(syms, codes) -> "np.ndarray":
+        """Vectorized MSB-first-within-code emission of one code per
+        symbol: per-bit symbol index via repeat, per-bit shift =
+        width-1-j."""
+        size = max(codes) + 1
+        wtab = np.zeros(size, dtype=np.int64)
+        ctab = np.zeros(size, dtype=np.int64)
+        for s, (ln, code) in codes.items():
+            wtab[s] = ln
+            ctab[s] = code
+        arr = np.asarray(syms, dtype=np.int64)
+        widths = wtab[arr]
+        starts = np.concatenate(
+            [np.zeros(1, dtype=np.int64), widths.cumsum()]
+        )
+        sym_ix = np.repeat(np.arange(len(arr)), widths)
+        j = np.arange(int(starts[-1]), dtype=np.int64) - starts[sym_ix]
+        return ((ctab[arr][sym_ix] >> (widths[sym_ix] - 1 - j)) & 1).astype(
+            np.uint8
+        )
 
     put(1, 1)  # BFINAL
     put(2, 2)  # BTYPE=2
@@ -906,16 +933,19 @@ def _deflate_dynamic(body: bytes) -> bytes:
     put(len(hclen_lengths) - 4, 4)
     for ln in hclen_lengths:
         put(ln, 3)
-    for ln in full_seq:  # lengths sent literally, no 16/17/18 runs
-        put_code(ln, cl_codes)
-    for byte in body:
-        put_code(byte, lit_codes)
-    put_code(256, lit_codes)
-    if ncur:
-        bits.append(cur & 0xFF)
+    allbits = np.concatenate(
+        [
+            np.array(head, dtype=np.uint8),
+            # lengths sent literally, no 16/17/18 runs
+            emit_codes(full_seq, cl_codes),
+            # body literals + end-of-block
+            emit_codes(np.frombuffer(body, dtype=np.uint8), lit_codes),
+            emit_codes([256], lit_codes),
+        ]
+    )
     return (
         b"\x78\x01"
-        + bytes(bits)
+        + np.packbits(allbits, bitorder="little").tobytes()
         + struct.pack(">I", zlib.adler32(body) & 0xFFFFFFFF)
     )
 

@@ -241,12 +241,16 @@ def synth_warc_gz_bytes(media_id: int) -> bytes:
     / our dynamic-Huffman deflate, and optional gzip header fields
     rotating in (FNAME when (id+r)%2==0, FHCRC when (id+r)%5==0,
     FEXTRA when (id+r)%7==0)."""
+    import numpy as np
+
     out = bytearray()
     for r in range(warc_record_count(media_id)):
-        body = bytes(
-            warc_body_byte(media_id, r, j)
-            for j in range(warc_body_len(media_id, r))
-        )
+        # vectorized warc_body_byte formula (kept in sync with the
+        # scalar helper, which stays the oracle-documented source)
+        body = (
+            (media_id + r * 13 + 7 * np.arange(
+                warc_body_len(media_id, r), dtype=np.int64)) % 256
+        ).astype(np.uint8).tobytes()
         rec = build_warc_record(
             [
                 ("WARC-Type", warc_record_type(media_id, r)),
