@@ -204,6 +204,16 @@ HEADLINE = {
         "doubling, one keyed join + agg, TakeOrderedAndProject top-20 "
         "(r7c)"
     ),
+    "q_warc_html_text": (
+        "WARC -> visible text (CC-WET stage) — ONE Arrow map pass "
+        "(gzip + WARC + HTTP + charset + tag strip), no shuffle "
+        "beyond the synth repartition (r12)"
+    ),
+    "q_url_dedup": (
+        "URL canonicalization + dedup census — canonicalize in a "
+        "JVM ParseUrlEvaluator Project (no Python), two-phase exact "
+        "count-distinct agg, TakeOrderedAndProject top-100 (r12)"
+    ),
 }
 
 

@@ -1106,3 +1106,40 @@ def test_banded_minhash_candidates_capped_before_collect(spark):
     # feeding the per-bucket collect_list
     assert "collect_list" in plan
     assert "count(1)" in plan or "count(*)" in plan
+
+
+def test_wet_stages_are_single_arrow_pass(spark):
+    """E37/E38: the WARC->text and WARC->links stages must stay one
+    Arrow map pass — no row-at-a-time Python (BatchEvalPython), no
+    shuffle beyond the synth stage's one repartition."""
+    for q in ("q_warc_html_text", "q_warc_links"):
+        df = _df(q, spark)
+        plan = checks.plan_string(df)
+        assert plan.count("MapInPandas") >= 1, q
+        assert "BatchEvalPython" not in plan, q
+        assert checks.count_nodes(df, "Exchange") <= 1, (
+            q,
+            checks.count_nodes(df, "Exchange"),
+        )
+        assert not checks.has_cartesian(df), q
+
+
+def test_url_dedup_canonicalizes_in_codegen(spark):
+    """E39: canonicalization must run JVM-side (parse_url in a
+    codegen Project, never Python), the census in ONE hash exchange
+    with map-side partials, and the top-100 as TakeOrderedAndProject
+    (never a global sort)."""
+    df = _df("q_url_dedup", spark)
+    plan = checks.plan_string(df)
+    # parse_url lowers to a JVM ParseUrlEvaluator invoke in the
+    # Project — JVM-side, never a Python eval
+    assert "ParseUrlEvaluator" in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort node
+    # synth repartition + the exact count-distinct's two-phase
+    # aggregation (url,page_key -> url): three exchanges total
+    assert checks.count_nodes(df, "Exchange") <= 3, checks.count_nodes(
+        df, "Exchange"
+    )
+    assert not checks.has_cartesian(df)
