@@ -608,7 +608,9 @@ def _parse_attrs(tag_body: str) -> dict[str, str]:
     """Attribute name -> RAW value (entities not yet decoded) of one
     start tag's interior (name and attrs, no angle brackets). Handles
     double-quoted, single-quoted and unquoted values and bare boolean
-    attributes; names fold to lowercase."""
+    attributes; names fold to lowercase; a DUPLICATED attribute keeps
+    its FIRST occurrence (the HTML5 tree-construction rule, matching
+    stdlib html.parser — differential-tested)."""
     attrs: dict[str, str] = {}
     i, n = 0, len(tag_body)
     # skip the element name
@@ -634,18 +636,18 @@ def _parse_attrs(tag_body: str) -> dict[str, str]:
                 quote = tag_body[i]
                 end = tag_body.find(quote, i + 1)
                 if end < 0:
-                    attrs[name] = tag_body[i + 1 :]
+                    attrs.setdefault(name, tag_body[i + 1 :])
                     break
-                attrs[name] = tag_body[i + 1 : end]
+                attrs.setdefault(name, tag_body[i + 1 : end])
                 i = end + 1
             else:
                 j = i
                 while j < n and not tag_body[j].isspace():
                     j += 1
-                attrs[name] = tag_body[i:j]
+                attrs.setdefault(name, tag_body[i:j])
                 i = j
         elif name:
-            attrs[name] = ""
+            attrs.setdefault(name, "")
     return attrs
 
 

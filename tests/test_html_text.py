@@ -289,6 +289,53 @@ def test_link_extraction_rules():
     ]
 
 
+class _AttrGrab(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=False)
+        self.attrs = None
+
+    def handle_starttag(self, tag, attrs):
+        if self.attrs is None:
+            self.attrs = attrs
+
+
+_ATTR_NAME = st.sampled_from(["href", "id", "class", "data-x", "TITLE"])
+_ATTR_VAL = st.sampled_from(["x", "a b", "x>y", "1&amp;2", "", "q'q", 'd"d'])
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    pairs=st.lists(st.tuples(_ATTR_NAME, _ATTR_VAL, st.integers(0, 3)),
+                   min_size=0, max_size=5),
+)
+def test_attr_parsing_matches_stdlib_parser(pairs):
+    """_parse_attrs differential vs html.parser across quoting styles,
+    boolean attributes and DUPLICATES (HTML5 keeps the first
+    occurrence — the r12 bug this test caught)."""
+    parts = []
+    for a, v, style in pairs:
+        if style == 0 and '"' not in v:
+            parts.append(f'{a}="{v}"')
+        elif style == 1 and "'" not in v:
+            parts.append(f"{a}='{v}'")
+        elif style == 2 and v and all(c not in v for c in " >'\""):
+            parts.append(f"{a}={v}")
+        else:
+            parts.append(a)  # bare boolean attribute
+    tag_body = "a " + " ".join(parts)
+    g = _AttrGrab()
+    g.feed(f"<{tag_body}>t</a>")
+    g.close()
+    ref = {}
+    for k, v in (g.attrs or []):
+        if k not in ref:
+            ref[k] = v if v is not None else ""
+    mine = {
+        k: H._decode_charrefs(v) for k, v in H._parse_attrs(tag_body).items()
+    }
+    assert mine == ref, tag_body
+
+
 def test_url_canonicalization_in_spark(spark):
     """The q_url_dedup canonicalization is a Spark codegen expression;
     drive it through the registered query's own normalize logic on
