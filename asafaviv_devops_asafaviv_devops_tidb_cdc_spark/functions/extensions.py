@@ -18,10 +18,13 @@ their queries are ORACLE-BACKED like every other operator:
   derivation.
 
 Scale note: both are the SLOW path by design — per-group pandas
-transfer for the UDAF, per-row Python for the UDTF. The docstrings of
-the fast-path twins (queries/cdc.py, queries/metrics.py) show the
-built-in forms; the tests pin that slow path == fast path, which is
-what makes the extension surface safe to offer.
+transfer for the UDAF, Python eval per input row for the UDTF — but
+both ride ARROW batch transfer (ArrowEvalPythonUDTF /
+AggregateInPandas), never the interpreted row-pickling BatchEvalPython
+stage (tests/test_python_stage_guard.py pins this registry-wide). The
+docstrings of the fast-path twins (queries/cdc.py, queries/metrics.py)
+show the built-in forms; the tests pin that slow path == fast path,
+which is what makes the extension surface safe to offer.
 """
 
 import functools
@@ -48,11 +51,12 @@ def median_udaf():
 
 class EnvelopeExplode:
     """Canal-json envelope -> one output row per data element: the
-    reference consumer's core loop as a user table function. Python
-    row-at-a-time by construction (the UDTF contract) — the engine's
-    own chain does this with from_json + posexplode (operators/
-    parse.py, codegen); this exists to prove the extension point.
-    Wrapped with @udtf lazily via ``envelope_explode_udtf()``."""
+    reference consumer's core loop as a user table function. eval()
+    runs per input row (the UDTF contract) but rows move over ARROW
+    batches (useArrow) — the engine's own chain does this with
+    from_json + posexplode (operators/parse.py, codegen); this exists
+    to prove the extension point. Wrapped with @udtf lazily via
+    ``envelope_explode_udtf()``."""
 
     def eval(self, envelope: str):
         try:
@@ -77,4 +81,8 @@ class EnvelopeExplode:
 def envelope_explode_udtf():
     from pyspark.sql.functions import udtf
 
-    return udtf(EnvelopeExplode, returnType="row_index int, row_id long, row_value double")
+    return udtf(
+        EnvelopeExplode,
+        returnType="row_index int, row_id long, row_value double",
+        useArrow=True,
+    )
