@@ -103,6 +103,15 @@ def html_page_host(media_id: int, r: int) -> str:
     return f"http://site{(media_id * 7 + r) % 1000}.example"
 
 
+def html_footer_text(media_id: int, r: int) -> str:
+    """The page's planted boilerplate footer (visible text in the WET
+    stage, dropped by main-content extraction's element-role rule)."""
+    return (
+        f"Copyright {2000 + (media_id + r) % 27} "
+        f"site{(media_id * 7 + r) % 1000} all rights reserved"
+    )
+
+
 def html_page_url(media_id: int, r: int) -> str:
     return f"{html_page_host(media_id, r)}/page/{media_id}/{r}"
 
@@ -180,6 +189,31 @@ def expected_canonical_links(media_id: int, r: int) -> list[str]:
     return links
 
 
+def expected_main_text(media_id: int, r: int) -> str:
+    """Content-block text of the page (mirrored by the q_main_content
+    oracle SQL): the h1, token paragraph, optional charset-proof
+    paragraph and end marker — WITHOUT the title, the standalone
+    anchor, the link list or the footer the WET text keeps."""
+    toks = " ".join(
+        html_token(media_id, r, k) for k in range(html_token_count(media_id))
+    )
+    extra = html_extra_token(media_id, r)
+    extra = f"{extra} " if extra else ""
+    return f'Doc & {media_id} {toks} {extra}@end "q"'
+
+
+def expected_block_counts(media_id: int, r: int) -> tuple[int, int]:
+    """(n_blocks, n_content_blocks) of the page: title + h1 + token
+    paragraph + standalone-anchor block + one block per <li> + the
+    optional charset paragraph + end marker + footer; content = h1,
+    token paragraph, optional charset paragraph, end marker."""
+    has_extra = html_extra_token(media_id, r) is not None
+    return (
+        6 + html_link_count(media_id, r) + has_extra,
+        3 + has_extra,
+    )
+
+
 def expected_visible_text(media_id: int, r: int) -> str:
     toks = " ".join(
         html_token(media_id, r, k) for k in range(html_token_count(media_id))
@@ -191,7 +225,8 @@ def expected_visible_text(media_id: int, r: int) -> str:
     extra = f"{extra} " if extra else ""
     return (
         f"Doc {media_id} {r} Doc & {media_id} {toks} "
-        f'link {media_id} {anchors} {extra}@end "q"'
+        f'link {media_id} {anchors} {extra}@end "q" '
+        f"{html_footer_text(media_id, r)}"
     )
 
 
@@ -238,6 +273,7 @@ def build_page_html(media_id: int, r: int) -> str:
         + "</ul>\n"
         + extra_p
         + "<p>&#64;end &quot;q&quot;</p>\n"
+        f"<footer>{html_footer_text(media_id, r)}</footer>\n"
         "</body></html>\n"
     )
 
@@ -506,6 +542,146 @@ def extract_visible_text(html: str) -> str:
             continue
         i = end
     return " ".join(_decode_charrefs("".join(out)).split())
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction (the jusText/Trafilatura stage): block
+# segmentation + text-vs-link-density classification
+# ---------------------------------------------------------------------------
+
+# Elements whose start OR end tag terminates the current text block —
+# the HTML block-level set plus table/list internals. Inline elements
+# (<a>, <b>, <span>, ...) do NOT break blocks; that is what makes
+# link-density per block meaningful.
+_BLOCK_TAGS = frozenset(
+    """html head body title h1 h2 h3 h4 h5 h6 p div section article
+    main aside nav header footer ul ol li dl dt dd table thead tbody
+    tfoot tr td th blockquote pre form fieldset figure figcaption hr
+    br address""".split()
+)
+
+# Elements whose CONTENT is boilerplate by ROLE, regardless of what it
+# says: page chrome (nav/header/footer/aside) and document metadata
+# (title). The density rule below catches un-semantic chrome (bare
+# <ul> link farms, standalone anchors) — real pages contain both.
+_BOILER_ROLE_TAGS = frozenset("title nav header footer aside".split())
+
+# A block is content only if anchor text makes up at most this share
+# of its characters (jusText's curve-linked threshold, flattened: our
+# planted chrome is ~1.0, article blocks ~0.0, so any mid threshold
+# is stable; 0.4 matches the published "mostly links = boilerplate"
+# rule of thumb).
+MAX_LINK_DENSITY = 0.4
+
+
+def segment_blocks(html: str) -> list[tuple[str, float, bool]]:
+    """Segment an HTML document into visible-text BLOCKS:
+    [(text, link_density, role_boiler)] in document order, empty
+    blocks dropped. Same lexical rules as extract_visible_text
+    (comments and script/style dropped whole, quote-aware tag scan,
+    character references decoded after tag stripping, whitespace
+    collapsed) — the concatenation of all block texts equals the WET
+    text modulo inter-block whitespace. Block boundaries are the
+    block-level element set (_BLOCK_TAGS, start and end tags both);
+    link_density is the share of the block's characters contributed
+    inside <a> elements; role_boiler marks text that accumulated
+    inside title/nav/header/footer/aside."""
+    blocks: list[tuple[str, float, bool]] = []
+    parts: list[str] = []          # raw text runs of the open block
+    anchor_parts: list[str] = []   # the subset inside <a>
+    role_hit = False               # any run arrived under a boiler role
+    a_depth = 0
+    role_depth = 0
+
+    def _close() -> None:
+        nonlocal parts, anchor_parts, role_hit
+        text = " ".join(_decode_charrefs("".join(parts)).split())
+        if text:
+            atext = " ".join(_decode_charrefs("".join(anchor_parts)).split())
+            density = len(atext) / len(text)
+            blocks.append((text, density, role_hit))
+        parts, anchor_parts, role_hit = [], [], False
+
+    i, n = 0, len(html)
+    lower = html.lower()
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            parts.append(html[i:])
+            if a_depth:
+                anchor_parts.append(html[i:])
+            if role_depth and html[i:].strip():
+                role_hit = True
+            break
+        seg = html[i:lt]
+        if seg:
+            parts.append(seg)
+            if a_depth:
+                anchor_parts.append(seg)
+            if role_depth and seg.strip():
+                role_hit = True
+        if html.startswith("<!--", lt):
+            close = html.find("-->", lt + 4)
+            i = n if close < 0 else close + 3
+            continue
+        end = _tag_end(html, lt)
+        if end < 0:
+            break
+        j = lt + 1
+        closing = j < n and html[j] == "/"
+        if closing:
+            j += 1
+        k = j
+        while k < n and (html[k].isalnum() or html[k] in "-_"):
+            k += 1
+        name = lower[j:k]
+        if name in _RAWTEXT_SKIP and not closing:
+            close = lower.find("</" + name, end)
+            if close < 0:
+                break
+            end2 = _tag_end(html, close)
+            i = n if end2 < 0 else end2
+            continue
+        if name in _BLOCK_TAGS:
+            _close()
+            if name in _BOILER_ROLE_TAGS:
+                # name-counted depth (not a full tree) — deterministic
+                # and right for any non-pathological nesting
+                if closing:
+                    role_depth = max(0, role_depth - 1)
+                elif not html[lt:end].rstrip(">").endswith("/"):
+                    role_depth += 1
+        elif name == "a":
+            if closing:
+                a_depth = max(0, a_depth - 1)
+            else:
+                a_depth += 1
+        i = end
+    _close()
+    return blocks
+
+
+def classify_blocks(
+    blocks: list[tuple[str, float, bool]],
+) -> list[tuple[str, bool]]:
+    """[(text, is_content)] — a block is CONTENT unless its element
+    role is page chrome or its link density exceeds MAX_LINK_DENSITY
+    (the two planted boilerplate classes; see q_main_content)."""
+    return [
+        (text, (not role) and density <= MAX_LINK_DENSITY)
+        for text, density, role in blocks
+    ]
+
+
+def extract_main_content(html: str) -> tuple[int, int, str]:
+    """(n_blocks, n_content_blocks, main_text) of one document: block
+    segmentation + classification, content blocks joined with single
+    spaces in document order — the article text a training corpus
+    keeps AFTER the WET stage drops markup and BEFORE quality
+    filtering scores it."""
+    classified = classify_blocks(segment_blocks(html))
+    kept = [text for text, is_content in classified if is_content]
+    return len(classified), len(kept), " ".join(kept)
 
 
 # ---------------------------------------------------------------------------
@@ -823,6 +999,49 @@ def warc_html_text_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(_extract, HTML_TEXT_SCHEMA)
+
+
+MAIN_CONTENT_SCHEMA = (
+    "media_id long, r int, n_blocks int, n_content int, "
+    "main_chars long, main_tokens long, main_md5 string"
+)
+
+
+def main_content_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched main-content extraction: one output row per kept
+    page — (media_id, record index, total/content block counts, kept
+    text length, whitespace token count, md5 of the kept text).
+    Corrupt archives contribute no rows (same contract as
+    warc_html_text_stats); the oracle re-derives the kept-block text
+    byte-exactly from the id formulas."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "r", "n_blocks", "n_content",
+            "main_chars", "main_tokens", "main_md5",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pages = _walk_html_pages(bytes(payload or b""))
+                if pages is None:
+                    continue
+                for r, _url, doc in pages:
+                    n_blocks, n_content, text = extract_main_content(doc)
+                    rows.append(
+                        (
+                            int(mid),
+                            int(r),
+                            n_blocks,
+                            n_content,
+                            len(text),
+                            len(text.split()),
+                            hashlib.md5(text.encode("utf-8")).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_extract, MAIN_CONTENT_SCHEMA)
 
 
 EDGES_SCHEMA = "media_id long, r int, url string"

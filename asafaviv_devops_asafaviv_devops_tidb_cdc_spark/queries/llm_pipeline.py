@@ -2061,7 +2061,10 @@ txt AS (
          || CAST(k.r AS VARCHAR) || ' Doc & '
          || CAST(k.media_id AS VARCHAR) || ' ' || b.toktext
          || ' link ' || CAST(k.media_id AS VARCHAR) || ' '
-         || a.anchors || ' ' || e.tok || '@end "q"'
+         || a.anchors || ' ' || e.tok || '@end "q" Copyright '
+         || CAST(2000 + (k.media_id + k.r) % 27 AS VARCHAR)
+         || ' site' || CAST((k.media_id * 7 + k.r) % 1000 AS VARCHAR)
+         || ' all rights reserved'
            AS text
   FROM keep k
   JOIN body b USING (media_id, r)
@@ -2070,7 +2073,7 @@ txt AS (
 )
 SELECT media_id, r,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
-       CAST(t + 10 + n_anchors + n_extra AS BIGINT) AS n_tokens,
+       CAST(t + 16 + n_anchors + n_extra AS BIGINT) AS n_tokens,
        md5(text) AS text_md5
 FROM txt
 """,
@@ -2264,7 +2267,22 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic url tiebreak — never a global sort. At 100 TB the
     canonical key is exactly what a crawl-frontier/robots layer
     shards by, so this exchange is reused by every downstream
-    URL-keyed consumer."""
+    URL-keyed consumer.
+
+    Canonicalization POLICY (declared, not accidental): we normalize
+    only the equivalences RFC 3986 6.2.2-6.2.3 guarantees safe —
+    scheme/host case, default port, empty-path->'/'— plus query-param
+    ORDER (safe for the overwhelmingly-common &-separated k=v form a
+    crawl frontier keys by). We deliberately do NOT (a) normalize
+    percent-encoding (%7E vs ~): unreserved-character decoding is safe
+    per 6.2.2.2 but reserved-character decoding changes meaning, and a
+    dedup tier must never merge URLs a server may distinguish — so we
+    treat the encoded form as-is rather than half-decode; (b) touch
+    trailing slashes beyond the empty path ('/a/' vs '/a' are
+    DIFFERENT resources per the RFC and routinely both live); (c) drop
+    fragments here — resolution (E38) already dropped them. Real
+    frontiers layering site-specific rules (utm_* stripping, www.
+    folding) do so ABOVE this safe core."""
     from ..functions import html_text as HT
 
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
@@ -2298,6 +2316,94 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_refs"), "url")
         .limit(100)
     )
+
+
+@register(
+    "q_main_content",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n FROM documents
+),
+recs AS (
+  SELECT media_id, unnest(range(n)) AS r FROM p
+),
+keep AS (
+  SELECT media_id, CAST(r AS INTEGER) AS r, media_id % 40 + 10 AS t,
+         (media_id + r) % 4 + 1 AS nl
+  FROM recs
+  WHERE (media_id + r) % 3 = 0
+    AND (media_id + r) % 4 != 1
+    AND (media_id + r) % 5 != 2
+),
+toks AS (
+  SELECT media_id, r, u.k,
+         (media_id * 7 + r * 13 + u.k * 3) % 1000 AS v
+  FROM keep, LATERAL (SELECT unnest(range(t)) AS k) u
+),
+body AS (
+  SELECT media_id, r,
+         string_agg(CASE WHEN k % 5 = 0
+                         THEN '<tok' || CAST(v AS VARCHAR) || '>'
+                         ELSE 'tok' || CAST(v AS VARCHAR) END,
+                    ' ' ORDER BY k) AS toktext
+  FROM toks GROUP BY 1, 2
+),
+extra AS (
+  SELECT media_id, r,
+         CASE (media_id // 3 + r) % 6
+           WHEN 0 THEN 'gr' || chr(252) || CAST((media_id + r) % 97 AS VARCHAR) || ' '
+           WHEN 2 THEN chr(8220) || 'q' || CAST((media_id + r) % 97 AS VARCHAR) || chr(8221) || ' '
+           WHEN 4 THEN 'caf' || chr(233) || CAST((media_id + r) % 97 AS VARCHAR) || ' '
+           ELSE ''
+         END AS tok
+  FROM keep
+),
+txt AS (
+  SELECT k.media_id, k.r, k.t, k.nl,
+         CASE WHEN e.tok = '' THEN 0 ELSE 1 END AS n_extra,
+         'Doc & ' || CAST(k.media_id AS VARCHAR) || ' ' || b.toktext
+         || ' ' || e.tok || '@end "q"' AS text
+  FROM keep k
+  JOIN body b USING (media_id, r)
+  JOIN extra e USING (media_id, r)
+)
+SELECT media_id, r,
+       CAST(6 + nl + n_extra AS INTEGER) AS n_blocks,
+       CAST(3 + n_extra AS INTEGER) AS n_content,
+       CAST(LENGTH(text) AS BIGINT) AS main_chars,
+       CAST(t + 5 + n_extra AS BIGINT) AS main_tokens,
+       md5(text) AS main_md5
+FROM txt
+""",
+)
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E40 — MAIN-CONTENT extraction (boilerplate removal), the
+    jusText/Trafilatura stage between WET text and quality filtering
+    in every real web corpus (r13): the E37 crawl slices' HTML is
+    segmented into visible-text BLOCKS at block-level tag boundaries
+    (inline elements like <a> do NOT split blocks — that is what makes
+    per-block link density meaningful), each block scored, and only
+    article blocks kept. Two planted boilerplate classes make both
+    rules load-bearing: the page chrome (<title>, a <footer> copyright
+    line — dropped by the element-ROLE rule) and the link farms (the
+    standalone anchor and the nav <ul> of <li><a> items, ~1.0 link
+    density — dropped by the DENSITY rule, threshold
+    MAX_LINK_DENSITY=0.4), while the h1, token paragraph,
+    charset-proof paragraph and end marker survive. The oracle
+    reconstructs the KEPT text byte-exactly from the id formulas and
+    re-hashes it, plus total/content block counts — the gate only
+    passes if segmentation boundaries, both classification rules,
+    entity decode and whitespace collapse all agree. The engine-side
+    classifier is generic (functions/html_text.py::segment_blocks /
+    classify_blocks, hand-hazard + differential tests); the synth just
+    plants both failure classes. 100 TB posture: identical to E37 —
+    one Arrow map pass over opaque binary archives, no shuffle, splits
+    at gzip member boundaries."""
+    from ..functions import html_text as HT
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    payloads = HT.synth_warc_html_payloads(ids)
+    return HT.main_content_stats(payloads)
 
 
 @register(

@@ -397,3 +397,100 @@ def test_stage_emits_rows_in_spark(spark):
     want = H.expected_visible_text(mid, r["r"])
     assert r["n_chars"] == len(want)
     assert r["text_md5"] == hashlib.md5(want.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction (block segmentation + classification)
+# ---------------------------------------------------------------------------
+
+
+def test_main_content_formula_roundtrip():
+    n_pages = 0
+    for mid in list(range(80)) + [12345, 999983]:
+        pages = H._walk_html_pages(H.synth_warc_html_gz_bytes(mid))
+        assert pages is not None, mid
+        for r, _url, doc in pages:
+            n_blocks, n_content, text = H.extract_main_content(doc)
+            assert text == H.expected_main_text(mid, r), (mid, r)
+            assert (n_blocks, n_content) == H.expected_block_counts(mid, r)
+            n_pages += 1
+    assert n_pages > 20
+
+
+def test_block_join_equals_wet_text_on_synth_pages():
+    """Segmentation must LOSE nothing: the space-join of all blocks
+    equals the WET text (synth pages separate block tags with
+    whitespace, so the inter-block joins are exact)."""
+    for mid in range(40):
+        for r in range(H.html_record_count(mid)):
+            if H.html_record_type(mid, r) != "response" or not H.html_is_html(
+                mid, r
+            ):
+                continue
+            page = H.build_page_html(mid, r)
+            joined = " ".join(t for t, _, _ in H.segment_blocks(page))
+            assert joined == H.extract_visible_text(page), (mid, r)
+
+
+def test_block_classification_rules():
+    # role rule: chrome elements are boilerplate regardless of content
+    html = (
+        "<html><head><title>T</title></head><body>"
+        "<nav>home about</nav><header>masthead</header>"
+        "<p>the article body text here</p>"
+        "<aside>related stuff</aside><footer>copyright</footer>"
+        "</body></html>"
+    )
+    got = H.classify_blocks(H.segment_blocks(html))
+    assert got == [
+        ("T", False), ("home about", False), ("masthead", False),
+        ("the article body text here", True),
+        ("related stuff", False), ("copyright", False),
+    ]
+    # density rule: a link-farm block drops, prose with one short link
+    # survives, and inline <a> does NOT split the block
+    html2 = (
+        "<body><ul><li><a href='/a'>one</a></li>"
+        "<li><a href='/b'>two</a></li></ul>"
+        "<p>read the <a href='/c'>spec</a> for all the details</p></body>"
+    )
+    got2 = H.classify_blocks(H.segment_blocks(html2))
+    assert got2 == [
+        ("one", False), ("two", False),
+        ("read the spec for all the details", True),
+    ]
+    # nested chrome: closing the inner element keeps the outer role
+    html3 = "<footer>a<div>b</div>c</footer><p>d</p>"
+    got3 = H.classify_blocks(H.segment_blocks(html3))
+    assert got3 == [("a", False), ("b", False), ("c", False), ("d", True)]
+    # comments and script/style never contribute to any block
+    html4 = "<p>keep<!-- <footer>x</footer> --><script>y</script></p>"
+    assert H.classify_blocks(H.segment_blocks(html4)) == [("keep", True)]
+    # entity decode happens per block, after segmentation
+    assert H.segment_blocks("<p>&lt;b&gt;</p>")[0][0] == "<b>"
+
+
+def test_main_content_density_boundary():
+    # exactly at MAX_LINK_DENSITY stays content; just above drops
+    html = "<p><a href='/x'>ab</a>cde</p>"  # density 0.4 among 5 chars
+    assert H.classify_blocks(H.segment_blocks(html)) == [("abcde", True)]
+    html = "<p><a href='/x'>abc</a>de</p>"  # density 0.6
+    assert H.classify_blocks(H.segment_blocks(html)) == [("abcde", False)]
+
+
+def test_main_content_stage_in_spark(spark):
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["q_main_content"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    import hashlib
+
+    for row in rows[:10]:
+        want = H.expected_main_text(row["media_id"], row["r"])
+        nb, nc = H.expected_block_counts(row["media_id"], row["r"])
+        assert row["main_chars"] == len(want)
+        assert row["main_tokens"] == len(want.split())
+        assert (row["n_blocks"], row["n_content"]) == (nb, nc)
+        assert row["main_md5"] == hashlib.md5(want.encode()).hexdigest()

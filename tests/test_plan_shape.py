@@ -1109,10 +1109,11 @@ def test_banded_minhash_candidates_capped_before_collect(spark):
 
 
 def test_wet_stages_are_single_arrow_pass(spark):
-    """E37/E38: the WARC->text and WARC->links stages must stay one
-    Arrow map pass — no row-at-a-time Python (BatchEvalPython), no
-    shuffle beyond the synth stage's one repartition."""
-    for q in ("q_warc_html_text", "q_warc_links"):
+    """E37/E38/E40: the WARC->text, WARC->links and main-content
+    stages must stay one Arrow map pass — no row-at-a-time Python
+    (BatchEvalPython), no shuffle beyond the synth stage's one
+    repartition."""
+    for q in ("q_warc_html_text", "q_warc_links", "q_main_content"):
         df = _df(q, spark)
         plan = checks.plan_string(df)
         assert plan.count("MapInPandas") >= 1, q
