@@ -1044,26 +1044,30 @@ def main_content_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, MAIN_CONTENT_SCHEMA)
 
 
-EDGES_SCHEMA = "media_id long, r int, url string"
+EDGES_SCHEMA = "media_id long, r int, page_url string, url string"
 
 
 def warc_edges(media: DataFrame) -> DataFrame:
     """Arrow-batched edge emission: one row per (page, outlink) with
-    the RAW resolved target — canonicalization is deliberately NOT
-    done here but downstream in Spark codegen (q_url_dedup), so the
-    normalize-then-shuffle pattern a 100 TB web graph needs stays in
-    the engine, not in Python."""
+    the page's own URL (the WARC-Target-URI) and the RAW resolved
+    target — canonicalization and host extraction are deliberately
+    NOT done here but downstream in Spark codegen (q_url_dedup,
+    q_host_graph), so the normalize-then-shuffle pattern a 100 TB web
+    graph needs stays in the engine, not in Python."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["media_id", "r", "url"]
+        cols = ["media_id", "r", "page_url", "url"]
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                pages = extract_page_links(bytes(payload or b""))
+                pages = _walk_html_pages(bytes(payload or b""))
                 if pages is None:
                     continue
-                for r, links in pages:
-                    rows.extend((int(mid), int(r), u) for u in links)
+                for r, page_url, doc in pages:
+                    rows.extend(
+                        (int(mid), int(r), page_url, u)
+                        for u in extract_links(doc, page_url)
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(_extract, EDGES_SCHEMA)

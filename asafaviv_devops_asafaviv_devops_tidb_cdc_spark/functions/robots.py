@@ -183,8 +183,8 @@ def _pattern_matches(pattern: str, path: str) -> bool:
             first = False
             continue
         if seg == "":
-            pos = len(path)  # trailing/consecutive * swallows the rest
-            continue
+            continue  # consecutive ** == *; a TRAILING * is handled by
+            # the prefix semantics (unanchored) / segs[-1] check (anchored)
         hit = path.find(seg, pos)
         if hit < 0:
             return False

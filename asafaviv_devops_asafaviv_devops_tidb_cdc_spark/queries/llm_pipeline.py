@@ -2407,6 +2407,177 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_host_graph",
+    oracle="""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n FROM documents
+),
+recs AS (
+  SELECT media_id, unnest(range(n)) AS r FROM p
+),
+keep AS (
+  SELECT media_id, CAST(r AS INTEGER) AS r,
+         'site' || CAST((media_id * 7 + r) % 1000 AS VARCHAR)
+           || '.example' AS src,
+         (media_id + r) % 4 + 1 AS nl
+  FROM recs
+  WHERE (media_id + r) % 3 = 0
+    AND (media_id + r) % 4 != 1
+    AND (media_id + r) % 5 != 2
+),
+l AS (
+  SELECT media_id, r, src, u.k,
+         (media_id * 11 + r * 7 + u.k * 5) % 1000 AS v
+  FROM keep, LATERAL (SELECT unnest(range(nl)) AS k) u
+),
+hp AS (
+  SELECT DISTINCT src, src AS dst FROM keep
+  UNION
+  SELECT DISTINCT src, 'ext' || CAST(v AS VARCHAR) || '.example' AS dst
+  FROM l WHERE k % 4 = 0
+),
+edges AS (
+  SELECT src AS u, dst AS v FROM hp
+  UNION ALL
+  SELECT dst, src FROM hp
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY 1),
+r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
+r1 AS (
+  SELECT e.v AS u,
+         CAST(150000 + (850 * SUM(r0.r // d.dg)) // 1000 AS BIGINT) AS r
+  FROM edges e JOIN r0 ON r0.u = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v),
+r2 AS (
+  SELECT e.v AS u,
+         CAST(150000 + (850 * SUM(r1.r // d.dg)) // 1000 AS BIGINT) AS r
+  FROM edges e JOIN r1 ON r1.u = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v),
+r3 AS (
+  SELECT e.v AS u,
+         CAST(150000 + (850 * SUM(r2.r // d.dg)) // 1000 AS BIGINT) AS r
+  FROM edges e JOIN r2 ON r2.u = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v),
+outd AS (SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS n_out
+         FROM hp GROUP BY 1),
+ind AS (SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS n_in
+        FROM hp GROUP BY 1)
+SELECT r3.u AS host, r3.r AS rank_ppm,
+       COALESCE(o.n_out, 0) AS n_out,
+       COALESCE(i.n_in, 0) AS n_in
+FROM r3
+LEFT JOIN outd o ON o.host = r3.u
+LEFT JOIN ind i ON i.host = r3.u
+ORDER BY rank_ppm DESC, host
+LIMIT 100
+""",
+)
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E41 — HOST-level web-graph census + integer PageRank (r13):
+    the E38 edge stream aggregated to the granularity a crawl is
+    actually scheduled and ranked at. Page-level edges (one Arrow walk,
+    shared with q_url_dedup) map to (src_host, dst_host) in JVM
+    codegen (lower(parse_url(..., 'HOST')) — host folding is the one
+    canonicalization step that is ALWAYS safe), dedup to the distinct
+    directed host graph (self-loops kept: site-internal links are real
+    edges), then 3 unrolled rounds of the SAME fixed-point integer
+    PageRank q_link_rank pins (ppm scores, floor division, damping as
+    850/1000 — bit-exact across engines, float PR would never
+    hash-match) over the symmetrized edge set, served top-100 with
+    distinct out-/in-neighbor counts. The oracle re-derives the host
+    graph from the link formulas and replays the identical integer
+    iterations. 100 TB posture: the page->host collapse is the big
+    win — the rank/census state is O(hosts) not O(pages) (~10^7 vs
+    ~10^11), the distinct is one hash shuffle with map-side partials,
+    each PR round is an equi-join + destination agg (Pregel-on-
+    DataFrame, O(host-edges) per round), and the final top-100 is
+    TakeOrderedAndProject, never a global sort."""
+    from ..functions import html_text as HT
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    edges = HT.warc_edges(HT.synth_warc_html_payloads(ids))
+    hosts = edges.select(
+        F.lower(F.expr("parse_url(page_url, 'HOST')")).alias("src"),
+        F.lower(F.expr("parse_url(url, 'HOST')")).alias("dst"),
+    ).distinct()
+    sym = hosts.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionByName(hosts.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("dg"))
+    state = deg.withColumn("r", F.lit(1_000_000).cast("long"))
+    for _ in range(3):
+        contrib = sym.join(state, "u").select(
+            F.col("v").alias("u"), F.expr("r div dg").alias("c")
+        )
+        new_r = contrib.groupBy("u").agg(
+            F.expr("CAST(150000 + (850 * SUM(c)) div 1000 AS BIGINT)").alias("r")
+        )
+        state = deg.join(new_r, "u").select("u", "dg", "r")
+    n_out = hosts.groupBy("src").agg(F.count("*").cast("long").alias("n_out"))
+    n_in = hosts.groupBy("dst").agg(F.count("*").cast("long").alias("n_in"))
+    return (
+        state.join(n_out, state["u"] == n_out["src"], "left")
+        .join(n_in, state["u"] == n_in["dst"], "left")
+        .select(
+            state["u"].alias("host"),
+            F.col("r").alias("rank_ppm"),
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
+        )
+        .orderBy(F.desc("rank_ppm"), "host")
+        .limit(100)
+    )
+
+
+@register(
+    "q_robots_policy",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'specific' ELSE 'wildcard' END
+         AS agent_group,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 3 END AS INTEGER)
+         AS n_rules,
+       CAST(CASE WHEN doc_id % 3 = 0
+                 THEN CASE WHEN doc_id % 2 = 0 THEN doc_id % 6 END
+                 ELSE CASE WHEN doc_id % 4 > 0 THEN doc_id % 4 END
+            END AS INTEGER) AS crawl_delay,
+       CAST(CASE WHEN doc_id % 3 = 0
+                 THEN 27 + CASE WHEN doc_id % 4 < 2 THEN 4 ELSE 0 END
+                 ELSE 22 END AS INTEGER) AS allow_mask,
+       CAST(CASE WHEN doc_id % 3 = 0
+                 THEN 4 + CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 0 END
+                 ELSE 3 END AS INTEGER) AS n_allowed
+FROM documents
+""",
+)
+def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E42 — robots.txt CRAWL-POLITENESS census, the layer every crawl
+    that feeds a web corpus runs before any fetch (r13): per host a
+    synthetic robots.txt (groups, prefix rules, an Allow override
+    nested under a Disallow, a *-wildcard suffix rule, crawl-delays,
+    rotating header case / comments / CRLF / multi-user-agent group
+    headers) is parsed into RFC 9309 groups ENTIRELY IN-ENGINE
+    (functions/robots.py), the most specific group for the crawler's
+    product token selected (exact token beats *), and five formula
+    probe paths evaluated under longest-match semantics — most pattern
+    octets wins, Allow breaks ties, * matches any run, no match means
+    allowed. Each probe isolates one branch: prefix disallow,
+    longer-Allow override, the specific group making * rules
+    irrelevant (probes 0/3 flip to allowed on specific hosts — group
+    exclusivity, not rule merging), wildcard-suffix hit and miss. The
+    oracle re-derives every verdict, rule count and delay from the id
+    formulas, so the whole decision procedure must be right, not just
+    the parse. 100 TB posture: one Arrow map pass, no shuffle — the
+    output is exactly the per-host politeness table a crawl frontier
+    broadcasts against its URL stream (q_url_dedup's canonical key is
+    the join key)."""
+    from ..functions import robots as RB
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    return RB.robots_policy_stats(ids)
+
+
+@register(
     "q_wav_sample_stats",
     oracle="""
 WITH p AS (

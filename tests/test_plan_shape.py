@@ -1125,6 +1125,20 @@ def test_wet_stages_are_single_arrow_pass(spark):
         assert not checks.has_cartesian(df), q
 
 
+def test_host_graph_rank_is_equi_join_pregel(spark):
+    """E41: host extraction must run JVM-side (ParseUrlEvaluator in a
+    codegen Project, no BatchEvalPython), every PageRank round must be
+    an equi-join + destination agg (no cartesian/BNLJ), and the
+    top-100 must be TakeOrderedAndProject — never a global sort."""
+    df = _df("q_host_graph", spark)
+    plan = checks.plan_string(df)
+    assert "ParseUrlEvaluator" in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert not checks.has_cartesian(df)
+
+
 def test_url_dedup_canonicalizes_in_codegen(spark):
     """E39: canonicalization must run JVM-side (parse_url in a
     codegen Project, never Python), the census in ONE hash exchange
