@@ -307,12 +307,27 @@ def build_http_response(media_id: int, r: int) -> bytes:
             (media_id + r * 13 + j * 7) % 256 for j in range(32)
         )
         ctype = "application/pdf"
-    status = "200 OK" if html_is_ok(media_id, r) else "404 Not Found"
+    # non-OK records split between a 404 and a 301 redirect (with a
+    # Location header), so the WET keep-rule's 200-only filter is
+    # load-bearing against BOTH of the non-2xx shapes a real crawl
+    # contains in volume — a naive "is_html" extractor would keep the
+    # redirect's HTML stub body
+    if html_is_ok(media_id, r):
+        status, location = "200 OK", ""
+    elif (media_id + r) % 2 == 1:
+        status = "301 Moved Permanently"
+        location = (
+            f"Location: {html_page_host(media_id, r)}/page/"
+            f"{media_id}/{r + 1}\r\n"
+        )
+    else:
+        status, location = "404 Not Found", ""
     ct_name = "content-type" if r % 2 == 1 else "Content-Type"
     cl_name = "content-length" if r % 2 == 1 else "Content-Length"
     head = (
         f"HTTP/1.1 {status}\r\n"
         f"{ct_name}: {ctype}\r\n"
+        f"{location}"
         f"X-Crawl: {media_id}-{r}\r\n"
         f"{cl_name}: {len(body)}\r\n\r\n"
     )

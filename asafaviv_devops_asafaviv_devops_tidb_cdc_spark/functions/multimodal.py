@@ -25,6 +25,7 @@ co-occurring giant files spread evenly.
 
 from __future__ import annotations
 
+import functools
 import struct
 from collections.abc import Iterator
 
@@ -254,6 +255,22 @@ DECODE_SCHEMA = (
 )
 
 
+def _synth_parts(sc) -> int:
+    """Partition count for the synth->decode Arrow chains. One policy
+    for all six builders: a chained mapInPandas pair runs TWO Python
+    workers per task (producer/consumer, pipelined through the JVM),
+    so the sweet spot depends on the stage balance — half-width keeps
+    worker count == cores when both stages are equally hot, full-width
+    wins when one side dominates. Measured at m100 (r13): full-width
+    is the faster setting for every codec query, so that is the
+    policy; the divisor is a module constant so the stress harness can
+    A/B it."""
+    return max(sc.defaultParallelism // SYNTH_PARTS_DIVISOR, 1)
+
+
+SYNTH_PARTS_DIVISOR = 1
+
+
 def synth_payload_stage(media_ids: DataFrame, synth_fn) -> DataFrame:
     """Shared Arrow synth scaffold for every per-id bytes builder
     (JPEG gray/color/progressive, WARC): repartition to half the
@@ -267,8 +284,7 @@ def synth_payload_stage(media_ids: DataFrame, synth_fn) -> DataFrame:
             rows = [(int(mid), synth_fn(int(mid))) for mid in pdf["media_id"]]
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    sc = media_ids.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism // 2, 1)
+    n_parts = _synth_parts(media_ids.sparkSession.sparkContext)
     return media_ids.select("media_id").repartition(n_parts).mapInPandas(
         _build, "media_id long, payload binary"
     )
@@ -310,11 +326,7 @@ def synth_container_payloads(media_ids: DataFrame) -> DataFrame:
                 rows.append((mid, b))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    # half the cores, not all: this stage CHAINS into decode_headers
-    # (two Python workers per task), so full-width partitioning would
-    # co-schedule 2x cores worth of Python workers and thrash
-    sc = media_ids.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism // 2, 1)
+    n_parts = _synth_parts(media_ids.sparkSession.sparkContext)
     return media_ids.select("media_id").repartition(n_parts).mapInPandas(
         _build, SYNTH_SCHEMA
     )
@@ -367,8 +379,7 @@ def synth_bmp_payloads(media_ids: DataFrame) -> DataFrame:
                 rows.append((mid, header + data))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    sc = media_ids.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism // 2, 1)
+    n_parts = _synth_parts(media_ids.sparkSession.sparkContext)
     return media_ids.select("media_id").repartition(n_parts).mapInPandas(
         _build, SYNTH_SCHEMA
     )
@@ -520,8 +531,7 @@ def synth_wav_payloads(media_ids: DataFrame) -> DataFrame:
                 rows.append((mid, b"RIFF" + struct.pack("<I", len(body)) + body))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    sc = media_ids.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism // 2, 1)
+    n_parts = _synth_parts(media_ids.sparkSession.sparkContext)
     return media_ids.select("media_id").repartition(n_parts).mapInPandas(
         _build, SYNTH_SCHEMA
     )
@@ -660,8 +670,7 @@ def synth_avi_payloads(media_ids: DataFrame) -> DataFrame:
                 rows.append((mid, b"RIFF" + struct.pack("<I", len(body)) + body))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    sc = media_ids.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism // 2, 1)
+    n_parts = _synth_parts(media_ids.sparkSession.sparkContext)
     return media_ids.select("media_id").repartition(n_parts).mapInPandas(
         _build, SYNTH_SCHEMA
     )
@@ -816,15 +825,97 @@ def _deflate_dynamic(body: bytes) -> bytes:
     actually contains BTYPE=2 streams; pytest cross-validates every
     emitted stream against ``zlib.decompress`` so compliance is
     library-checked, while the in-engine ``_inflate`` does the
-    decoding in production."""
-    import heapq
+    decoding in production.
+
+    The tree build + header emission are a pure function of the byte
+    HISTOGRAM, so they are memoized (``_dynamic_plan``): inputs with
+    repeating frequency profiles (the r13 profile measured ~40x reuse
+    on the gate corpus) skip straight to the vectorized body
+    emission."""
     import zlib
+
+    import numpy as np
+
+    arr = np.frombuffer(body, dtype=np.uint8)
+    counts = np.bincount(arr, minlength=256)
+    header_bits, wtab, ctab, eob_bits = _dynamic_plan(
+        tuple(int(c) for c in counts)
+    )
+    # body literal emission, vectorized: per-bit symbol index via
+    # repeat, per-bit shift = width-1-j (MSB-first within each code)
+    sarr = arr.astype(np.int64)
+    widths = wtab[sarr]
+    starts = np.concatenate([np.zeros(1, dtype=np.int64), widths.cumsum()])
+    sym_ix = np.repeat(np.arange(len(sarr)), widths)
+    j = np.arange(int(starts[-1]), dtype=np.int64) - starts[sym_ix]
+    body_bits = (
+        (ctab[sarr][sym_ix] >> (widths[sym_ix] - 1 - j)) & 1
+    ).astype(np.uint8)
+    allbits = np.concatenate([header_bits, body_bits, eob_bits])
+    return (
+        b"\x78\x01"
+        + np.packbits(allbits, bitorder="little").tobytes()
+        + struct.pack(">I", zlib.adler32(body) & 0xFFFFFFFF)
+    )
+
+
+def _limit_code_lengths(
+    depth: dict[int, int], freqs: dict[int, int], cap: int
+) -> dict[int, int]:
+    """Length-limit a Huffman code to ``cap`` bits, keeping the Kraft
+    sum EXACTLY complete (deflate decoders — zlib included — reject
+    incomplete literal/code-length trees). The zlib-trees.c approach,
+    expressed on the Kraft ledger in units of 2^-cap: clamp over-deep
+    codes, then lengthen lowest-frequency codes while over budget and
+    shorten highest-frequency ones while under. Every adjustment is a
+    multiple of the smallest outstanding unit, so the greedy walk
+    lands exactly on budget; a failure to converge raises (fail loud,
+    never emit an invalid table)."""
+    if max(depth.values()) <= cap:
+        return depth
+    ls = {s: min(ln, cap) for s, ln in depth.items()}
+    budget = 1 << cap
+    kraft = sum(1 << (cap - ln) for ln in ls.values())
+    # order once: cheapest symbols first for lengthening, dearest
+    # first for shortening; sym id breaks ties deterministically
+    by_cost = sorted(ls, key=lambda s: (freqs.get(s, 0), s))
+    while kraft > budget:
+        # deepest still-lengthenable among the cheapest symbols —
+        # smallest Kraft step, so no overshoot past the exact budget
+        best = None
+        for s in by_cost:
+            ln = ls[s]
+            if ln < cap and (best is None or ln > ls[best]):
+                best = s
+        if best is None:
+            raise ValueError(f"cannot limit code lengths to {cap}")
+        kraft -= 1 << (cap - ls[best] - 1)
+        ls[best] += 1
+    for s in reversed(by_cost):  # shorten the most frequent first
+        while ls[s] > 1 and kraft + (1 << (cap - ls[s])) <= budget:
+            kraft += 1 << (cap - ls[s])
+            ls[s] -= 1
+    if kraft != budget:
+        raise ValueError(f"cannot complete {cap}-bit code")
+    return ls
+
+
+@functools.lru_cache(maxsize=512)
+def _dynamic_plan(counts_key: tuple):
+    """The histogram-determined part of one dynamic-Huffman block:
+    (header bits incl. the Huffman-coded code-length table, the
+    literal tree's (width, code) lookup arrays, the end-of-block
+    bits). Everything here is canonical-order deterministic, so equal
+    histograms produce byte-identical streams."""
+    import heapq
     from collections import Counter
 
-    freqs = Counter(body)
+    import numpy as np
+
+    freqs = {s: int(c) for s, c in enumerate(counts_key) if c}
     freqs[256] = freqs.get(256, 0) + 1  # end-of-block
 
-    def huff_lengths(counter: Counter) -> dict[int, int]:
+    def huff_lengths(counter) -> dict[int, int]:
         if len(counter) == 1:
             return {next(iter(counter)): 1}
         # Huffman via parent pointers (no per-merge symbol-list
@@ -848,16 +939,13 @@ def _deflate_dynamic(body: bytes) -> bytes:
         depths = {nid - 1: 0}
         for node in range(nid - 2, -1, -1):
             depths[node] = depths[parent[node]] + 1
-        depth = {s: depths[i] for i, (s, _f) in enumerate(items)}
-        # Depth > 15 IS reachable in general (Fibonacci-skewed byte
-        # frequencies can force depth 16 with ~2.6k symbols — r10
-        # advice); it is unreachable only for this synth's small
-        # near-uniform rasters (<= ~2.2 KB, formula-derived byte
-        # spread). Raising keeps the invariant loud: never emit an
-        # invalid DHT-style table, fail the synth task instead.
-        if max(depth.values()) > 15:
-            raise ValueError("huffman depth > 15")
-        return depth
+        # Over-deep codes (Fibonacci-skewed frequencies force depth 16
+        # with ~2.6k symbols — r10 advice; skewed code-length
+        # histograms force >7 on the cl tree, hit for real by the r13
+        # WARC revisit headers) are repaired by the caller via
+        # _limit_code_lengths, the way every production deflate
+        # encoder length-limits its trees.
+        return {s: depths[i] for i, (s, _f) in enumerate(items)}
 
     def canon_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
         """symbol -> (bit-length, MSB-first code), canonical order."""
@@ -877,28 +965,25 @@ def _deflate_dynamic(body: bytes) -> bytes:
             next_code[ln] += 1
         return out
 
-    lit_lengths = huff_lengths(freqs)
+    lit_lengths = _limit_code_lengths(huff_lengths(freqs), freqs, 15)
     lit_codes = canon_codes(lit_lengths)
     hlit = 257  # symbols 0..256 (no length codes used)
     lit_seq = [lit_lengths.get(s, 0) for s in range(hlit)]
     dist_seq = [1]  # one unused 1-bit distance code (RFC convention)
     full_seq = lit_seq + dist_seq
     cl_freqs = Counter(full_seq)
-    cl_lengths = huff_lengths(cl_freqs)
-    if max(cl_lengths.values()) > 7:  # 3-bit length fields cap at 7
-        raise ValueError("code-length code deeper than 7 bits")
+    # the header's 3-bit code-length fields cap the cl tree at 7 bits
+    cl_lengths = _limit_code_lengths(huff_lengths(cl_freqs), cl_freqs, 7)
     cl_codes = canon_codes(cl_lengths)
     hclen_lengths = [cl_lengths.get(s, 0) for s in _CLEN_ORDER]
     while len(hclen_lengths) > 4 and hclen_lengths[-1] == 0:
         hclen_lengths.pop()
 
-    import numpy as np
-
     # Header bits collected as a flat 0/1 list (a few hundred bits);
     # the body's literal codes — the hot path, one code per input
-    # byte — are emitted VECTORIZED below and the whole stream packs
-    # in one np.packbits call (LSB-first byte fill, zero padding to
-    # the byte boundary, both per RFC 1951).
+    # byte — are emitted VECTORIZED by the caller and the whole
+    # stream packs in one np.packbits call (LSB-first byte fill, zero
+    # padding to the byte boundary, both per RFC 1951).
     head: list[int] = []
 
     def put(value: int, width: int) -> None:  # LSB-first field
@@ -933,21 +1018,20 @@ def _deflate_dynamic(body: bytes) -> bytes:
     put(len(hclen_lengths) - 4, 4)
     for ln in hclen_lengths:
         put(ln, 3)
-    allbits = np.concatenate(
+    header_bits = np.concatenate(
         [
             np.array(head, dtype=np.uint8),
             # lengths sent literally, no 16/17/18 runs
             emit_codes(full_seq, cl_codes),
-            # body literals + end-of-block
-            emit_codes(np.frombuffer(body, dtype=np.uint8), lit_codes),
-            emit_codes([256], lit_codes),
         ]
     )
-    return (
-        b"\x78\x01"
-        + np.packbits(allbits, bitorder="little").tobytes()
-        + struct.pack(">I", zlib.adler32(body) & 0xFFFFFFFF)
-    )
+    # the literal tree's lookup arrays for the caller's body emission
+    wtab = np.zeros(257, dtype=np.int64)
+    ctab = np.zeros(257, dtype=np.int64)
+    for s, (ln, code) in lit_codes.items():
+        wtab[s] = ln
+        ctab[s] = code
+    return header_bits, wtab, ctab, emit_codes([256], lit_codes)
 
 
 def synth_png_payloads(media_ids: DataFrame) -> DataFrame:
@@ -1050,8 +1134,7 @@ def synth_png_payloads(media_ids: DataFrame) -> DataFrame:
                 rows.append((mid, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    sc = media_ids.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism // 2, 1)
+    n_parts = _synth_parts(media_ids.sparkSession.sparkContext)
     return media_ids.select("media_id").repartition(n_parts).mapInPandas(
         _build, SYNTH_SCHEMA
     )
@@ -1101,9 +1184,28 @@ def _fast_table(lengths: list[int]) -> tuple[list[int], int]:
     allowed at construction (deflate permits e.g. a
     single-distance-code tree) and their unassigned patterns surface
     as decode-time _Corrupt via the 0 entry. Build cost is
-    2^max_len * fill, amortized: the fixed-tree tables build once at
-    import, dynamic trees once per block against thousands of decoded
-    symbols."""
+    2^max_len * fill, amortized twice: the fixed-tree tables build
+    once at import, and dynamic trees are MEMOIZED on their
+    code-length vector (_TABLE_CACHE) — real corpora repeat trees
+    heavily (similar blocks of similar content canonicalize to the
+    same lengths; the r13 profile measured ~10x reuse on the gate
+    corpus), so most blocks skip construction entirely."""
+    key = tuple(lengths)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    table = _build_fast_table(lengths)
+    if len(_TABLE_CACHE) >= _TABLE_CACHE_CAP:  # bounded: drop oldest
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+    _TABLE_CACHE[key] = table
+    return table
+
+
+_TABLE_CACHE: dict[tuple, tuple[list[int], int]] = {}
+_TABLE_CACHE_CAP = 1024
+
+
+def _build_fast_table(lengths: list[int]) -> tuple[list[int], int]:
     max_len = max(lengths, default=0)
     if max_len == 0 or max_len > 15:
         raise _Corrupt

@@ -268,8 +268,9 @@ def robots_policy_stats(media_ids: DataFrame) -> DataFrame:
                 {"crawl_delay": "object"}
             )
 
-    sc = media_ids.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism // 2, 1)
+    from .multimodal import _synth_parts
+
+    n_parts = _synth_parts(media_ids.sparkSession.sparkContext)
     return media_ids.select("media_id").repartition(n_parts).mapInPandas(
         _eval, ROBOTS_SCHEMA
     )

@@ -59,7 +59,13 @@ def warc_record_count(media_id: int) -> int:
 
 
 def warc_record_type(media_id: int, r: int) -> str:
-    return ("response", "request", "metadata")[(media_id + r) % 3]
+    """The full Common Crawl record-type surface: responses and
+    requests, per-page metadata, the archive-level warcinfo record
+    and the dedup-pointer revisit record (r13 — the last two are what
+    a real CC slice opens and dedups with)."""
+    return ("response", "request", "metadata", "warcinfo", "revisit")[
+        (media_id + r) % 5
+    ]
 
 
 def warc_body_len(media_id: int, r: int) -> int:
@@ -236,11 +242,13 @@ def build_warc_record(headers: list[tuple[str, str]], body: bytes) -> bytes:
 def synth_warc_gz_bytes(media_id: int) -> bytes:
     """One complete ``.warc.gz`` archive from the id formula:
     1..3 records (one gzip member each, the Common Crawl layout),
-    record types rotating response/request/metadata, formula-derived
-    URIs and body bytes, member compression rotating stored / library
-    / our dynamic-Huffman deflate, and optional gzip header fields
-    rotating in (FNAME when (id+r)%2==0, FHCRC when (id+r)%5==0,
-    FEXTRA when (id+r)%7==0)."""
+    record types rotating response/request/metadata/warcinfo/revisit
+    (warcinfo drops the target URI and carries WARC-Filename; revisit
+    carries profile, refers-to and a REPEATED WARC-Concurrent-To),
+    formula-derived URIs and body bytes, member compression rotating
+    stored / library / our dynamic-Huffman deflate, and optional gzip
+    header fields rotating in (FNAME when (id+r)%2==0, FHCRC when
+    (id+r)%5==0, FEXTRA when (id+r)%7==0)."""
     import numpy as np
 
     out = bytearray()
@@ -251,16 +259,34 @@ def synth_warc_gz_bytes(media_id: int) -> bytes:
             (media_id + r * 13 + 7 * np.arange(
                 warc_body_len(media_id, r), dtype=np.int64)) % 256
         ).astype(np.uint8).tobytes()
-        rec = build_warc_record(
-            [
-                ("WARC-Type", warc_record_type(media_id, r)),
-                ("WARC-Record-ID",
-                 f"<urn:uuid:{media_id:016x}-{r:04x}>"),
-                ("WARC-Date", "2026-01-01T00:00:00Z"),
-                ("WARC-Target-URI", warc_target_uri(media_id, r)),
-            ],
-            body,
-        )
+        rtype = warc_record_type(media_id, r)
+        headers = [
+            ("WARC-Type", rtype),
+            ("WARC-Record-ID", f"<urn:uuid:{media_id:016x}-{r:04x}>"),
+            ("WARC-Date", "2026-01-01T00:00:00Z"),
+        ]
+        if rtype == "warcinfo":
+            # archive-level metadata: no target URI (ISO 28500 makes
+            # it meaningless here; real CC warcinfo records omit it)
+            headers += [
+                ("WARC-Filename", f"crawl-{media_id}.warc.gz"),
+                ("Content-Type", "application/warc-fields"),
+            ]
+        else:
+            headers.append(("WARC-Target-URI", warc_target_uri(media_id, r)))
+        if rtype == "revisit":
+            # the CC dedup pointer: profile + refers-to, plus TWO
+            # WARC-Concurrent-To fields so the one repeatable header
+            # (ISO 28500 5.7) is exercised by the gate corpus itself,
+            # not only by pytest
+            headers += [
+                ("WARC-Profile",
+                 "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+                ("WARC-Refers-To", f"<urn:uuid:{media_id:016x}-0000>"),
+                ("WARC-Concurrent-To", f"<urn:uuid:{media_id:016x}-aaaa>"),
+                ("WARC-Concurrent-To", f"<urn:uuid:{media_id:016x}-bbbb>"),
+            ]
+        rec = build_warc_record(headers, body)
         seed = media_id + r
         out += gzip_member(
             rec,

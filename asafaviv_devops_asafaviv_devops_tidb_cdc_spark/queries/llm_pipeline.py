@@ -1944,10 +1944,12 @@ recs AS (
 rmeta AS (
   SELECT media_id, n, r,
          (media_id * 11 + r * 97) % 200 + 30 AS len,
-         CASE WHEN (media_id + r) % 3 = 0 THEN 1 ELSE 0 END AS is_resp,
-         LENGTH('http://site' || CAST((media_id * 7 + r) % 1000 AS VARCHAR)
+         CASE WHEN (media_id + r) % 5 = 0 THEN 1 ELSE 0 END AS is_resp,
+         CASE WHEN (media_id + r) % 5 = 3 THEN 0  -- warcinfo: no URI
+              ELSE LENGTH('http://site'
+                || CAST((media_id * 7 + r) % 1000 AS VARCHAR)
                 || '.example/doc/' || CAST(media_id AS VARCHAR) || '/'
-                || CAST(r AS VARCHAR)) AS uri_len
+                || CAST(r AS VARCHAR)) END AS uri_len
   FROM recs
 ),
 bodies AS (
@@ -1981,7 +1983,11 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid .warc.gz archives — one gzip member PER RECORD, the layout
     that makes Common Crawl splittable — are synthesized from id
     formulas (functions/warc.py::synth_warc_gz_bytes: 1..3 records,
-    response/request/metadata types rotating, formula bodies, member
+    the FULL CC record-type surface rotating — response/request/
+    metadata plus warcinfo (no target URI, WARC-Filename) and revisit
+    (profile, refers-to, a repeated WARC-Concurrent-To exercising the
+    one ISO 28500 repeatable field in the gate corpus) — formula
+    bodies, member
     compression rotating stored / library / in-engine dynamic-Huffman
     deflate, optional FNAME/FHCRC/FEXTRA gzip header fields). A
     separate Arrow stage walks the member chain ENTIRELY IN-ENGINE —

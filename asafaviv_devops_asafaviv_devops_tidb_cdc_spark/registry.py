@@ -44,78 +44,73 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-12 window (50 slots), composed mechanically per
+    # Round-13 window (50 slots), composed mechanically per
     # tests/test_freshness.py (scripts/freshness.py is the source of
     # truth; this list just pins its output):
     # (a) 3 never-checked new registrations (cap 3, fully used):
-    #     q_warc_html_text (E37), q_warc_links (E38 link
-    #     extraction + RFC 3986 resolution,
-    #     urljoin-cross-validated), q_url_dedup (E39 URL
-    #     canonicalization + census) —
-    #     WARC -> visible-text extraction (the CC-WET stage; HTTP
-    #     parse + quote-aware tag strip + entity decode, oracle
-    #     re-hashes the SQL-reconstructed text);
-    # (b) 28 changed-path entries: the r12 broadcast-hint audit
-    #     (16 TPC-H-shape queries de-hinted + q_neardup_source_matrix
-    #     + the six bounded-broadcast pragma sites), the shared
-    #     inflate rewrite (fast-table Huffman decode: q_png_pixel_stats
-    #     + q_warc_extract), the T.81 AC-SSSS bound
-    #     (q_jpeg_coeff_stats/q_jpeg_color_stats), and the
-    #     WARC-Concurrent-To repeatable-field fix (q_warc_extract);
-    # (c) rotation = the ENTIRE remaining r6-latest cohort (10, which
-    #     retires r6 completely) + the 11 oldest r7-latest entries in
-    #     registration order; the r7 entries left outside tie the
-    #     newest r7 inside, which the oldest-first invariant allows.
+    #     q_main_content (E40 block-segmentation boilerplate removal),
+    #     q_host_graph (E41 host-level web-graph census + integer
+    #     PageRank), q_robots_policy (E42 RFC 9309 crawl politeness);
+    # (b) 14 changed-path entries: the whole codec/media family
+    #     (synth-stage full-width repartition + the memoized
+    #     _fast_table/_dynamic_plan deflate paths + the
+    #     length-limited Huffman repair), the E37-E39 WET family
+    #     (planted <footer>, 301-redirect rotation, page_url in the
+    #     edge stream), q_warc_extract (warcinfo/revisit record
+    #     types), and q_udtf_explode (Arrow-optimized UDTF);
+    # (c) rotation = the 33 oldest r7-latest verdicts in registration
+    #     order (the 4 r7 entries left outside tie the newest r7
+    #     inside, which the oldest-first invariant allows).
+    "q_main_content",
+    "q_host_graph",
+    "q_robots_policy",
     "q_warc_html_text",
     "q_warc_links",
     "q_url_dedup",
-    "q_ann_filtered",
-    "q_big_orders",
-    "q_curriculum",
-    "q_disjunctive_revenue",
-    "q_doc_search",
-    "q_excess_suppliers",
-    "q_heavy_hitters",
-    "q_join_fk",
-    "q_join_star",
     "q_jpeg_coeff_stats",
     "q_jpeg_color_stats",
-    "q_knn_classify",
-    "q_local_supplier_volume",
-    "q_market_share",
-    "q_min_cost_supplier",
-    "q_nation_profit",
-    "q_nation_volume",
-    "q_neardup_source_matrix",
     "q_png_pixel_stats",
-    "q_pq_encode",
-    "q_pq_topk",
-    "q_promo_share",
-    "q_returned_items",
-    "q_ship_priority",
-    "q_small_qty_revenue",
-    "q_supplier_parts",
-    "q_top_supplier",
     "q_warc_extract",
-    "q_pipeline_e2e",
-    "q_alert_sustained",
-    "q_log_ingest",
-    "q_log_error_rate",
-    "q_running_total",
-    "q_shard_manifest",
-    "q_sample_fixed",
-    "q_sample_per_group",
-    "q_text_embedding_stats",
-    "q_source_gini",
-    "q_sha2",
-    "q_lsh_buckets",
-    "q_fingerprint",
-    "q_scrub_text",
-    "q_props_json",
-    "q_multimodal_meta",
-    "q_media_chunks",
-    "q_split_assign",
-    "q_stratified_sample",
+    "q_multimodal_decode",
+    "q_bmp_pixel_stats",
+    "q_bmp_resize",
+    "q_jpeg_progressive_stats",
+    "q_wav_sample_stats",
+    "q_avi_frame_sample",
+    "q_udtf_explode",
+    "q_unigram_surprise",
+    "q_filter_sweep",
+    "q_ngram_novelty",
+    "q_cluster_leakage",
+    "q_stream_join_view_skew",
+    "q_table_stats",
+    "q_event_transitions",
+    "q_stream_transitions",
+    "q_schema_evolution",
+    "q_pii_census",
+    "q_stream_pii",
+    "q_edit_neardup",
+    "q_content_chunks",
+    "q_graph_triangles",
+    "q_phrase_search",
+    "q_overlap_profile",
+    "q_bm25_search",
+    "q_stream_kmv",
+    "q_gapfill_interpolate",
+    "q_stream_gapfill",
+    "q_attribution",
+    "q_skyline",
+    "q_decay_engagement",
+    "q_equidepth_hist",
+    "q_join_card_est",
+    "q_label_prop",
+    "q_rfm_segments",
+    "q_journey_paths",
+    "q_trend_slope",
+    "q_dbscan_roles",
+    "q_stream_trend",
+    "q_dow_seasonality",
+    "q_changepoint",
 ]
 
 

@@ -214,6 +214,22 @@ HEADLINE = {
         "JVM ParseUrlEvaluator Project (no Python), two-phase exact "
         "count-distinct agg, TakeOrderedAndProject top-100 (r12)"
     ),
+    "q_main_content": (
+        "main-content extraction (jusText-style boilerplate removal) "
+        "— ONE Arrow map pass (block segmentation + role/link-density "
+        "classification), no shuffle beyond the synth repartition "
+        "(r13)"
+    ),
+    "q_host_graph": (
+        "host-level web-graph census + integer PageRank — hosts via "
+        "JVM parse_url, one distinct shuffle, 3 Pregel-style "
+        "equi-join+agg rounds, TakeOrderedAndProject top-100 (r13)"
+    ),
+    "q_robots_policy": (
+        "robots.txt politeness census — synth + RFC 9309 parse + "
+        "longest-match evaluation in ONE Arrow map pass, no shuffle "
+        "(r13)"
+    ),
 }
 
 

@@ -28,7 +28,11 @@ def _want_stats(mid: int):
             for r in range(n) for j in range(W.warc_body_len(mid, r))),
         sum((r * 512 + j + 1) * W.warc_body_byte(mid, r, j)
             for r in range(n) for j in range(W.warc_body_len(mid, r))),
-        sum(len(W.warc_target_uri(mid, r)) for r in range(n)),
+        sum(
+            len(W.warc_target_uri(mid, r))
+            for r in range(n)
+            if W.warc_record_type(mid, r) != "warcinfo"  # no URI there
+        ),
     )
 
 
@@ -176,3 +180,27 @@ def test_stats_null_for_corrupt_payload_in_stage():
     never an exception (mirrors every other decoder stage)."""
     assert W.extract_warc_stats(b"\x1f\x8b\x08 garbage") is None
     assert W.extract_warc_stats(b"") is None
+
+
+def test_full_record_type_surface_on_the_wire():
+    """The r13 rotation must actually emit all five CC record types,
+    warcinfo records must carry WARC-Filename and NO target URI,
+    and revisit records must carry profile/refers-to plus a REPEATED
+    WARC-Concurrent-To that the parser folds comma-joined."""
+    seen = {}
+    for mid in range(40):
+        members = W.gunzip_members(W.synth_warc_gz_bytes(mid))
+        for member in members:
+            headers, _body = W.parse_warc_record(member)
+            seen.setdefault(headers["WARC-Type"], headers)
+    assert set(seen) == {
+        "response", "request", "metadata", "warcinfo", "revisit"
+    }
+    wi = seen["warcinfo"]
+    assert "WARC-Target-URI" not in wi
+    assert wi["WARC-Filename"].endswith(".warc.gz")
+    assert wi["Content-Type"] == "application/warc-fields"
+    rv = seen["revisit"]
+    assert "revisit" in rv["WARC-Profile"]
+    assert rv["WARC-Refers-To"].startswith("<urn:uuid:")
+    assert rv["WARC-Concurrent-To"].count(",") == 1  # two fields folded
