@@ -47,6 +47,7 @@ binary columns.
 
 from __future__ import annotations
 
+import functools
 import struct
 from collections.abc import Iterator
 
@@ -788,19 +789,34 @@ def synth_progressive_jpeg_bytes(media_id: int) -> bytes:
 # decoder
 # ---------------------------------------------------------------------------
 
-def _dht_table(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+@functools.lru_cache(maxsize=512)
+def _dht_table(bits: bytes, vals: bytes) -> tuple[list[int], int]:
     """Canonical JPEG Huffman decode table from a DHT segment's
-    BITS/HUFFVAL (T.81 Annex C): (length, MSB-first code) -> symbol."""
-    table: dict[tuple[int, int], int] = {}
+    BITS/HUFFVAL (T.81 Annex C), laid out FLAT for O(1) decode: a
+    list of ``1 << max_len`` entries indexed by the next ``max_len``
+    input bits (MSB-first — JPEG's bit order, so the fill per code is
+    one contiguous slice). Entry = ``sym << 5 | code_len`` (lengths
+    <= 16 need 5 bits); 0 marks a pattern no code covers. Returns
+    (table, max_len). Memoized on the raw BITS/HUFFVAL bytes — real
+    corpora reuse a handful of tables across millions of images
+    (libjpeg ships two standard pairs), so most DHT segments skip
+    construction entirely."""
+    max_len = max((ln for ln in range(1, 17) if bits[ln - 1]), default=0)
+    if max_len == 0:
+        return [], 0
+    size = 1 << max_len
+    table = [0] * size
     code = 0
     idx = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[idx]
+            base = code << (max_len - length)
+            fill = 1 << (max_len - length)
+            table[base : base + fill] = [(vals[idx] << 5) | length] * fill
             code += 1
             idx += 1
         code <<= 1
-    return table
+    return table, max_len
 
 
 class _Undecodable(Exception):
@@ -819,7 +835,12 @@ def _skip_stuffed(data: bytes, pos: int) -> int:
 
 class _BitReader:
     """MSB-first entropy-coded-segment reader: un-stuffs FF 00,
-    surfaces RSTn markers, stops at any other marker."""
+    surfaces RSTn markers, stops at any other marker. Bits buffer in a
+    multi-byte accumulator filled in bulk (``_fill``), so one Huffman
+    symbol costs one table index instead of a per-bit walk; the fill
+    stops silently at markers/EOF and the consumers raise only when a
+    read actually needs bits that are not there — identical strictness
+    to the per-bit reader, ~5x less interpreter work."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -827,50 +848,94 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def _next_byte(self) -> int:
+    def _fill(self, want: int) -> None:
+        """Buffer input bits until ``want`` are available, stopping
+        (without error) at a marker or EOF. One byte per step keeps
+        the over-pull bounded to < 8 bits past ``want``."""
         d = self.data
-        if self.pos >= len(d):
-            raise _Undecodable
-        b = d[self.pos]
-        if b == 0xFF:
-            if self.pos + 1 >= len(d):
-                raise _Undecodable
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:  # stuffed data byte
-                self.pos += 2
-                return 0xFF
-            raise _Undecodable  # marker inside entropy data
-        self.pos += 1
-        return b
+        n = len(d)
+        acc, nb, p = self.acc, self.nbits, self.pos
+        while nb < want:
+            if p >= n:
+                break
+            byte = d[p]
+            if byte == 0xFF:
+                if p + 1 < n and d[p + 1] == 0x00:  # stuffed data byte
+                    p += 2
+                else:
+                    break  # marker (or truncated FF): stop filling
+            else:
+                p += 1
+            acc = ((acc << 8) | byte) & 0xFFFFFF
+            nb += 8
+        self.acc, self.nbits, self.pos = acc, nb, p
+
+    def rewind_unused(self) -> None:
+        """Hand buffered-but-unconsumed WHOLE bytes back to the byte
+        stream (walking stuffed FF 00 pairs as the one byte they
+        carry — a raw 0xFF data byte is ALWAYS stuffed, so the pair is
+        unambiguous) and discard the sub-byte remainder (the <8
+        padding bits the old per-bit reader also discarded). Callers
+        use this at entropy-segment boundaries, where byte positions
+        become meaningful again."""
+        d = self.data
+        p = self.pos
+        for _ in range(self.nbits >> 3):
+            if d[p - 2 : p] == b"\xff\x00":
+                p -= 2
+            else:
+                p -= 1
+        self.pos = p
+        self.acc = 0
+        self.nbits = 0
 
     def bit(self) -> int:
-        if self.nbits == 0:
-            self.acc = self._next_byte()
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        nb = self.nbits
+        if nb == 0:
+            self._fill(1)
+            nb = self.nbits
+            if nb == 0:
+                raise _Undecodable
+        self.nbits = nb - 1
+        return (self.acc >> (nb - 1)) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+            if self.nbits < n:
+                raise _Undecodable
+        nb = self.nbits - n
+        self.nbits = nb
+        return (self.acc >> nb) & ((1 << n) - 1)
 
-    def symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise _Undecodable
+    def symbol(self, table: tuple[list[int], int]) -> int:
+        tbl, mlen = table
+        nb = self.nbits
+        if nb < mlen:
+            self._fill(mlen)
+            nb = self.nbits
+        if nb >= mlen:
+            idx = (self.acc >> (nb - mlen)) & ((1 << mlen) - 1)
+        else:
+            # segment end: a code of length <= nb is still decodable;
+            # zero-padding selects the right entry, whose length check
+            # below rejects anything needing the missing bits
+            idx = (self.acc << (mlen - nb)) & ((1 << mlen) - 1)
+        entry = tbl[idx] if mlen else 0
+        ln = entry & 31
+        if ln == 0 or ln > nb:
+            raise _Undecodable
+        self.nbits = nb - ln
+        return entry >> 5
 
     def restart(self, expect: int) -> None:
         """Consume an RSTn marker at a byte boundary (discarding the
         1-padding bits before it). A padding byte of all 1-bits is a
         legal 0xFF and arrives stuffed as FF 00 (B.1.1.5) — skip such
         pairs while seeking the marker."""
-        self.nbits = 0
+        self.rewind_unused()
         self.pos = _skip_stuffed(self.data, self.pos)
         d = self.data
         if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
@@ -959,7 +1024,7 @@ def decode_jpeg_components(payload: bytes):
                     vals = seg[i + 17 : i + 17 + n]
                     if len(vals) != n:
                         return None
-                    htables[(tc, th)] = _dht_table(bits, vals)
+                    htables[(tc, th)] = _dht_table(bytes(bits), bytes(vals))
                     i += 17 + n
             elif marker in (0xC0, 0xC1):
                 # SOF0 baseline (8-bit only, T.81 B.2.2) or SOF1
@@ -1092,8 +1157,10 @@ def decode_jpeg_components(payload: bytes):
                 comp_blocks[ci][bidx] = coeffs
         # entropy data must end at EOI (after 1-padding to the byte
         # boundary — an all-1s padding byte arrives stuffed as FF 00);
-        # trailing garbage is corruption
-        reader.nbits = 0
+        # trailing garbage is corruption. rewind_unused hands back the
+        # bulk-fill's over-pulled whole bytes first, so a garbage byte
+        # the filler happened to buffer still fails the check.
+        reader.rewind_unused()
         eoi_pos = _skip_stuffed(b, reader.pos)
         if b[eoi_pos : eoi_pos + 2] != b"\xff\xd9":
             return None
@@ -1235,7 +1302,7 @@ def decode_jpeg_progressive(payload: bytes):
                     vals = seg[i + 17 : i + 17 + n]
                     if len(vals) != n:
                         return None
-                    htables[(tc, th)] = _dht_table(bits, vals)
+                    htables[(tc, th)] = _dht_table(bytes(bits), bytes(vals))
                     i += 17 + n
             elif marker == 0xC2:  # SOF2 progressive
                 if frame_comps is not None:
@@ -1472,7 +1539,7 @@ def decode_jpeg_progressive(payload: bytes):
                                 eobrun -= 1
                 if eobrun:
                     return None  # EOB run past the last data unit
-                reader.nbits = 0
+                reader.rewind_unused()
                 pos = _skip_stuffed(b, reader.pos)
             # APPn / COM / anything else with a length: skipped
         if frame_comps is None or None in dc_al:
