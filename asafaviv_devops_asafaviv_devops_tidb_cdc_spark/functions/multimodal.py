@@ -259,16 +259,25 @@ def _synth_parts(sc) -> int:
     """Partition count for the synth->decode Arrow chains. One policy
     for all six builders: a chained mapInPandas pair runs TWO Python
     workers per task (producer/consumer, pipelined through the JVM),
-    so the sweet spot depends on the stage balance — half-width keeps
-    worker count == cores when both stages are equally hot, full-width
-    wins when one side dominates. Measured at m100 (r13): full-width
-    is the faster setting for every codec query, so that is the
-    policy; the divisor is a module constant so the stress harness can
-    A/B it."""
-    return max(sc.defaultParallelism // SYNTH_PARTS_DIVISOR, 1)
+    so HALF-width partitioning keeps live worker count == cores. The
+    r13 A/B measured both ways at both granularities: full-width wins
+    ~13% on an ISOLATED m100 codec run (the dedicated-media-fleet
+    case — one workload owns the box), but in the 256-query suite it
+    loses ~20% of TOTAL suite time (64 concurrent Python workers
+    oversubscribe against the JVM's own task threads, and every
+    later query inherits the churn). A mixed engine defaults to the
+    suite-optimal half-width; a dedicated media pipeline can flip it
+    per-process via SPARK_GRAFT_SYNTH_DIVISOR=1 (what the stress
+    harness A/Bs)."""
+    import os
+
+    div = int(
+        os.environ.get("SPARK_GRAFT_SYNTH_DIVISOR", SYNTH_PARTS_DIVISOR)
+    )
+    return max(sc.defaultParallelism // div, 1)
 
 
-SYNTH_PARTS_DIVISOR = 1
+SYNTH_PARTS_DIVISOR = 2
 
 
 def synth_payload_stage(media_ids: DataFrame, synth_fn) -> DataFrame:
