@@ -1215,6 +1215,15 @@ _TABLE_CACHE_CAP = 1024
 
 
 def _build_fast_table(lengths: list[int]) -> tuple[list[int], int]:
+    # big alphabets (the per-block literal trees of library-encoded
+    # members, ~290 symbols, mostly cache MISSES because every block's
+    # tree differs) take the vectorized path: canonical code
+    # assignment, the per-code LSB-first bit reversal and the entry
+    # packing all run as array ops, leaving only the C-speed slice
+    # fills in Python. Small alphabets (code-length/distance trees)
+    # stay on the scalar path where numpy overhead would dominate.
+    if len(lengths) >= 64:
+        return _build_fast_table_np(lengths)
     max_len = max(lengths, default=0)
     if max_len == 0 or max_len > 15:
         raise _Corrupt
@@ -1245,6 +1254,50 @@ def _build_fast_table(lengths: list[int]) -> tuple[list[int], int]:
         # C-speed fill: every pattern whose low ln bits equal the
         # reversed code decodes to this symbol
         table[rev::step] = [entry] * (size >> ln)
+    return table, max_len
+
+
+def _build_fast_table_np(lengths: list[int]) -> tuple[list[int], int]:
+    """Vectorized twin of the scalar path below — same table, same
+    _Corrupt contract (differentially tested)."""
+    import numpy as np
+
+    lens = np.asarray(lengths, dtype=np.int64)
+    nz = np.nonzero(lens)[0]
+    if len(nz) == 0:
+        raise _Corrupt
+    lnz = lens[nz]
+    max_len = int(lnz.max())
+    if max_len > 15:
+        raise _Corrupt
+    bl_count = np.bincount(lnz, minlength=max_len + 1)
+    code = 0
+    first = [0] * (max_len + 1)
+    for bits in range(1, max_len + 1):
+        code = (code + int(bl_count[bits - 1])) << 1
+        first[bits] = code
+        if code + int(bl_count[bits]) > (1 << bits):
+            raise _Corrupt  # over-subscribed
+    order = np.argsort(lnz, kind="stable")  # canonical: by length, then sym
+    sorted_syms = nz[order]
+    sorted_lens = lnz[order]
+    # canonical code = first[len] + rank within the length group
+    grp_first = np.searchsorted(sorted_lens, sorted_lens)
+    codes = np.asarray(first)[sorted_lens] + (
+        np.arange(len(order)) - grp_first
+    )
+    # LSB-first index = bit-reverse of the code in its own width:
+    # reverse (code << (max_len - len)) in max_len bits
+    tmp = codes << (max_len - sorted_lens)
+    rev = np.zeros_like(tmp)
+    for _ in range(max_len):
+        rev = (rev << 1) | (tmp & 1)
+        tmp >>= 1
+    entries = ((sorted_syms << 4) | sorted_lens).tolist()
+    size = 1 << max_len
+    table = [0] * size
+    for r, e, ln in zip(rev.tolist(), entries, sorted_lens.tolist()):
+        table[r :: 1 << ln] = [e] * (size >> ln)
     return table, max_len
 
 
@@ -1414,19 +1467,51 @@ def _inflate_raw(data: bytes, pos: int = 0):
         for i in range(hclen):
             cl_lengths[_CLEN_ORDER[i]] = getbits(3)
         cl_tbl, cl_mlen = _fast_table(cl_lengths)
+        # the ~300-symbol length parse is a hot loop like
+        # huffman_block: hoist the accumulator into locals, write back
+        # on every exit path (the finally), and decode symbols by one
+        # flat-table index each
         lengths: list[int] = []
-        while len(lengths) < hlit + hdist:
-            sym = read_sym(cl_tbl, cl_mlen)
-            if sym < 16:
-                lengths.append(sym)
-            elif sym == 16:
-                if not lengths:
+        nonlocal buf, nbits, pos
+        b, nb, p = buf, nbits, pos
+        cl_mask = (1 << cl_mlen) - 1
+        total = hlit + hdist
+        append = lengths.append
+        try:
+            while len(lengths) < total:
+                while nb < cl_mlen and p < n:
+                    b |= data[p] << nb
+                    p += 1
+                    nb += 8
+                entry = cl_tbl[b & cl_mask]
+                ln = entry & 15
+                if ln == 0 or ln > nb:
                     raise _Corrupt
-                lengths.extend([lengths[-1]] * (3 + getbits(2)))
-            elif sym == 17:
-                lengths.extend([0] * (3 + getbits(3)))
-            else:  # 18
-                lengths.extend([0] * (11 + getbits(7)))
+                b >>= ln
+                nb -= ln
+                sym = entry >> 4
+                if sym < 16:
+                    append(sym)
+                    continue
+                if sym == 16:
+                    if not lengths:
+                        raise _Corrupt
+                    eb, base, rep_val = 2, 3, lengths[-1]
+                elif sym == 17:
+                    eb, base, rep_val = 3, 3, 0
+                else:  # 18
+                    eb, base, rep_val = 7, 11, 0
+                while nb < eb and p < n:
+                    b |= data[p] << nb
+                    p += 1
+                    nb += 8
+                if nb < eb:
+                    raise _Corrupt
+                lengths.extend([rep_val] * (base + (b & ((1 << eb) - 1))))
+                b >>= eb
+                nb -= eb
+        finally:
+            buf, nbits, pos = b, nb, p
         if len(lengths) != hlit + hdist:
             raise _Corrupt  # run-length spill across the boundary
         lit = _fast_table(lengths[:hlit])

@@ -2502,10 +2502,20 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     edges = HT.warc_edges(HT.synth_warc_html_payloads(ids))
-    hosts = edges.select(
-        F.lower(F.expr("parse_url(page_url, 'HOST')")).alias("src"),
-        F.lower(F.expr("parse_url(url, 'HOST')")).alias("dst"),
-    ).distinct()
+    # persist the host-graph frame: every PR round, the degree table
+    # and both neighbor censuses re-reference it, and without a
+    # materialization Spark would re-run the whole Arrow archive walk
+    # per consumer (~7x at 100 TB that walk IS the corpus scan). The
+    # frame itself is O(hosts) — the small thing a rank loop should
+    # iterate on.
+    hosts = (
+        edges.select(
+            F.lower(F.expr("parse_url(page_url, 'HOST')")).alias("src"),
+            F.lower(F.expr("parse_url(url, 'HOST')")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
     sym = hosts.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionByName(hosts.select(F.col("dst").alias("u"), F.col("src").alias("v")))
