@@ -306,6 +306,8 @@ def extract_warc_stats(payload: bytes):
     (r * 512 + j + 1), so member order AND byte order must both
     survive the gzip + WARC walk exactly. None if any member or
     record is corrupt or a member does not hold exactly one record."""
+    import numpy as np
+
     members = gunzip_members(payload or b"")
     if members is None:
         return None
@@ -322,8 +324,13 @@ def extract_warc_stats(payload: bytes):
         if headers.get("WARC-Type") == "response":
             n_responses += 1
         total_len += len(body)
-        body_sum += sum(body)
-        body_wsum += sum((r * 512 + j + 1) * b for j, b in enumerate(body))
+        # vectorized: position-weighted sum over the body bytes (the
+        # scalar formula is sum((r*512 + j + 1) * body[j]))
+        arr = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+        body_sum += int(arr.sum())
+        body_wsum += int(
+            ((r * 512 + 1 + np.arange(len(arr), dtype=np.int64)) * arr).sum()
+        )
         uri_len_sum += len(headers.get("WARC-Target-URI", ""))
     return (len(members), n_responses, total_len, body_sum, body_wsum,
             uri_len_sum)
