@@ -8,6 +8,7 @@ import tempfile
 from pathlib import Path
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.operators import parse as P
 from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.sources import (
@@ -610,3 +611,52 @@ def test_doc_skew_plants_shared_boilerplate_on_even_ids(spark, monkeypatch):
         assert len({r["count"] for r in per_rep}) == 1
     finally:
         shutil.rmtree(mod.STRESS_ROOT, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# r13: Kraft-exact Huffman length limiting (multimodal._limit_code_lengths)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    freqs=st.lists(st.integers(1, 1 << 40), min_size=2, max_size=290),
+    cap=st.integers(3, 15),
+)
+def test_limit_code_lengths_is_kraft_exact(freqs, cap):
+    """For ANY frequency profile (Fibonacci-class skews included, via
+    the huge weight range) whose alphabet fits the cap at all, the
+    repaired lengths must (a) stay within the cap, (b) sum to a
+    Kraft-EXACT complete code (deflate decoders reject incomplete
+    lit/cl trees), (c) keep every symbol."""
+    import heapq
+
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.functions.multimodal import (
+        _limit_code_lengths,
+    )
+
+    if len(freqs) > (1 << cap):
+        return  # alphabet cannot fit the cap; the encoder never asks
+    fmap = dict(enumerate(freqs))
+    # plain Huffman depths (the encoder's own construction)
+    items = sorted(fmap.items())
+    heap = [(f, i) for i, (_s, f) in enumerate(items)]
+    heapq.heapify(heap)
+    parent = {}
+    nid = len(items)
+    while len(heap) > 1:
+        f1, i1 = heapq.heappop(heap)
+        f2, i2 = heapq.heappop(heap)
+        parent[i1] = nid
+        parent[i2] = nid
+        heapq.heappush(heap, (f1 + f2, nid))
+        nid += 1
+    depths = {nid - 1: 0}
+    for node in range(nid - 2, -1, -1):
+        depths[node] = depths[parent[node]] + 1
+    depth = {s: depths[i] for i, (s, _f) in enumerate(items)}
+    out = _limit_code_lengths(depth, fmap, cap)
+    assert set(out) == set(fmap)
+    assert max(out.values()) <= cap
+    assert all(ln >= 1 for ln in out.values())
+    assert sum(1 << (cap - ln) for ln in out.values()) == (1 << cap)

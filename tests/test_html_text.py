@@ -494,3 +494,35 @@ def test_main_content_stage_in_spark(spark):
         assert row["main_tokens"] == len(want.split())
         assert (row["n_blocks"], row["n_content"]) == (nb, nc)
         assert row["main_md5"] == hashlib.md5(want.encode()).hexdigest()
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    words=st.lists(_WORD, min_size=0, max_size=12),
+    tags=st.lists(
+        st.sampled_from(["p", "div", "li", "h2", "span", "b", "footer"]),
+        min_size=1, max_size=6,
+    ),
+    link_every=st.integers(2, 4),
+    seed=st.integers(0, 9),
+)
+def test_block_join_equals_wet_text_on_generated_html(
+    words, tags, link_every, seed
+):
+    """Property form of the lose-nothing invariant: on generated
+    whitespace-separated HTML (mixed block/inline tags, anchors,
+    comments, script), the space-join of all segmented blocks equals
+    the WET text, and every anchor-only block carries density 1.0."""
+    parts = ["<script>var x = 'hidden';</script>", "<!-- <p>gone</p> -->"]
+    for i, w in enumerate(words):
+        t = tags[i % len(tags)]
+        if i % link_every == 0:
+            parts.append(f'<{t}><a href="/l{i}">{w}</a></{t}>')
+        else:
+            parts.append(f"<{t} id='a{i}'>{w} t{seed}</{t}>")
+    html = "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+    blocks = H.segment_blocks(html)
+    assert " ".join(t for t, _, _ in blocks) == H.extract_visible_text(html)
+    for text, density, _role in blocks:
+        assert 0.0 <= density <= 1.0
+        assert text == " ".join(text.split())

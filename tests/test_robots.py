@@ -135,3 +135,41 @@ def test_stage_in_spark(spark):
             assert row["allow_mask"] == 22
         if mid % 3 != 0 and mid % 4 == 0:
             assert row["crawl_delay"] is None
+
+
+import re as _re
+
+from hypothesis import given, settings, strategies as st
+
+_PATH_CHARS = "abc/0.$*"
+
+
+def _ref_match(pattern: str, path: str) -> bool:
+    """Reference matcher: translate the RFC 9309 pattern to a regex
+    (* -> .*, trailing $ -> end anchor, everything else literal) and
+    test for a match at the path start."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if c == "*" else _re.escape(c) for c in body)
+    rx = rx + r"\Z" if anchored else rx
+    return _re.match(rx, path) is not None
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    pattern=st.text(alphabet=_PATH_CHARS, min_size=1, max_size=12),
+    path=st.text(alphabet="abc/0.", min_size=0, max_size=16),
+)
+def test_pattern_matches_regex_differential(pattern, path):
+    """The hand-rolled wildcard matcher must agree with a regex
+    translation of the same RFC 9309 pattern grammar on every input
+    (a mid-pattern $ is a literal in both — only the final char
+    anchors)."""
+    # mid-pattern '$' is literal per RFC; our matcher treats only the
+    # trailing one specially, and so does the reference
+    if "$" in pattern[:-1]:
+        pattern = pattern.replace("$", "", pattern.count("$") - 1) \
+            if pattern.endswith("$") else pattern.replace("$", "")
+    assert R._pattern_matches(pattern, path) == _ref_match(pattern, path), (
+        pattern, path,
+    )
