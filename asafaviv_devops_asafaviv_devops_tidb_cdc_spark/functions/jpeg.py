@@ -1345,8 +1345,13 @@ def decode_jpeg_progressive(payload: bytes):
                 if total > 8 * (len(b) - pos):
                     return None
                 for _, h, v, _ in frame_comps:
+                    # dense 64-slot lists, not dicts: the refinement
+                    # sweeps index every band position of every block
+                    # once per scan, so direct indexing is the hot
+                    # path; the forged-dims guard above bounds the
+                    # allocation
                     coef.append(
-                        [dict() for _ in range(mcux * h * mcuy * v)]
+                        [[0] * 64 for _ in range(mcux * h * mcuy * v)]
                     )
                     dc_al.append(None)
                     ac_al.append([None] * 64)
@@ -1462,7 +1467,7 @@ def decode_jpeg_progressive(payload: bytes):
                             block[0] = preds[ci] << al
                         elif ss == 0:  # DC refinement: one raw bit
                             if reader.bit():
-                                block[0] = block.get(0, 0) | (1 << al)
+                                block[0] |= 1 << al
                         elif ah == 0:  # AC first
                             if eobrun:
                                 eobrun -= 1
@@ -1508,7 +1513,7 @@ def decode_jpeg_progressive(payload: bytes):
                                             return None
                                         val = p1 if reader.bit() else -p1
                                     while k <= se:
-                                        cur = block.get(k, 0)
+                                        cur = block[k]
                                         if cur != 0:
                                             if reader.bit() and not cur & p1:
                                                 block[k] = cur + (
@@ -1529,7 +1534,7 @@ def decode_jpeg_progressive(payload: bytes):
                             if eobrun:
                                 # correction sweep over the band's rest
                                 while k <= se:
-                                    cur = block.get(k, 0)
+                                    cur = block[k]
                                     if cur != 0:
                                         if reader.bit() and not cur & p1:
                                             block[k] = cur + (
@@ -1558,9 +1563,10 @@ def decode_jpeg_progressive(payload: bytes):
             qt = qtables[tq]
             blocks = []
             for state in coef[ci]:
-                blk = {0: state.get(0, 0) * qt[0]}
-                for k, val in state.items():
-                    if k and val:
+                blk = {0: state[0] * qt[0]}
+                for k in range(1, 64):
+                    val = state[k]
+                    if val:
                         blk[k] = val * qt[k]
                 blocks.append(blk)
             out.append((cid, h, v, blocks))
