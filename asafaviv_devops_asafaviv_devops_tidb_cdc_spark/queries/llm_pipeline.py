@@ -2499,38 +2499,18 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame, O(host-edges) per round), and the final top-100 is
     TakeOrderedAndProject, never a global sort."""
     from ..functions import html_text as HT
+    from ..functions import webgraph as WG
 
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     edges = HT.warc_edges(HT.synth_warc_html_payloads(ids))
-    # persist the host-graph frame: every PR round, the degree table
-    # and both neighbor censuses re-reference it, and without a
-    # materialization Spark would re-run the whole Arrow archive walk
-    # per consumer (~7x at 100 TB that walk IS the corpus scan). The
-    # frame itself is O(hosts) — the small thing a rank loop should
-    # iterate on.
-    hosts = (
-        edges.select(
-            F.lower(F.expr("parse_url(page_url, 'HOST')")).alias("src"),
-            F.lower(F.expr("parse_url(url, 'HOST')")).alias("dst"),
-        )
-        .distinct()
-        .persist()
-    )
-    sym = hosts.select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    ).unionByName(hosts.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-    deg = sym.groupBy("u").agg(F.count("*").alias("dg"))
-    state = deg.withColumn("r", F.lit(1_000_000).cast("long"))
-    for _ in range(3):
-        contrib = sym.join(state, "u").select(
-            F.col("v").alias("u"), F.expr("r div dg").alias("c")
-        )
-        new_r = contrib.groupBy("u").agg(
-            F.expr("CAST(150000 + (850 * SUM(c)) div 1000 AS BIGINT)").alias("r")
-        )
-        state = deg.join(new_r, "u").select("u", "dg", "r")
-    n_out = hosts.groupBy("src").agg(F.count("*").cast("long").alias("n_out"))
-    n_in = hosts.groupBy("dst").agg(F.count("*").cast("long").alias("n_in"))
+    # the distinct host frame is persisted inside host_pairs (every PR
+    # round, the degree table and both neighbor censuses re-reference
+    # it — without a materialization the Arrow archive walk would
+    # re-run ~7x) and released by the harness's central cache clear
+    # (bench.py / tests/conftest.py; r13 ADVICE).
+    hosts = WG.host_pairs(edges)
+    state = WG.integer_pagerank(WG.symmetrized(hosts), rounds=3)
+    n_out, n_in = WG.neighbor_census(hosts)
     return (
         state.join(n_out, state["u"] == n_out["src"], "left")
         .join(n_in, state["u"] == n_in["dst"], "left")

@@ -19,6 +19,11 @@ SF_ORACLE = "/root/testdata/sf0.01"
 def spark():
     s = get_spark("tidb_cdc_spark_tests")
     yield s
+    # central unpersist path for query-internal persists (webgraph
+    # host frames, dedup signature frames, ... — r13 ADVICE): the
+    # session owns the cached blocks, so the session fixture drops
+    # them, mirroring bench.py's per-query clearCache.
+    s.catalog.clearCache()
 
 
 @pytest.fixture(scope="session")
