@@ -1116,3 +1116,31 @@ def warc_links_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(_extract, LINKS_SCHEMA)
+
+
+def canonical_url_col(url_col: str = "url"):
+    """The E39 safe-core canonical form as a JVM codegen Column
+    (q_crawl_frontier's normalize path): scheme/host lowercased,
+    default :80/:443 ports stripped, empty path -> '/', query params
+    sorted. Same policy — and deliberately the same expression text —
+    as q_url_dedup's inline pin (see its docstring for the RFC 3986
+    rationale); tests/test_web_frontier.py property-tests idempotence
+    and a urllib differential over the safe subset."""
+    from pyspark.sql import functions as F
+
+    port = f"regexp_extract(parse_url({url_col}, 'AUTHORITY'), ':([0-9]+)$', 1)"
+    scheme = f"lower(parse_url({url_col}, 'PROTOCOL'))"
+    return F.expr(
+        f"{scheme} || '://' || lower(parse_url({url_col}, 'HOST')) || "
+        f"CASE WHEN {port} = '' THEN '' "
+        f"     WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
+        f"     WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
+        f"     ELSE ':' || {port} END || "
+        f"CASE WHEN parse_url({url_col}, 'PATH') IS NULL "
+        f"          OR parse_url({url_col}, 'PATH') = '' THEN '/' "
+        f"     ELSE parse_url({url_col}, 'PATH') END || "
+        f"CASE WHEN parse_url({url_col}, 'QUERY') IS NULL "
+        f"          OR parse_url({url_col}, 'QUERY') = '' THEN '' "
+        f"     ELSE '?' || array_join(array_sort(split("
+        f"parse_url({url_col}, 'QUERY'), '&')), '&') END"
+    )

@@ -287,3 +287,67 @@ def robots_policy_stats(media_ids: DataFrame) -> DataFrame:
     return media_ids.select("media_id").repartition(n_parts).mapInPandas(
         _eval, ROBOTS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# frontier surface (E43): the selected group as DATA, so politeness
+# evaluation can run JVM-side against an arbitrary URL stream
+# ---------------------------------------------------------------------------
+
+
+def pattern_regex(pattern: str) -> str:
+    """Translate an RFC 9309 rule pattern to an anchored regex with
+    IDENTICAL match semantics to _pattern_matches: '*' -> '.*', a
+    terminal '$' anchors, everything else is literal. Emitted with
+    per-character escaping so the same string compiles under both
+    java.util.regex (Spark ``rlike``) and Python ``re`` — the
+    property-test differential in tests/test_robots.py holds the two
+    matchers and this translation together."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+        if pattern.endswith("*"):
+            anchored = False
+    body = ".*".join(_re.escape(seg) for seg in pattern.split("*"))
+    return "^" + body + ("$" if anchored else "")
+
+
+RULES_SCHEMA = (
+    "host_id long, agent_group string, crawl_delay int, "
+    "rules array<struct<allow: boolean, plen: int, rx: string>>"
+)
+
+
+def robots_rules_stage(hosts: DataFrame) -> DataFrame:
+    """(host_id long) -> per-host politeness row: the group selected
+    for AGENT flattened to (allow, pattern-octets, regex) triples plus
+    its crawl-delay. One Arrow map pass over the O(hosts) frame — the
+    output is the small table a frontier BROADCASTS against its URL
+    stream, with longest-match evaluation left to JVM codegen
+    (aggregate/filter over the rules array; see q_crawl_frontier)."""
+
+    def _rules(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["host_id", "agent_group", "crawl_delay", "rules"]
+        for pdf in batches:
+            rows = []
+            for hid in pdf["host_id"]:
+                h = int(hid)
+                kind, group = select_group(parse_robots_txt(build_robots_txt(h)))
+                rows.append(
+                    (
+                        h,
+                        kind,
+                        group["crawl_delay"],
+                        [
+                            (allow, len(pat), pattern_regex(pat))
+                            for allow, pat in group["rules"]
+                        ],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"crawl_delay": "object"}
+            )
+
+    return hosts.select("host_id").mapInPandas(_rules, RULES_SCHEMA)

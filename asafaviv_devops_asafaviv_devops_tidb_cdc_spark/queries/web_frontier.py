@@ -1,0 +1,458 @@
+"""Crawl-frontier composition (E43-E45): the r13 web family's
+artifacts — canonical URLs (E39), robots politeness (E42), host rank
+(E41) — plus sitemap discovery (E44) composed into the fetch-priority
+table a crawl scheduler actually broadcasts, and the streaming twin
+that maintains the host-graph census incrementally.
+
+Reference surface: none — the reference engine stops at raw CDC rows
+(node-consumer/index.js:235-333 transports them); this family extends
+the LLM-pipeline mandate (north-star BASELINE.json) to the crawl
+front end that FEEDS such a pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import ORACLES, register
+from ..sources import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# E44 — sitemap.xml discovery census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sitemap_census",
+    oracle="""
+WITH p AS (SELECT doc_id AS h, doc_id % 6 + 2 AS n FROM documents),
+u AS (
+  SELECT p.h, p.n, CAST(kk.k AS INTEGER) AS k,
+         (p.h * 13 + kk.k * 11) % 100 AS v
+  FROM p, LATERAL (SELECT unnest(range(p.n)) AS k) kk
+),
+urls AS (
+  SELECT h, n, k, v,
+    'http://site' || CAST(h AS VARCHAR) || '.example' ||
+    CASE k % 4
+      WHEN 0 THEN '/private/doc' || CAST(v AS VARCHAR)
+      WHEN 1 THEN '/private/pub' || CAST(h % 7 AS VARCHAR)
+                  || '/doc' || CAST(v AS VARCHAR)
+      WHEN 2 THEN '/w' || CAST(h % 9 AS VARCHAR) || '/f'
+                  || CAST(v AS VARCHAR) || '.tmp'
+      ELSE '/p' || CAST(h % 5 AS VARCHAR) || '/doc' || CAST(v AS VARCHAR)
+    END ||
+    CASE WHEN k % 5 = 0 THEN '?y=2&x=' || CAST(v AS VARCHAR)
+         ELSE '' END AS loc,
+    CASE WHEN (h + k) % 3 != 1
+         THEN CAST(DATE '2024-01-01'
+                   + CAST((h * 31 + k * 7) % 365 AS INTEGER)
+              AS VARCHAR) END AS lastmod,
+    CASE WHEN (h + k) % 2 = 0 THEN k % 10 + 1 ELSE 0 END AS tenths
+  FROM u
+)
+SELECT h AS media_id,
+  CAST(CASE WHEN h % 5 = 0 THEN 3 ELSE 1 END AS INTEGER) AS n_files,
+  CAST(COUNT(*) AS INTEGER) AS n_urls,
+  CAST(COUNT(lastmod) AS INTEGER) AS n_lastmod,
+  MAX(lastmod) AS max_lastmod,
+  CAST(SUM(tenths) AS INTEGER) AS prio_tenths,
+  md5(string_agg(loc, chr(10) ORDER BY loc)) AS urls_md5
+FROM urls
+GROUP BY h
+""",
+)
+def q_sitemap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E44 — sitemap.xml DISCOVERY census, the inflow twin of the
+    robots politeness census (E42): per host a synthetic sitemap tree
+    (plain urlset or a 2-child sitemapindex on every 5th id, gzipped
+    on every 4th-mod-2, namespace-prefixed tags on every 3rd-mod-1,
+    CDATA loc values on every 7th-mod-3, XML comments, escaped '&' in
+    query strings, whitespace-padded text) is parsed ENTIRELY
+    in-engine by a generic local-name XML scanner
+    (functions/sitemap.py) and reduced to file/URL/lastmod counts,
+    the max lastmod, total <priority> tenths, and the md5 of the
+    sorted raw URL set. The oracle re-derives every URL and date from
+    the id formulas, so index recursion, gzip sniffing, entity
+    decode, CDATA, prefix-agnostic tag matching and trimming must all
+    be byte-exact. 100 TB posture: sitemaps are O(hosts), one Arrow
+    map pass, no shuffle — the discovery feed q_crawl_frontier unions
+    with the link-extracted URL stream."""
+    from ..functions import sitemap as SM
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    return SM.sitemap_census_stats(ids)
+
+
+# ---------------------------------------------------------------------------
+# E43 — the frontier composition
+# ---------------------------------------------------------------------------
+
+_FRONTIER_GRAPH_CTES = """
+p AS (SELECT doc_id AS media_id, doc_id % 3 + 1 AS n FROM documents),
+recs AS (SELECT media_id, unnest(range(n)) AS r FROM p),
+keep AS (
+  SELECT media_id, CAST(r AS INTEGER) AS r,
+         (media_id * 7 + r) % 1000 AS h,
+         (media_id + r) % 4 + 1 AS nl
+  FROM recs
+  WHERE (media_id + r) % 3 = 0
+    AND (media_id + r) % 4 != 1
+    AND (media_id + r) % 5 != 2
+),
+l AS (
+  SELECT media_id, r, h, u.k,
+         (media_id * 11 + r * 7 + u.k * 5) % 1000 AS v
+  FROM keep, LATERAL (SELECT unnest(range(nl)) AS k) u
+),
+hp AS (
+  SELECT DISTINCT 'site' || CAST(h AS VARCHAR) || '.example' AS src,
+                  'site' || CAST(h AS VARCHAR) || '.example' AS dst
+  FROM keep
+  UNION
+  SELECT DISTINCT 'site' || CAST(h AS VARCHAR) || '.example',
+                  'ext' || CAST(v AS VARCHAR) || '.example'
+  FROM l WHERE k % 4 = 0
+)"""
+
+
+@register(
+    "q_crawl_frontier",
+    oracle="""
+WITH """
+    + _FRONTIER_GRAPH_CTES
+    + """,
+link_cand AS (
+  SELECT 'site' || CAST(h AS VARCHAR) || '.example' AS host, h AS hid,
+         'http://site' || CAST(h AS VARCHAR) || '.example/u?a=1&b' AS url
+  FROM keep
+  UNION ALL
+  SELECT CASE WHEN k % 4 = 0 THEN 'ext' || CAST(v AS VARCHAR) || '.example'
+              ELSE 'site' || CAST(h AS VARCHAR) || '.example' END,
+         CASE WHEN k % 4 = 0 THEN v ELSE h END,
+         CASE k % 4
+           WHEN 0 THEN 'http://ext' || CAST(v AS VARCHAR)
+                       || '.example/d/' || CAST(v AS VARCHAR)
+           WHEN 1 THEN 'http://site' || CAST(h AS VARCHAR)
+                       || '.example/p/' || CAST(v AS VARCHAR)
+           WHEN 2 THEN 'http://site' || CAST(h AS VARCHAR)
+                       || '.example/page/' || CAST(media_id AS VARCHAR)
+                       || '/d/' || CAST(v AS VARCHAR)
+           ELSE 'http://site' || CAST(h AS VARCHAR)
+                || '.example/page/x?a=' || CAST(v AS VARCHAR) || '&b=2'
+         END
+  FROM l
+),
+smh AS (SELECT DISTINCT h FROM keep),
+smu AS (
+  SELECT s.h, CAST(kk.k AS INTEGER) AS k,
+         (s.h * 13 + kk.k * 11) % 100 AS v
+  FROM smh s, LATERAL (SELECT unnest(range(s.h % 6 + 2)) AS k) kk
+),
+sm_cand AS (
+  SELECT 'site' || CAST(h AS VARCHAR) || '.example' AS host, h AS hid,
+    'http://site' || CAST(h AS VARCHAR) || '.example' ||
+    CASE k % 4
+      WHEN 0 THEN '/private/doc' || CAST(v AS VARCHAR)
+      WHEN 1 THEN '/private/pub' || CAST(h % 7 AS VARCHAR)
+                  || '/doc' || CAST(v AS VARCHAR)
+      WHEN 2 THEN '/w' || CAST(h % 9 AS VARCHAR) || '/f'
+                  || CAST(v AS VARCHAR) || '.tmp'
+      ELSE '/p' || CAST(h % 5 AS VARCHAR) || '/doc' || CAST(v AS VARCHAR)
+    END ||
+    CASE WHEN k % 5 = 0 THEN '?x=' || CAST(v AS VARCHAR) || '&y=2'
+         ELSE '' END AS url,
+    CASE WHEN h % 3 = 0
+         THEN CASE WHEN k % 4 = 3 THEN 0 ELSE 1 END
+         ELSE CASE WHEN k % 4 = 0 OR k % 4 = 2 THEN 0 ELSE 1 END
+    END AS allowed
+  FROM smu
+),
+cand AS (
+  SELECT host, hid, url, 1 AS fl, 0 AS fs, 1 AS allowed FROM link_cand
+  UNION ALL
+  SELECT host, hid, url, 0, 1, allowed FROM sm_cand
+),
+dcand AS (
+  SELECT host, hid, url, MAX(fl) AS fl, MAX(fs) AS fs,
+         MAX(allowed) AS allowed
+  FROM cand GROUP BY 1, 2, 3
+),
+perhost AS (
+  SELECT host, hid,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(fs) AS BIGINT) AS n_sitemap,
+         CAST(SUM(allowed) AS BIGINT) AS n_allowed
+  FROM dcand GROUP BY 1, 2
+),
+pol AS (
+  SELECT host,
+    CASE WHEN hid % 3 = 0 THEN 'specific' ELSE 'wildcard' END AS agent_group,
+    CAST(CASE WHEN hid % 3 = 0
+              THEN CASE WHEN hid % 2 = 0 THEN hid % 6 END
+              ELSE CASE WHEN hid % 4 > 0 THEN hid % 4 END
+         END AS INTEGER) AS crawl_delay
+  FROM perhost
+),
+edges AS (
+  SELECT src AS u, dst AS v FROM hp
+  UNION ALL
+  SELECT dst, src FROM hp
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY 1),
+r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
+r1 AS (
+  SELECT e.v AS u,
+         CAST(150000 + (850 * SUM(r0.r // d.dg)) // 1000 AS BIGINT) AS r
+  FROM edges e JOIN r0 ON r0.u = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v),
+r2 AS (
+  SELECT e.v AS u,
+         CAST(150000 + (850 * SUM(r1.r // d.dg)) // 1000 AS BIGINT) AS r
+  FROM edges e JOIN r1 ON r1.u = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v),
+r3 AS (
+  SELECT e.v AS u,
+         CAST(150000 + (850 * SUM(r2.r // d.dg)) // 1000 AS BIGINT) AS r
+  FROM edges e JOIN r2 ON r2.u = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v)
+SELECT r3.u AS host, r3.r AS rank_ppm,
+       ph.n_candidates, ph.n_sitemap, ph.n_allowed,
+       pol.agent_group, pol.crawl_delay
+FROM r3
+JOIN perhost ph ON ph.host = r3.u
+JOIN pol ON pol.host = r3.u
+ORDER BY rank_ppm DESC, host
+LIMIT 100
+""",
+)
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E43 — the CRAWL FRONTIER, the end-to-end composition of the
+    whole web family (the E6-of-the-web-family): candidate URLs from
+    BOTH inflows — link extraction (E38) canonicalized by the E39
+    safe core, and sitemap discovery (E44) through the same
+    canonicalizer — are deduplicated per host, politeness-gated
+    against the host's robots.txt group (E42) evaluated JVM-side
+    under RFC 9309 longest-match, and served in host-rank order (E41,
+    bit-identical integer PageRank via functions/webgraph.py): per
+    host the fetch priority, candidate/sitemap-discovered/allowed URL
+    counts, the selected agent group and its crawl-delay — exactly
+    the table a crawl scheduler broadcasts. The oracle re-derives
+    every URL, every robots verdict (branch by branch — the sitemap
+    paths were CHOSEN to exercise each rule) and the full 3-round
+    rank chain from the id formulas.
+
+    100 TB posture: the Arrow passes are confined to O(pages)
+    archive-walk (shared, persisted via webgraph.host_pairs) and two
+    O(hosts) frames (sitemap walk, robots parse); URL normalization
+    and the longest-match verdict are JVM codegen (parse_url /
+    rlike over a BROADCAST rules array — the politeness table is
+    O(hosts), bounded here by the mod-1000 host namespace); the
+    candidate dedup is ONE hash shuffle on (host, url) — the same
+    exchange every URL-keyed consumer shares; rank state is O(hosts).
+    At real host cardinality the broadcast hint is the one knob to
+    revisit (drop it and the same plan degrades to a shuffle join on
+    the host key)."""
+    from ..functions import html_text as HT
+    from ..functions import robots as RB
+    from ..functions import sitemap as SM
+    from ..functions import webgraph as WG
+
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    edges = HT.warc_edges(HT.synth_warc_html_payloads(ids))
+    hosts = WG.host_pairs(edges)  # persisted: feeds rank AND the URL census
+
+    link_cand = (
+        edges.select(HT.canonical_url_col("url").alias("url"))
+        .select(
+            F.expr("parse_url(url, 'HOST')").alias("host"),
+            "url",
+            F.lit(1).alias("fl"),
+            F.lit(0).alias("fs"),
+        )
+    )
+    site_ids = (
+        hosts.select(F.col("src").alias("host"))
+        .distinct()
+        .select(
+            F.regexp_extract("host", r"^site(\d+)\.example$", 1)
+            .cast("long")
+            .alias("host_id")
+        )
+    )
+    sm_cand = (
+        SM.sitemap_candidates_stage(site_ids)
+        .select(HT.canonical_url_col("url").alias("url"))
+        .select(
+            F.expr("parse_url(url, 'HOST')").alias("host"),
+            "url",
+            F.lit(0).alias("fl"),
+            F.lit(1).alias("fs"),
+        )
+    )
+    cand = (
+        link_cand.unionByName(sm_cand)
+        .groupBy("host", "url")
+        .agg(F.max("fl").alias("fl"), F.max("fs").alias("fs"))
+        .withColumn(
+            "host_id",
+            F.regexp_extract("host", r"^(?:site|ext)(\d+)\.example$", 1)
+            .cast("long"),
+        )
+    )
+    rules = RB.robots_rules_stage(cand.select("host_id").distinct())
+    verdict = F.expr(
+        "aggregate("
+        "  filter(rules, rr -> target rlike rr.rx),"
+        "  named_struct('len', -1, 'allow', true),"
+        "  (acc, rr) -> IF(rr.plen > acc.len"
+        "                  OR (rr.plen = acc.len AND rr.allow),"
+        "                  named_struct('len', rr.plen, 'allow', rr.allow),"
+        "                  acc),"
+        "  acc -> acc.allow)"
+    )
+    gated = (
+        cand.join(F.broadcast(rules), "host_id")  # broadcast-bounded: host namespace is mod-1000 by the link formulas
+        .withColumn(
+            "target", F.expr("regexp_replace(url, '^[a-z]+://[^/]+', '')")
+        )
+        .withColumn("allowed", verdict)
+    )
+    perhost = gated.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum("fs").cast("long").alias("n_sitemap"),
+        F.sum(F.col("allowed").cast("int")).cast("long").alias("n_allowed"),
+        F.first("agent_group").alias("agent_group"),
+        F.first("crawl_delay", ignorenulls=False).alias("crawl_delay"),
+    )
+    state = WG.integer_pagerank(WG.symmetrized(hosts), rounds=3)
+    return (
+        state.join(perhost, state["u"] == perhost["host"])
+        .select(
+            "host",
+            F.col("r").alias("rank_ppm"),
+            "n_candidates",
+            "n_sitemap",
+            "n_allowed",
+            "agent_group",
+            "crawl_delay",
+        )
+        .orderBy(F.desc("rank_ppm"), "host")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E45 — streaming host-graph census twin
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_host_graph",
+    oracle="""
+WITH """
+    + _FRONTIER_GRAPH_CTES
+    + """,
+outd AS (SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS n_out
+         FROM hp GROUP BY 1),
+ind AS (SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS n_in
+        FROM hp GROUP BY 1)
+SELECT COALESCE(o.host, i.host) AS host,
+       COALESCE(o.n_out, 0) AS n_out,
+       COALESCE(i.n_in, 0) AS n_in
+FROM outd o FULL OUTER JOIN ind i ON o.host = i.host
+ORDER BY host
+""",
+)
+def q_stream_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E45 — host-graph census STREAM TWIN: the distinct directed
+    host graph is a set-union monoid (fold(fold(A) ∪ fold(B)) ==
+    fold(A ∪ B) with fold = DISTINCT), so a streaming ingest
+    maintains the E41 census incrementally: page-level host-pair
+    rows arrive in micro-batches, each batch lands its DISTINCT
+    pairs as an idempotent epoch partial, partials COMPACT through
+    the shared crash-safe base protocol (streaming/delta.py), and
+    serving folds once more then derives the out-/in-neighbor counts
+    — hash-identical to the batch census (the oracle's hp CTE). At
+    100 TB/day this is how the web graph stays current without
+    re-walking the archive: the fold state is O(host-pairs), NOT
+    O(pages), and rank (E41/E43) is a batch consumer of the folded
+    artifact."""
+    from ..functions import html_text as HT
+    from ..sources.artifact import input_fingerprint, materialized_path
+    from ..streaming import delta as D
+    from ..streaming import ingest as I
+    from ..streaming.ingest import resumable_workdir
+
+    base = resumable_workdir(sf_dir, "documents", "hostgraph", "hostgraph-v1")
+
+    def _write_src(dest: str) -> None:
+        ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+        edges = HT.warc_edges(HT.synth_warc_html_payloads(ids))
+        (
+            edges.select(
+                F.lower(F.expr("parse_url(page_url, 'HOST')")).alias("src"),
+                F.lower(F.expr("parse_url(url, 'HOST')")).alias("dst"),
+            )
+            .repartition(6)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+
+    src = materialized_path(
+        "host_edges_src",
+        input_fingerprint(sf_dir, "documents", "host-edges-v1"),
+        _write_src,
+    )
+    partials_dir = base / "partials"
+    ckpt = base / "ckpt"
+    stream = (
+        spark.readStream.schema("src string, dst string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+
+    def fold_batch(batch_df, epoch_id):
+        # per-epoch partial = the batch's distinct pairs: idempotent
+        # on replay (overwrite), tiny (O(new host-pairs)), and folds
+        # by the same DISTINCT the serving read applies
+        (
+            batch_df.distinct()
+            .write.mode("overwrite")
+            .parquet(f"{partials_dir}/epoch={epoch_id}")
+        )
+
+    with I.scoped_shuffle_partitions(spark, I.STREAM_SHUFFLE_PARTITIONS):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def fold_pairs(df: DataFrame) -> DataFrame:
+        return df.select("src", "dst").distinct()
+
+    D.compact_with(spark, str(partials_dir), fold_pairs)
+    pairs = D.folded_with(spark, str(partials_dir), fold_pairs)
+    n_out = pairs.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").cast("long").alias("n_out")
+    )
+    n_in = pairs.groupBy(F.col("dst").alias("host")).agg(
+        F.count("*").cast("long").alias("n_in")
+    )
+    return (
+        n_out.join(n_in, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
+        )
+        .orderBy("host")
+    )

@@ -32,6 +32,7 @@ _QUERY_MODULES = [
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.extensions",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.training_io",
     "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.advanced_ops",
+    "asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.web_frontier",
 ]
 
 # Registration (= iteration) order for the exported query dict. The
