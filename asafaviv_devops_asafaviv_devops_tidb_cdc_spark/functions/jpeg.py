@@ -47,6 +47,7 @@ binary columns.
 
 from __future__ import annotations
 
+import bisect
 import functools
 import struct
 from collections.abc import Iterator
@@ -160,15 +161,20 @@ class _BitWriter:
         self.nbits = 0
 
     def put(self, value: int, width: int) -> None:
-        for i in range(width - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.nbits = 0
+        # bulk append: shift the whole field in, drain full bytes —
+        # one loop per OUTPUT byte instead of per input bit (the
+        # encoder hot path; bit-for-bit identical stream)
+        acc = (self.acc << width) | (value & ((1 << width) - 1))
+        nbits = self.nbits + width
+        out = self.out
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
 
     def align(self) -> None:
         """Pad to a byte boundary with 1-bits (T.81 §F.1.2.3)."""
@@ -573,36 +579,67 @@ def encode_progressive_jpeg(
         if len(comp_blocks[c]) != mcux * h * mcuy * v:
             raise ValueError("component block grid does not match sampling")
 
+    _units_cache: dict[tuple[int, ...], list] = {}
+
     def units_for_scan(comps: list[int]) -> list[list[tuple[int, int]]]:
         """One entry per restart-counted data unit: the (component,
         padded-grid block index) list it covers — an MCU for
-        interleaved scans, a single true-grid block otherwise."""
+        interleaved scans, a single true-grid block otherwise. Cached
+        per component set: the geometry is fixed for the frame, and
+        the 9-scan script revisits each component's unit list up to
+        six times."""
+        key = tuple(comps)
+        units = _units_cache.get(key)
+        if units is not None:
+            return units
         if len(comps) > 1:
-            return _mcu_units(
+            units = _mcu_units(
                 [(c, sampling[c][0], sampling[c][1]) for c in comps],
                 mcux, mcuy,
             )
-        c = comps[0]
-        h, v = sampling[c]
-        tw, th = progressive_true_grid(width, height, h, v, hmax, vmax)
-        gx = mcux * h
-        return [[(c, y * gx + x)] for y in range(th) for x in range(tw)]
+        else:
+            c = comps[0]
+            h, v = sampling[c]
+            tw, th = progressive_true_grid(width, height, h, v, hmax, vmax)
+            gx = mcux * h
+            units = [[(c, y * gx + x)] for y in range(th) for x in range(tw)]
+        _units_cache[key] = units
+        return units
 
-    def scan_ops(scan) -> list[tuple]:
-        """The scan's entropy stream as an op list — replayed once to
-        collect Huffman symbol inventories and once to write bits.
-        Ops: ("sym", class, table_id, symbol), ("bits", value, n),
-        ("rst",)."""
+    # per-component sparse views, built once and shared by every AC
+    # scan that touches the component (6 of the 9 script scans): the
+    # band loops below walk only the NONZERO coefficients and derive
+    # zero runs from position gaps — per-block cost proportional to
+    # the block's support, not the band width (the r13->r14 hot-path
+    # rework; the emitted op stream is bit-for-bit unchanged)
+    comp_items: dict[int, list[list[tuple[int, int]]]] = {}
+
+    def items_for(c: int) -> list[list[tuple[int, int]]]:
+        if c not in comp_items:
+            comp_items[c] = [sorted(d.items()) for d in comp_blocks[c]]
+        return comp_items[c]
+
+    def scan_ops(scan) -> tuple[list[tuple], dict]:
+        """The scan's entropy stream as an op list — the Huffman
+        symbol inventory is collected AS ops are built (one pass),
+        then the caller derives tables and replays the ops to write
+        bits. Ops: ("sym", class, table_id, symbol),
+        ("bits", value, n), ("rst",)."""
         comps, ss, se, ah, al = scan
         ops: list[tuple] = []
+        syms: dict[tuple[int, int], set] = {}
         eobrun = 0
         eob_bits: list[int] = []
+
+        def sym(cls: int, tid: int, s: int) -> None:
+            ops.append(("sym", cls, tid, s))
+            syms.setdefault((cls, tid), set()).add(s)
 
         def flush_eob(tid: int) -> None:
             nonlocal eobrun, eob_bits
             if eobrun:
                 r = eobrun.bit_length() - 1
-                ops.append(("sym", 1, tid, r << 4))
+                sym(1, tid, r << 4)
                 if r:
                     ops.append(("bits", eobrun - (1 << r), r))
                 for bit in eob_bits:
@@ -622,62 +659,68 @@ def encode_progressive_jpeg(
                     if ah == 0:
                         size, raw = _magnitude(dc - preds[c])
                         preds[c] = dc
-                        ops.append(("sym", 0, tsel[c], size))
+                        sym(0, tsel[c], size)
                         if size:
                             ops.append(("bits", raw, size))
                     else:  # refinement: one raw bit, no Huffman
                         ops.append(("bits", dc & 1, 1))
-            return ops
+            return ops, syms
 
         # AC scan: single component
         c = comps[0]
         tid = tsel[c]
+        grid_items = items_for(c)
         for ui, unit in enumerate(unit_list):
             if restart_interval and ui and ui % restart_interval == 0:
                 flush_eob(tid)
                 ops.append(("rst",))
             (_, bidx), = unit
-            coeffs = comp_blocks[c][bidx]
+            # the band's nonzero support after the point transform;
+            # every position NOT listed has t == 0 (v may be a small
+            # nonzero truncated to zero at this bit plane — same run
+            # semantics either way)
+            band = [
+                (k, v, abs(v) >> al)
+                for k, v in grid_items[bidx]
+                if ss <= k <= se
+            ]
             if ah == 0:  # first scan: point transform toward zero
-                r = 0
-                for k in range(ss, se + 1):
-                    v = coeffs.get(k, 0)
-                    t = abs(v) >> al
+                prev = ss - 1
+                for k, v, t in band:
                     if t == 0:
-                        r += 1
                         continue
+                    r = k - prev - 1
+                    prev = k
                     flush_eob(tid)
                     while r > 15:
-                        ops.append(("sym", 1, tid, 0xF0))
+                        sym(1, tid, 0xF0)
                         r -= 16
                     size, raw = _magnitude(t if v > 0 else -t)
-                    ops.append(("sym", 1, tid, (r << 4) | size))
+                    sym(1, tid, (r << 4) | size)
                     ops.append(("bits", raw, size))
-                    r = 0
-                if r:
+                if prev < se:  # trailing zero run folds into the EOB run
                     eobrun += 1
                     if eobrun == 0x7FFF:
                         flush_eob(tid)
                 continue
             # refinement scan
-            absv = [abs(coeffs.get(k, 0)) >> al for k in range(ss, se + 1)]
+            nz = [(k, v, t) for k, v, t in band if t > 0]
             eob_pos = ss - 1
-            for i, t in enumerate(absv):
+            for k, _, t in nz:
                 if t == 1:  # newly significant at this bit plane
-                    eob_pos = ss + i
+                    eob_pos = k
             r = 0
+            prev = ss - 1
             pend: list[int] = []
-            for i, t in enumerate(absv):
-                if t == 0:
-                    r += 1
-                    continue
-                k = ss + i
+            for k, v, t in nz:
+                r += k - prev - 1  # t==0 positions since the last t>0
+                prev = k
                 # ZRLs are emitted at the next nonzero position while a
                 # later newly-significant coefficient exists (k <= EOB);
                 # otherwise the zeros fold into the EOB run
                 while r > 15 and k <= eob_pos:
                     flush_eob(tid)
-                    ops.append(("sym", 1, tid, 0xF0))
+                    sym(1, tid, 0xF0)
                     r -= 16
                     for bit in pend:
                         ops.append(("bits", bit, 1))
@@ -686,19 +729,20 @@ def encode_progressive_jpeg(
                     pend.append(t & 1)
                     continue
                 flush_eob(tid)
-                ops.append(("sym", 1, tid, (r << 4) | 1))
-                ops.append(("bits", 1 if coeffs.get(k, 0) > 0 else 0, 1))
+                sym(1, tid, (r << 4) | 1)
+                ops.append(("bits", 1 if v > 0 else 0, 1))
                 for bit in pend:
                     ops.append(("bits", bit, 1))
                 pend = []
                 r = 0
+            r += se - prev  # trailing t==0 positions
             if r or pend:
                 eobrun += 1
                 eob_bits.extend(pend)
                 if eobrun == 0x7FFF:
                     flush_eob(tid)
         flush_eob(tid)
-        return ops
+        return ops, syms
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -716,12 +760,9 @@ def encode_progressive_jpeg(
 
     for scan in scans:
         comps, ss, se, ah, al = scan
-        ops = scan_ops(scan)
         # per-scan Huffman tables from this scan's symbol inventory
-        syms: dict[tuple[int, int], set] = {}
-        for op in ops:
-            if op[0] == "sym":
-                syms.setdefault((op[1], op[2]), set()).add(op[3])
+        # (collected while the ops were built — no second pass)
+        ops, syms = scan_ops(scan)
         tables = {}
         for (cls, tid), ss_set in sorted(syms.items()):
             bits_, vals_, codes = _flat_huffman(sorted(ss_set))
@@ -810,6 +851,14 @@ def _dht_table(bits: bytes, vals: bytes) -> tuple[list[int], int]:
     idx = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            # a corrupt DHT can declare more codes than a prefix code
+            # of these lengths admits (over-subscribed BITS): the next
+            # code would run past the table — slice assignment would
+            # silently APPEND (and clobber nothing or everything); the
+            # module's posture is fail-loud on corrupt tables instead
+            # (r13 ADVICE)
+            if code >= (1 << length):
+                raise _Undecodable("over-subscribed DHT BITS")
             base = code << (max_len - length)
             fill = 1 << (max_len - length)
             table[base : base + fill] = [(vals[idx] << 5) | length] * fill
@@ -1264,7 +1313,9 @@ def decode_jpeg_progressive(payload: bytes):
     width = height = None
     frame_comps = None  # [(comp_id, h, v, tq)] in frame order
     restart_interval = 0
-    coef: list[list[dict[int, int]]] = []  # quantized, point-transformed
+    coef: list[list[list[int]]] = []  # quantized, point-transformed
+    nzb: list[list[list[int]]] = []  # per comp, per block: sorted nonzero AC positions
+    units_cache: dict[tuple[int, ...], list] = {}
     dc_al: list[int | None] = []  # per comp: DC's current Al (None = unsent)
     ac_al: list[list[int | None]] = []  # per comp, per zigzag pos 1..63
     hmax = vmax = mcux = mcuy = 0
@@ -1345,14 +1396,17 @@ def decode_jpeg_progressive(payload: bytes):
                 if total > 8 * (len(b) - pos):
                     return None
                 for _, h, v, _ in frame_comps:
-                    # dense 64-slot lists, not dicts: the refinement
-                    # sweeps index every band position of every block
-                    # once per scan, so direct indexing is the hot
-                    # path; the forged-dims guard above bounds the
-                    # allocation
-                    coef.append(
-                        [[0] * 64 for _ in range(mcux * h * mcuy * v)]
-                    )
+                    # dense 64-slot lists for O(1) coefficient access
+                    # PLUS a per-block sorted nonzero-AC-position
+                    # index: refinement sweeps touch exactly the
+                    # nonzero-history coefficients, so walking the
+                    # support (a handful of positions) instead of the
+                    # whole band turns the correction passes from
+                    # O(band) to O(nnz) per block per scan; the
+                    # forged-dims guard above bounds the allocation
+                    n_blocks = mcux * h * mcuy * v
+                    coef.append([[0] * 64 for _ in range(n_blocks)])
+                    nzb.append([[] for _ in range(n_blocks)])
                     dc_al.append(None)
                     ac_al.append([None] * 64)
             elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
@@ -1428,24 +1482,30 @@ def decode_jpeg_progressive(payload: bytes):
                             return None
                         ac_tbl = htables[(1, ta)]
                 # data-unit list: (restart-counted unit) -> [(ci, bidx)]
-                if ns > 1:
-                    units = _mcu_units(
-                        [(ci, frame_comps[ci][1], frame_comps[ci][2])
-                         for ci, _, _ in sel],
-                        mcux, mcuy,
-                    )
-                else:
-                    ci = sel[0][0]
-                    _, h, v, _ = frame_comps[ci]
-                    tw, th = progressive_true_grid(
-                        width, height, h, v, hmax, vmax
-                    )
-                    gx = mcux * h
-                    units = [
-                        [(ci, y * gx + x)]
-                        for y in range(th)
-                        for x in range(tw)
-                    ]
+                # — cached per component set (frame geometry is fixed;
+                # the script revisits each component's list up to 6x)
+                ukey = tuple(ci for ci, _, _ in sel)
+                units = units_cache.get(ukey)
+                if units is None:
+                    if ns > 1:
+                        units = _mcu_units(
+                            [(ci, frame_comps[ci][1], frame_comps[ci][2])
+                             for ci, _, _ in sel],
+                            mcux, mcuy,
+                        )
+                    else:
+                        ci = sel[0][0]
+                        _, h, v, _ = frame_comps[ci]
+                        tw, th = progressive_true_grid(
+                            width, height, h, v, hmax, vmax
+                        )
+                        gx = mcux * h
+                        units = [
+                            [(ci, y * gx + x)]
+                            for y in range(th)
+                            for x in range(tw)
+                        ]
+                    units_cache[ukey] = units
                 reader = _BitReader(b, pos)
                 preds = {ci: 0 for ci, _, _ in sel}
                 eobrun = 0
@@ -1472,6 +1532,7 @@ def decode_jpeg_progressive(payload: bytes):
                             if eobrun:
                                 eobrun -= 1
                                 continue
+                            nz = nzb[ci][bidx]
                             k = ss
                             while k <= se:
                                 sym = reader.symbol(ac_tbl)
@@ -1493,9 +1554,11 @@ def decode_jpeg_progressive(payload: bytes):
                                 if k > se:
                                     return None
                                 block[k] = _extend(reader.bits(s), s) << al
+                                bisect.insort(nz, k)
                                 k += 1
                         else:  # AC refinement
                             p1 = 1 << al
+                            nz = nzb[ci][bidx]
                             k = ss
                             if eobrun == 0:
                                 while k <= se:
@@ -1512,35 +1575,51 @@ def decode_jpeg_progressive(payload: bytes):
                                         if s != 1:
                                             return None
                                         val = p1 if reader.bit() else -p1
-                                    while k <= se:
+                                    # walk the nonzero SUPPORT, not the
+                                    # band: correction bits are read at
+                                    # each nonzero-history coefficient
+                                    # passed, the zero-run counter r
+                                    # consumes only zero-history slots
+                                    # (same bits, same order as the
+                                    # dense sweep)
+                                    idx = bisect.bisect_left(nz, k)
+                                    while True:
+                                        nxt = nz[idx] if idx < len(nz) else se + 1
+                                        gap = min(nxt, se + 1) - k
+                                        if r < gap:
+                                            k += r
+                                            break
+                                        r -= gap
+                                        k = nxt
+                                        if k > se:
+                                            break
                                         cur = block[k]
-                                        if cur != 0:
-                                            if reader.bit() and not cur & p1:
-                                                block[k] = cur + (
-                                                    p1 if cur > 0 else -p1
-                                                )
-                                        else:
-                                            if r == 0:
-                                                break
-                                            r -= 1
+                                        if reader.bit() and not cur & p1:
+                                            block[k] = cur + (
+                                                p1 if cur > 0 else -p1
+                                            )
+                                        idx += 1
                                         k += 1
                                     if val != 0:
                                         if k > se:
                                             return None
                                         block[k] = val
+                                        bisect.insort(nz, k)
                                     elif k > se:
                                         return None  # ZRL overran the band
                                     k += 1
                             if eobrun:
-                                # correction sweep over the band's rest
-                                while k <= se:
-                                    cur = block[k]
-                                    if cur != 0:
-                                        if reader.bit() and not cur & p1:
-                                            block[k] = cur + (
-                                                p1 if cur > 0 else -p1
-                                            )
-                                    k += 1
+                                # correction sweep over the rest of the
+                                # band's SUPPORT (every remaining
+                                # nonzero-history coefficient)
+                                for p in nz[bisect.bisect_left(nz, k):]:
+                                    if p > se:
+                                        break
+                                    cur = block[p]
+                                    if reader.bit() and not cur & p1:
+                                        block[p] = cur + (
+                                            p1 if cur > 0 else -p1
+                                        )
                                 eobrun -= 1
                 if eobrun:
                     return None  # EOB run past the last data unit
@@ -1562,12 +1641,10 @@ def decode_jpeg_progressive(payload: bytes):
                 return None
             qt = qtables[tq]
             blocks = []
-            for state in coef[ci]:
+            for state, nz in zip(coef[ci], nzb[ci]):
                 blk = {0: state[0] * qt[0]}
-                for k in range(1, 64):
-                    val = state[k]
-                    if val:
-                        blk[k] = val * qt[k]
+                for k in nz:  # the nonzero support, already ascending
+                    blk[k] = state[k] * qt[k]
                 blocks.append(blk)
             out.append((cid, h, v, blocks))
         return int(width), int(height), out

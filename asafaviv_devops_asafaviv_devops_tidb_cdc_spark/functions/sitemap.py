@@ -250,6 +250,7 @@ def parse_sitemap(data: bytes):
     entries: list = []
     locs: list[str] = []
     cur: dict[str, str] = {}
+    stack: list[str] = []  # open-element local names (nesting context)
     capture: str | None = None
     buf: list[str] = []
     i = 0
@@ -281,19 +282,32 @@ def parse_sitemap(data: bytes):
         if not tag or tag[0] in "?!":
             continue
         closing = tag.startswith("/")
+        self_closing = tag.endswith("/") and not closing
         name = _local_name(
             tag.lstrip("/").split()[0].rstrip("/") if tag.lstrip("/") else ""
         )
         if not closing:
+            parent = stack[-1] if stack else ""
+            if not self_closing:
+                stack.append(name)
             if name in ("urlset", "sitemapindex") and kind is None:
                 kind = "urlset" if name == "urlset" else "index"
             elif name in ("url", "sitemap"):
                 cur = {}
-            elif name in ("loc", "lastmod", "priority"):
+            elif (
+                name in ("loc", "lastmod", "priority")
+                and parent in ("url", "sitemap")
+                and not self_closing
+            ):
+                # only DIRECT children of an entry: extension payloads
+                # (image:/video: sitemap extensions nest their own
+                # <loc>) must not leak into the entry's fields
                 capture = name
                 buf = []
             continue
         # closing tag
+        if stack and stack[-1] == name:
+            stack.pop()
         if name == capture:
             text = _unescape("".join(buf)).strip()
             cur[name] = cur.get(name, "") + text if name in cur else text

@@ -526,3 +526,42 @@ def test_block_join_equals_wet_text_on_generated_html(
     for text, density, _role in blocks:
         assert 0.0 <= density <= 1.0
         assert text == " ".join(text.split())
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    words=st.lists(_WORD, min_size=1, max_size=8),
+    trap=st.sampled_from([
+        '<div title="</p><p>fake</p>">{w}</div>',      # block tag in attr value
+        "<p data-x='<nav>not a nav</nav>'>{w}</p>",    # boiler tag in attr
+        "<!-- <footer>ghost</footer> --><p>{w}</p>",   # boiler tag in comment
+        "<script>if (a<b) {{ x = '</p><p>'; }}</script><p>{w}</p>",
+        "<nav><ul><li><a href='/x'>{w}</a></li></ul></nav>",  # nested boiler
+        "<footer><div><span>{w}</span></div></footer>",       # block in boiler
+        "<p>{w}",                                      # unclosed block
+        "<br/><hr/><p>{w}</p>",                        # void/self-closing
+        "<aside/><p>{w}</p>",                          # self-closed boiler: no depth leak
+        "<P CLASS=x>{w}</P>",                          # case-insensitive names
+    ]),
+    seed=st.integers(0, 99),
+)
+def test_segmenter_survives_adversarial_nesting(words, trap, seed):
+    """r13 advice item 6: block/boiler tags hidden inside comments,
+    attribute values and rawtext must neither split blocks nor flip
+    roles; self-closed boiler tags must not leak role depth; the
+    lose-nothing invariant (block join == WET text) holds throughout,
+    and trailing text after a self-closed/aside trap is NOT marked
+    boilerplate."""
+    body = " ".join(trap.format(w=w) for w in words) + f" tail{seed}"
+    html = f"<html><body>{body}</body></html>"
+    blocks = H.segment_blocks(html)
+    assert " ".join(t for t, _, _ in blocks) == H.extract_visible_text(html)
+    for text, density, _role in blocks:
+        assert 0.0 <= density <= 1.0
+        assert text == " ".join(text.split())
+    if trap.startswith("<aside/>"):
+        # a self-closed boiler element must not poison what follows
+        assert all(not role for _, _, role in blocks)
+    if trap.startswith("<!--"):
+        assert all(not role for _, _, role in blocks)
+        assert "ghost" not in " ".join(t for t, _, _ in blocks)

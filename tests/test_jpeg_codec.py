@@ -201,3 +201,26 @@ def test_decode_pixels_routes_jpeg():
     assert multimodal.decode_pixels(twelve, "image/jpeg") is None
     with pytest.raises(NotImplementedError):
         multimodal.decode_pixels(b"ID3\x03mp3ish", "audio/mpeg")
+
+
+def test_oversubscribed_dht_fails_loud():
+    """A corrupt DHT whose BITS declare more codes than a prefix code
+    admits (e.g. three 1-bit codes) must raise _Undecodable during
+    table construction — not silently append past the flat table and
+    decode garbage (r13 ADVICE)."""
+    bits = bytes([3] + [0] * 15)  # three codes of length 1: impossible
+    with pytest.raises(J._Undecodable):
+        J._dht_table(bits, bytes([0, 1, 2]))
+    # two 1-bit codes saturate the space: legal, must construct
+    table, max_len = J._dht_table(bytes([2] + [0] * 15), bytes([0, 1]))
+    assert max_len == 1 and len(table) == 2
+    # end-to-end: splice the bad DHT into a valid stream -> None, not
+    # garbage (the decoder's uniform corrupt-input contract)
+    good = J.synth_jpeg_bytes(9)
+    sos = good.find(b"\xff\xda")
+    bad_dht = (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 3) + b"\x00"
+        + bits + bytes([0, 1, 2])
+    )
+    spliced = good[:sos] + bad_dht + good[sos:]
+    assert J.decode_jpeg_coefficients(spliced) is None
