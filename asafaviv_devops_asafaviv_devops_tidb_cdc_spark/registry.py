@@ -45,73 +45,76 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-13 window (50 slots), composed mechanically per
+    # Round-14 window (50 slots), composed mechanically per
     # tests/test_freshness.py (scripts/freshness.py is the source of
     # truth; this list just pins its output):
     # (a) 3 never-checked new registrations (cap 3, fully used):
-    #     q_main_content (E40 block-segmentation boilerplate removal),
-    #     q_host_graph (E41 host-level web-graph census + integer
-    #     PageRank), q_robots_policy (E42 RFC 9309 crawl politeness);
-    # (b) 14 changed-path entries: the whole codec/media family
-    #     (synth-stage full-width repartition + the memoized
-    #     _fast_table/_dynamic_plan deflate paths + the
-    #     length-limited Huffman repair), the E37-E39 WET family
-    #     (planted <footer>, 301-redirect rotation, page_url in the
-    #     edge stream), q_warc_extract (warcinfo/revisit record
-    #     types), and q_udtf_explode (Arrow-optimized UDTF);
-    # (c) rotation = the 33 oldest r7-latest verdicts in registration
-    #     order (the 4 r7 entries left outside tie the newest r7
-    #     inside, which the oldest-first invariant allows).
-    "q_main_content",
-    "q_host_graph",
-    "q_robots_policy",
-    "q_warc_html_text",
-    "q_warc_links",
-    "q_url_dedup",
+    #     q_sitemap_census (E44 sitemap.xml discovery census),
+    #     q_crawl_frontier (E43 frontier composition: E39 URLs +
+    #     E44 sitemap x E42 robots broadcast x E41 rank),
+    #     q_stream_host_graph (E45 epoch-partial host-graph census);
+    # (b) 4 changed-path entries: the three JPEG queries (bulk
+    #     _BitWriter, sparse-support scan_ops/decoder sweeps, cached
+    #     unit lists, over-subscribed-DHT guard — byte-identical
+    #     streams, re-proof due anyway) and q_host_graph (webgraph.py
+    #     extraction + MEMORY_AND_DISK persist);
+    # (c) rotation = the r14 STALE-DRAIN (r13 verdict order #1): all
+    #     4 r7 + the 39 oldest r8 verdicts in registration order. The
+    #     4 r8 entries left outside (q_stream_doc_dedup,
+    #     q_compact_partials, q_stream_sample, q_stream_manifest) tie
+    #     the newest r8 inside (window capacity, allowed by the
+    #     oldest-first invariant) and were self-proven at HEAD via
+    #     scripts/check_parity.py — see BASELINE.md r14 notes.
+    "q_sitemap_census",
+    "q_crawl_frontier",
+    "q_stream_host_graph",
     "q_jpeg_coeff_stats",
     "q_jpeg_color_stats",
-    "q_png_pixel_stats",
-    "q_warc_extract",
-    "q_multimodal_decode",
-    "q_bmp_pixel_stats",
-    "q_bmp_resize",
     "q_jpeg_progressive_stats",
-    "q_wav_sample_stats",
-    "q_avi_frame_sample",
-    "q_udtf_explode",
-    "q_unigram_surprise",
-    "q_filter_sweep",
-    "q_ngram_novelty",
-    "q_cluster_leakage",
-    "q_stream_join_view_skew",
-    "q_table_stats",
-    "q_event_transitions",
-    "q_stream_transitions",
-    "q_schema_evolution",
-    "q_pii_census",
-    "q_stream_pii",
-    "q_edit_neardup",
-    "q_content_chunks",
-    "q_graph_triangles",
-    "q_phrase_search",
-    "q_overlap_profile",
-    "q_bm25_search",
-    "q_stream_kmv",
-    "q_gapfill_interpolate",
-    "q_stream_gapfill",
-    "q_attribution",
-    "q_skyline",
-    "q_decay_engagement",
-    "q_equidepth_hist",
-    "q_join_card_est",
-    "q_label_prop",
-    "q_rfm_segments",
-    "q_journey_paths",
-    "q_trend_slope",
-    "q_dbscan_roles",
-    "q_stream_trend",
-    "q_dow_seasonality",
-    "q_changepoint",
+    "q_host_graph",
+    "q_stream_changepoint",
+    "q_join_order_choice",
+    "q_hierarchy_depth",
+    "q_subtree_rollup",
+    "q_intersect_active",
+    "q_median_value",
+    "q_grouping_sets",
+    "q_ops_unpivot",
+    "q_value_parts",
+    "q_cluster_sizes",
+    "q_ann_recall",
+    "q_ivf_incremental",
+    "q_stream_ingest_counts",
+    "q_stream_cdc_replay",
+    "q_stream_window_counts",
+    "q_stream_dedupe",
+    "q_stream_sessions",
+    "q_stream_stream_join",
+    "q_stream_alerts",
+    "q_stream_join_view",
+    "q_stream_funnel",
+    "q_stream_topk",
+    "q_stream_late_drops",
+    "q_moving_avg",
+    "q_lag_delta",
+    "q_first_last",
+    "q_ntile",
+    "q_topn_per_group",
+    "q_rolling_1h_count",
+    "q_rank_stats",
+    "q_stream_dq",
+    "q_stream_event_drift",
+    "q_compaction_parity",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_corpus_mix",
+    "q_kmeans_iter",
+    "q_scd2_history",
+    "q_stream_scd2",
+    "q_scd2_asof",
+    "q_stream_delta_agg",
+    "q_boilerplate_grams",
+    "q_canonical_pick",
 ]
 
 
