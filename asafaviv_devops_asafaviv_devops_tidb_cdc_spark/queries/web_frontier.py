@@ -258,6 +258,8 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     At real host cardinality the broadcast hint is the one knob to
     revisit (drop it and the same plan degrades to a shuffle join on
     the host key)."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..functions import html_text as HT
     from ..functions import robots as RB
     from ..functions import sitemap as SM
@@ -265,16 +267,30 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     edges = HT.warc_edges(HT.synth_warc_html_payloads(ids))
-    hosts = WG.host_pairs(edges)  # persisted: feeds rank AND the URL census
+    # ONE archive walk: persist the minimal 2-column projection that
+    # both consumers (host graph + URL census) derive from. O(edges)
+    # — bigger than the O(hosts) frame q_host_graph caches, but the
+    # alternative is walking the 100 TB archive once per consumer;
+    # MEMORY_AND_DISK spills instead of OOMing at real edge counts.
+    # Released by the harness's central cache clear (bench.py /
+    # tests/conftest.py).
+    eu = edges.select(
+        F.lower(F.expr("parse_url(page_url, 'HOST')")).alias("src"),
+        HT.canonical_url_col("url").alias("url"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # the canonical URL's host is already lowercase, and parse_url
+    # HOST never carries the port — identical host folding to E41
+    hosts = (
+        eu.select("src", F.expr("parse_url(url, 'HOST')").alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    link_cand = (
-        edges.select(HT.canonical_url_col("url").alias("url"))
-        .select(
-            F.expr("parse_url(url, 'HOST')").alias("host"),
-            "url",
-            F.lit(1).alias("fl"),
-            F.lit(0).alias("fs"),
-        )
+    link_cand = eu.select(
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        "url",
+        F.lit(1).alias("fl"),
+        F.lit(0).alias("fs"),
     )
     site_ids = (
         hosts.select(F.col("src").alias("host"))
@@ -305,7 +321,22 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
-    rules = RB.robots_rules_stage(cand.select("host_id").distinct())
+    # every candidate host is a graph host (self-links + link targets
+    # by construction), so the politeness frame derives from the
+    # PERSISTED O(hosts) graph — not from cand, whose lineage would
+    # re-run the whole URL dedup just to list hosts
+    all_ids = (
+        hosts.select(F.col("src").alias("host"))
+        .unionByName(hosts.select(F.col("dst").alias("host")))
+        .distinct()
+        .select(
+            F.regexp_extract("host", r"^(?:site|ext)(\d+)\.example$", 1)
+            .cast("long")
+            .alias("host_id")
+        )
+        .distinct()
+    )
+    rules = RB.robots_rules_stage(all_ids)
     verdict = F.expr(
         "aggregate("
         "  filter(rules, rr -> target rlike rr.rx),"

@@ -230,6 +230,26 @@ HEADLINE = {
         "longest-match evaluation in ONE Arrow map pass, no shuffle "
         "(r13)"
     ),
+    "q_sitemap_census": (
+        "sitemap.xml discovery census — synth + generic XML walk + "
+        "reduce in ONE Arrow map pass over the O(hosts) frame, no "
+        "shuffle beyond the synth repartition (r14)"
+    ),
+    "q_crawl_frontier": (
+        "crawl-frontier composition — the archive walk materializes "
+        "ONCE (persisted 2-col src/canonical-url projection; every "
+        "Scan parquet in this plan sits under an InMemoryRelation), "
+        "ONE (host, url) dedup shuffle over link ∪ sitemap "
+        "candidates, robots rules BROADCAST (O(hosts), derived from "
+        "the persisted host frame — never from cand's lineage) with "
+        "longest-match in JVM rlike codegen, 3 integer-PageRank "
+        "rounds, TakeOrderedAndProject top-100 (r14)"
+    ),
+    "q_stream_host_graph": (
+        "host-graph census stream twin — serving fold over compacted "
+        "epoch partials: DISTINCT + two neighbor censuses + full-outer "
+        "merge, state O(host-pairs) (r14)"
+    ),
 }
 
 

@@ -208,14 +208,33 @@ def test_canonicalizer_idempotent_and_matches_urllib(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_frontier_plan_broadcasts_politeness(spark):
+def test_frontier_plan_broadcasts_politeness_and_walks_once(spark):
     """The robots rules join must be a broadcast (the politeness table
-    is O(hosts)) and the plan must stay free of row-at-a-time Python
-    (the registry-wide guard also asserts the latter)."""
+    is O(hosts)); the plan must stay free of row-at-a-time Python
+    (the registry-wide guard also asserts the latter); and EVERY
+    archive scan must sit inside a cached subtree — the 100 TB
+    archive walk materializes exactly once (the r14 plan-audit fix:
+    an uncached link_cand or a rules branch rooted in cand re-walks
+    the corpus per consumer)."""
     df = registry.QUERIES["q_crawl_frontier"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan
+    in_mem_depth = None
+    uncached_scans = 0
+    for ln in plan.splitlines():
+        m = re.search(r"\+- (\w[\w ]*?\w) ?\(", ln)
+        if not m:
+            continue
+        indent = len(ln) - len(ln.lstrip(" :+-"))
+        op = m.group(1)
+        if in_mem_depth is not None and indent <= in_mem_depth:
+            in_mem_depth = None
+        if op == "InMemoryRelation" and in_mem_depth is None:
+            in_mem_depth = indent
+        if op.startswith("Scan parquet") and in_mem_depth is None:
+            uncached_scans += 1
+    assert uncached_scans == 0, plan[:3000]
 
 
 def test_frontier_politeness_is_load_bearing(spark):
