@@ -31,6 +31,10 @@ def _configure(spark: SparkSession) -> None:
     # UTC instant there too via to_utc_timestamp — session-tz-proof.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # byte-capped Arrow slices: media stages move KB-scale binary
+    # payloads per row, and the 10k-row default slice stalls chained
+    # Python stage pairs (see session.py for the measured A/B)
+    spark.conf.set("spark.sql.execution.arrow.maxBytesPerBatch", "1m")
 
 
 def entry(spark: SparkSession) -> DataFrame:

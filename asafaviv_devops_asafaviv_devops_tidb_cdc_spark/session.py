@@ -29,6 +29,16 @@ def get_spark(app_name: str = "tidb_cdc_spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # cap Arrow slices by BYTES, not the 10k-row default: media
+        # stages move ~1-3 KB binary payloads per row, and 10k-row
+        # (15-30 MB) slices stall the chained synth->decode Python
+        # pair — the consumer idles until the producer finishes a
+        # whole slice. A 1 MB cap restores pipelining granularity
+        # (m100 A/B: progressive 31->22 s, color 16.3->9.8, WET
+        # 33.4->24.5) and is size-adaptive: ordinary numeric frames
+        # keep thousands of rows per slice, so the sf0.1 suite reads
+        # neutral-to-better (BASELINE.md r14 scaffold addendum).
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "1m")
         # reliable checkpoints (iterative CC) are write-once garbage
         # after their RDD is GC'd — reclaim them so long sessions /
         # repeated runs don't accumulate checkpoint files

@@ -307,3 +307,20 @@ def test_stream_host_graph_matches_batch_census(spark):
         .collect()
     }
     assert got == want
+
+
+def test_arrow_byte_cap_configured(spark):
+    """Both session builders must carry the byte-capped Arrow slicing
+    (r14 scaffold fix): KB-scale binary payload rows at the 10k-row
+    default slice stall chained Python stage pairs; the 1 MB cap
+    restores pipelining while leaving ordinary numeric frames with
+    thousands of rows per slice (A/B in BASELINE.md r14)."""
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxBytesPerBatch") == "1m"
+    )
+    import __spark_entry__ as E
+
+    E._configure(spark)  # the driver-session path sets it too
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxBytesPerBatch") == "1m"
+    )
