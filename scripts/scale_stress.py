@@ -85,6 +85,20 @@ STRESS_QUERIES = {
     # exponent must be ~1.0 in media count and the per-image ms is the
     # number a 100 TB media pipeline sizes its executor fleet by
     # (r10 verdict item 6)
+    # the crawl-to-corpus web family (r14): archive walk + host-graph
+    # PageRank + sitemap discovery + robots gating composed — the
+    # exponent must stay ~linear in page count because the host-side
+    # state (rank, robots, sitemaps) is bounded by the mod-1000 host
+    # namespace while pages multiply: a super-linear alpha here means
+    # a host-keyed artifact accidentally scales with pages
+    "web": [
+        "q_url_dedup",
+        "q_host_graph",
+        "q_sitemap_census",
+        "q_robots_policy",
+        "q_main_content",
+        "q_crawl_frontier",
+    ],
     "codec": [
         "q_bmp_pixel_stats",
         "q_png_pixel_stats",
