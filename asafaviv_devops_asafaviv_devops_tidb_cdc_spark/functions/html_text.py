@@ -1059,6 +1059,38 @@ def main_content_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, MAIN_CONTENT_SCHEMA)
 
 
+MAIN_TEXT_SCHEMA = "media_id long, r int, page_url string, text string"
+
+
+def main_content_text(media: DataFrame) -> DataFrame:
+    """Arrow-batched main-content TEXT extraction — the corpus-bridge
+    variant of :func:`main_content_stats` (r14 verdict order #2): one
+    row per kept page carrying the page URL and the KEPT text itself,
+    (media_id, r, page_url, text), so the crawl chain's output can be
+    STAGED as a documents-shaped corpus and fed through the E6
+    quality/dedup pipeline. Identical walk, keep rule and extraction
+    as main_content_stats (tests difference the two md5-for-md5);
+    corrupt archives contribute no rows. 100 TB posture: one map-only
+    Arrow pass over opaque binary archives, no shuffle — the text
+    column is wider than the stats row, but this pass runs once per
+    crawl snapshot and everything downstream is text-keyed anyway."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "r", "page_url", "text"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pages = _walk_html_pages(bytes(payload or b""))
+                if pages is None:
+                    continue
+                for r, url, doc in pages:
+                    _nb, _nc, text = extract_main_content(doc)
+                    rows.append((int(mid), int(r), url, text))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(_extract, MAIN_TEXT_SCHEMA)
+
+
 EDGES_SCHEMA = "media_id long, r int, page_url string, url string"
 
 
@@ -1119,13 +1151,15 @@ def warc_links_stats(media: DataFrame) -> DataFrame:
 
 
 def canonical_url_col(url_col: str = "url"):
-    """The E39 safe-core canonical form as a JVM codegen Column
-    (q_crawl_frontier's normalize path): scheme/host lowercased,
-    default :80/:443 ports stripped, empty path -> '/', query params
-    sorted. Same policy — and deliberately the same expression text —
-    as q_url_dedup's inline pin (see its docstring for the RFC 3986
-    rationale); tests/test_web_frontier.py property-tests idempotence
-    and a urllib differential over the safe subset."""
+    """The E39 safe-core canonical form as a JVM codegen Column —
+    the ONE definition of the canonicalization policy, shared by
+    q_url_dedup (which documents the RFC 3986 rationale) and the
+    q_crawl_frontier normalize path (r14 advice: the two inline
+    copies could drift, so the expression now lives only here):
+    scheme/host lowercased, default :80/:443 ports stripped, empty
+    path -> '/', query params sorted. tests/test_web_frontier.py
+    property-tests idempotence and a urllib differential over the
+    safe subset."""
     from pyspark.sql import functions as F
 
     port = f"regexp_extract(parse_url({url_col}, 'AUTHORITY'), ':([0-9]+)$', 1)"

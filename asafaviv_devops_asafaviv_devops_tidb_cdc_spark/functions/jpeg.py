@@ -1554,7 +1554,17 @@ def decode_jpeg_progressive(payload: bytes):
                                 if k > se:
                                     return None
                                 block[k] = _extend(reader.bits(s), s) << al
-                                bisect.insort(nz, k)
+                                # a corrupt stream re-sending a band's
+                                # first AC scan would duplicate k in the
+                                # support list; later refinement would
+                                # then compute a negative gap and walk
+                                # backward — fail the uniform
+                                # corrupt-input contract instead
+                                # (r14 advice)
+                                ins = bisect.bisect_left(nz, k)
+                                if ins < len(nz) and nz[ins] == k:
+                                    return None
+                                nz.insert(ins, k)
                                 k += 1
                         else:  # AC refinement
                             p1 = 1 << al

@@ -2267,7 +2267,9 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction if every normalization step actually ran. Physical
     plan: edge emission is the shared Arrow walk (warc_edges);
     canonicalization is a MAP-ONLY CODEGEN pass (parse_url /
-    regexp_extract / array_sort — no Python in the normalize path);
+    regexp_extract / array_sort — no Python in the normalize path;
+    the expression is html_text.canonical_url_col, the single shared
+    policy definition also used by q_crawl_frontier);
     the census is ONE hash shuffle on the canonical key with map-side
     partial aggregation, then TakeOrderedAndProject top-100 with a
     deterministic url tiebreak — never a global sort. At 100 TB the
@@ -2293,22 +2295,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     edges = HT.warc_edges(HT.synth_warc_html_payloads(ids))
-    port = "regexp_extract(parse_url(url, 'AUTHORITY'), ':([0-9]+)$', 1)"
-    scheme = "lower(parse_url(url, 'PROTOCOL'))"
-    canon = F.expr(
-        f"{scheme} || '://' || lower(parse_url(url, 'HOST')) || "
-        f"CASE WHEN {port} = '' THEN '' "
-        f"     WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
-        f"     WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
-        f"     ELSE ':' || {port} END || "
-        "CASE WHEN parse_url(url, 'PATH') IS NULL "
-        "          OR parse_url(url, 'PATH') = '' THEN '/' "
-        "     ELSE parse_url(url, 'PATH') END || "
-        "CASE WHEN parse_url(url, 'QUERY') IS NULL "
-        "          OR parse_url(url, 'QUERY') = '' THEN '' "
-        "     ELSE '?' || array_join(array_sort(split("
-        "parse_url(url, 'QUERY'), '&')), '&') END"
-    )
+    canon = HT.canonical_url_col("url")
     return (
         edges.select(
             canon.alias("url"),

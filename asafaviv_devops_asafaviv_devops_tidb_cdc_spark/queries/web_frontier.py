@@ -14,7 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..registry import ORACLES, register
+from ..functions import text as _TX
+from ..registry import register
 from ..sources import load_table
 
 
@@ -486,4 +487,232 @@ def q_stream_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
         )
         .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E46 — web -> corpus bridge: crawl text through the E6 pipeline
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in _TX.STOPWORDS) + "]"
+
+# The page-text reconstruction CTE chain (identical formulas to the
+# q_main_content oracle, llm_pipeline.py — the md5-pinned derivation)
+# staged as the bridge corpus with the three planted re-crawl classes
+# of sources/cluster_store.py::web_staged_corpus.
+_WEB_PAGE_CTES = """
+p AS (
+  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n FROM documents
+),
+recs AS (
+  SELECT media_id, unnest(range(n)) AS r FROM p
+),
+keep AS (
+  SELECT media_id, CAST(r AS INTEGER) AS r, media_id % 40 + 10 AS t,
+         (media_id + r) % 4 + 1 AS nl
+  FROM recs
+  WHERE (media_id + r) % 3 = 0
+    AND (media_id + r) % 4 != 1
+    AND (media_id + r) % 5 != 2
+),
+toks AS (
+  SELECT media_id, r, u.k,
+         (media_id * 7 + r * 13 + u.k * 3) % 1000 AS v
+  FROM keep, LATERAL (SELECT unnest(range(t)) AS k) u
+),
+body AS (
+  SELECT media_id, r,
+         string_agg(CASE WHEN k % 5 = 0
+                         THEN '<tok' || CAST(v AS VARCHAR) || '>'
+                         ELSE 'tok' || CAST(v AS VARCHAR) END,
+                    ' ' ORDER BY k) AS toktext
+  FROM toks GROUP BY 1, 2
+),
+extra AS (
+  SELECT media_id, r,
+         CASE (media_id // 3 + r) % 6
+           WHEN 0 THEN 'gr' || chr(252) || CAST((media_id + r) % 97 AS VARCHAR) || ' '
+           WHEN 2 THEN chr(8220) || 'q' || CAST((media_id + r) % 97 AS VARCHAR) || chr(8221) || ' '
+           WHEN 4 THEN 'caf' || chr(233) || CAST((media_id + r) % 97 AS VARCHAR) || ' '
+           ELSE ''
+         END AS tok
+  FROM keep
+),
+txt AS (
+  SELECT k.media_id, k.r,
+         'Doc & ' || CAST(k.media_id AS VARCHAR) || ' ' || b.toktext
+         || ' ' || e.tok || '@end "q"' AS text
+  FROM keep k
+  JOIN body b USING (media_id, r)
+  JOIN extra e USING (media_id, r)
+),
+page AS (
+  SELECT media_id * 4 + r AS doc_id,
+         'site' || CAST((media_id * 7 + r) % 1000 AS VARCHAR)
+           || '.example' AS host,
+         text
+  FROM txt
+),
+web_corpus AS (
+  SELECT doc_id, host, text FROM page
+  UNION ALL
+  SELECT doc_id + 10000000, host, text FROM page WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, host, text || ' zzz zzz zzz'
+  FROM page WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 30000000, host,
+         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+  FROM page WHERE doc_id % 11 = 0
+)
+"""
+
+
+@register(
+    "q_web_corpus_e2e",
+    oracle=f"WITH RECURSIVE {_WEB_PAGE_CTES.strip()},"
+    + f"""
+qual AS (
+  SELECT doc_id, host, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(CAST(regexp_extract(host, 'site(\\d+)', 1) AS BIGINT) % 10
+              AS BIGINT) AS host_bucket
+  FROM web_corpus
+  WHERE len(string_split(text, ' ')) >= 10
+    AND len(string_split(text, ' ')) <= 100000
+    AND len(list_filter(string_split(text, ' '),
+          x -> list_contains({_STOP_LIST}, x))) * 1000000
+        // len(string_split(text, ' ')) < 500000
+),
+ded AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM qual
+  ) WHERE rn = 1
+),
+dt AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM ded),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(0, len(t) - 2),
+             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [text] END AS s,
+         CASE WHEN len(t) >= 3 THEN
+           list_aggregate(list_transform(range(0, len(t) - 2),
+             i -> sha256(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])), 'min')
+         ELSE sha256(text) END AS fp
+  FROM dt
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1000000
+        // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 500000
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+final AS (
+  SELECT d.* FROM ded d
+  LEFT JOIN clusters c ON d.doc_id = c.node
+  WHERE c.node IS NULL OR c.node = c.cluster_id
+),
+qb AS (SELECT host_bucket, CAST(COUNT(*) AS BIGINT) AS n_pages
+       FROM qual GROUP BY 1),
+db AS (SELECT host_bucket, CAST(COUNT(*) AS BIGINT) AS n_exact
+       FROM ded GROUP BY 1),
+fb AS (
+  SELECT host_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM final GROUP BY 1
+)
+SELECT qb.host_bucket, n_pages, n_exact, n_docs, n_hosts, total_tokens
+FROM qb JOIN db USING (host_bucket) JOIN fb USING (host_bucket)
+""",
+)
+def q_web_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E46 — the WEB->CORPUS bridge, the true end-to-end of the repo
+    (r14 verdict order #2): WARC archives -> E37 visible text -> E40
+    main-content extraction -> the E6 training-data pipeline (quality
+    gate -> exact dedup -> near-dup canonical filter) -> per-host-
+    bucket corpus census. Until now the crawl chain (E36-E45)
+    produced text and the corpus chain (E1-E35) consumed `documents`;
+    this query is the first CONTENT-level consumer of the crawl —
+    every stage reuses the proven core (html_text walk + extraction,
+    text.with_quality_metrics, dedup.exact_dedup, the sha/LSH n-gram
+    Jaccard + CC cores), composed over the staged corpus of
+    sources/cluster_store.py::web_staged_corpus with its three
+    planted re-crawl classes (verbatim re-fetches die at exact dedup,
+    3-token mutants at the canonical filter, truncated fetches at the
+    quality gate — each stage is load-bearing or the hash misses).
+    Output: per host bucket, the post-gate page count, post-exact
+    count, final doc count, distinct hosts and total tokens.
+
+    Physical plan: ONE Arrow archive walk (the staged corpus is
+    persisted MEMORY_AND_DISK; the gate and every census below it are
+    JVM codegen over the cached rows — lifecycle as host_pairs:
+    bench/test harnesses clear caches centrally); exact dedup is one
+    hash window on sha2(text); the near-dup clusters come from the
+    once-per-fingerprint web_clusters ARTIFACT (the iterative CC —
+    the expensive stage — is never repaid per invocation); the three
+    bucket censuses aggregate a 10-row key space with map-side
+    partials. At 100 TB the walk IS the corpus scan and runs once per
+    crawl snapshot; everything else is bounded by survivors, not
+    pages. Reference parity anchor: the E6 composition shape
+    (llm_pipeline.py::q_pipeline_e2e); the reference engine itself
+    stops at CDC transport (node-consumer/index.js:235-333)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions import text as TX
+    from ..functions.dedup import exact_dedup
+    from ..sources.cluster_store import web_cluster_table, web_staged_corpus
+
+    corpus = web_staged_corpus(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    qual = (
+        TX.with_quality_metrics(corpus)
+        .filter("keep")
+        .select(
+            "doc_id",
+            "host",
+            "text",
+            "n_tokens",
+            (F.regexp_extract("host", r"site(\d+)", 1).cast("long") % 10)
+            .cast("long")
+            .alias("host_bucket"),
+        )
+    )
+    ded = exact_dedup(qual)
+    non_canonical = (
+        web_cluster_table(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    final = ded.join(non_canonical, "doc_id", "left_anti")
+    qb = qual.groupBy("host_bucket").agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+    db = ded.groupBy("host_bucket").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    fb = final.groupBy("host_bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return (
+        qb.join(db, "host_bucket")
+        .join(fb, "host_bucket")
+        .orderBy("host_bucket")
     )

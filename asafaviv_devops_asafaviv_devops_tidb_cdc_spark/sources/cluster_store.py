@@ -173,3 +173,82 @@ def neardup_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp,
         lambda: neardup_clusters(ngram_pair_table(spark, sf_dir)),
     )
+
+
+_WEB_CC_VERSION = "web-cc-v1"
+
+
+def web_staged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, host, text): the crawl chain's output STAGED as a
+    documents-shaped corpus — the web->corpus bridge input (r14
+    verdict order #2). Rows are the E40 main-content extraction of
+    every kept crawl page, keyed by page (media_id * 4 + r; r < 3 so
+    the key is collision-free), host folded from the page URL via JVM
+    ``parse_url``. Three planted re-crawl classes give the downstream
+    pipeline stages ground truth:
+
+    - every 10th page re-fetched VERBATIM (key + 1e7) — the exact-dedup
+      stage must collapse re-crawls to the first fetch;
+    - every 7th page with a 3-token suffix mutation (key + 2e7) — the
+      near-dup canonical filter's prey;
+    - every 11th page TRUNCATED to its first 5 tokens (key + 3e7) — an
+      aborted fetch, which only the quality gate can remove (5 tokens
+      < the 10-token floor).
+
+    Same planting scheme as :func:`neardup_corpus`, applied to crawl
+    text instead of the documents table."""
+    from ..functions import html_text as HT
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    pages = HT.main_content_text(HT.synth_warc_html_payloads(ids))
+    pg = pages.select(
+        (F.col("media_id") * 4 + F.col("r")).cast("long").alias("doc_id"),
+        F.lower(F.expr("parse_url(page_url, 'HOST')")).alias("host"),
+        "text",
+    )
+    stub = F.expr("array_join(slice(split(text, ' '), 1, 5), ' ')")
+    return (
+        pg.unionByName(
+            pg.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "host", "text"
+            )
+        )
+        .unionByName(
+            pg.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                "host",
+                F.concat(F.col("text"), F.lit(" zzz zzz zzz")).alias("text"),
+            )
+        )
+        .unionByName(
+            pg.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                "host",
+                stub.alias("text"),
+            )
+        )
+    )
+
+
+def web_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) over the STAGED web corpus' post-gate,
+    post-exact-dedup survivors — the web pipeline's near-dup artifact,
+    built once per documents fingerprint exactly like
+    :func:`pipeline_cluster_table` (same stage order, same sha/LSH
+    cores from functions/dedup.py); the q_web_corpus_e2e oracle
+    re-derives components from scratch, which keeps it honest."""
+    from ..functions import text as TX
+    from ..functions.dedup import exact_dedup, neardup_clusters, ngram_jaccard_pairs
+
+    def build() -> DataFrame:
+        qual = (
+            TX.with_quality_metrics(web_staged_corpus(spark, sf_dir))
+            .filter("keep")
+            .select("doc_id", "text")
+        )
+        return neardup_clusters(ngram_jaccard_pairs(exact_dedup(qual)))
+
+    fp = input_fingerprint(sf_dir, "documents", _WEB_CC_VERSION)
+    return materialized(spark, "web_clusters", fp, build)

@@ -145,6 +145,57 @@ def test_pattern_regex_differential(pattern, path):
     assert got == RB._pattern_matches(pattern, path), (pattern, path)
 
 
+# Curated pattern corpus for the JVM-side differential: every escape
+# class Python re.escape emits over hostile path characters (regex
+# metachars, punctuation, space, backslash), wildcards, terminal and
+# de-anchored '$', mid-pattern '$' (literal per RFC 9309), empty runs.
+_JVM_RX_PATTERNS = [
+    "/", "/a/b", "/a/*/c", "*.php$", "/x$", "/*$", "$", "*",
+    "/a*b*c", "/a**b", "/star*star$", "*$", "/q?x=1", "/p(1)",
+    "/p[2]", "/b{3}", "/v|w", "/c^d", "/d-e", "/t~u", "/m+n",
+    "/s s", "/pct%7E", "/dot.", "/comma,;:", "/quote'\"",
+    "/bs\\", "/lt<gt>", "/amp&eq=", "/at@hash#", "/bang!",
+    "/mid$dollar", "/a.c$", "/+?.", "/[a-z]+", "/(|)",
+]
+_JVM_RX_PATHS = [
+    "", "/", "/a/b", "/a/b/c", "/a/x/c", "/a/bc", "/index.php",
+    "/x", "/x/", "/axbyc", "/ab", "/starXstar", "/q?x=1",
+    "/q!x=1", "/p(1)", "/p[2]", "/b{3}", "/v|w", "/c^d", "/d-e",
+    "/t~u", "/m+n", "/s s", "/pct%7E", "/dot.", "/dotX",
+    "/comma,;:", "/quote'\"", "/bs\\", "/lt<gt>", "/amp&eq=",
+    "/at@hash#", "/bang!", "/mid$dollar", "/abc", "/a.c", "/aXc",
+]
+
+
+def test_pattern_regex_spark_rlike_differential(spark):
+    """r14 advice #3: the claim that pattern_regex's output compiles
+    and matches IDENTICALLY under java.util.regex was only ever
+    exercised through Python ``re`` — a Java-side divergence (an
+    escape Java rejects, an anchor it reads differently) would have
+    surfaced only as a runtime frontier failure. Run the full
+    pattern x path corpus through Spark ``rlike`` (the same RLike
+    expression node q_crawl_frontier's higher-order filter evaluates
+    per rules-array element) and demand bit-identical verdicts with
+    the hand matcher. A pattern whose translation Java cannot compile
+    fails the action loudly here, not in production."""
+    rows = [
+        (pat, RB.pattern_regex(pat), path)
+        for pat in _JVM_RX_PATTERNS
+        for path in _JVM_RX_PATHS
+    ]
+    df = spark.createDataFrame(rows, "pattern string, rx string, path string")
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["pattern"], r["path"]): r["jvm"]
+        for r in df.withColumn("jvm", F.expr("path rlike rx")).collect()
+    }
+    for pat in _JVM_RX_PATTERNS:
+        for path in _JVM_RX_PATHS:
+            want = RB._pattern_matches(pat, path)
+            assert got[(pat, path)] == want, (pat, path, want)
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalizer: idempotence + urllib differential (advice #6)
 # ---------------------------------------------------------------------------
