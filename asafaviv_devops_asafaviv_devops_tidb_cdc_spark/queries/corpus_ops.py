@@ -1245,3 +1245,181 @@ def q_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum("rev").cast("long").alias("revenue_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E47 — compliance takedown propagation across the artifact store
+# ---------------------------------------------------------------------------
+
+def _takedown_oracle() -> str:
+    from ..functions import sampling as SK
+    from ..sources.takedown import PURGE_MOD
+    from .llm_pipeline import _NGRAM_PAIRS_CTES
+
+    def lsum(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"({lsum(a, b)}) / sqrt(({lsum(a, a)}) * ({lsum(b, b)}))"
+
+    prime = 1_000_000_007
+    return (
+        f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {PURGE_MOD} != 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE doc_id % {PURGE_MOD} != 0 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zzz zzz zzz' FROM documents
+  WHERE doc_id % {PURGE_MOD} != 0 AND doc_id % 7 = 0
+),
+"""
+        + _NGRAM_PAIRS_CTES.strip()
+        + f""",
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1
+),
+cl AS (
+  SELECT 'clusters' AS artifact,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) FILTER (WHERE (doc_id % 1000000) % {PURGE_MOD} = 0
+                OR (cluster_id % 1000000) % {PURGE_MOD} = 0) AS BIGINT)
+           AS n_purged,
+         CAST(SUM((doc_id * 31 + cluster_id * 17) % {prime}) AS BIGINT)
+           AS checksum
+  FROM clusters
+),
+pemb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {PURGE_MOD} != 0
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM pemb WHERE vec_id % 50 = 0
+),
+assign AS (
+  SELECT p.vec_id, c.cid,
+         row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY {cos('p.embedding', 'c.cv')} DESC, c.cid) AS rn
+  FROM pemb p, cents c
+),
+iv AS (
+  SELECT 'ivf_cells' AS artifact,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) FILTER (WHERE vec_id % {PURGE_MOD} = 0) AS BIGINT)
+           AS n_purged,
+         CAST(SUM((vec_id * 31 + cid * 17) % {prime}) AS BIGINT) AS checksum
+  FROM assign WHERE rn = 1
+),
+sd AS (
+  SELECT doc_id, {SK.salted_key_sql(SK.SHARD_SALT)} AS h
+  FROM documents WHERE doc_id % {PURGE_MOD} != 0
+),
+sr AS (
+  SELECT doc_id,
+         instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS nib
+  FROM sd
+),
+shd AS (
+  SELECT 'shards' AS artifact,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) FILTER (WHERE doc_id % {PURGE_MOD} = 0) AS BIGINT)
+           AS n_purged,
+         CAST(SUM((doc_id * 31 + nib * 17) % {prime}) AS BIGINT) AS checksum
+  FROM sr
+)
+SELECT * FROM cl UNION ALL SELECT * FROM iv UNION ALL SELECT * FROM shd
+"""
+    )
+
+
+@register("q_takedown_propagation", oracle=_takedown_oracle())
+def q_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E47 — COMPLIANCE TAKEDOWN PROPAGATION (r14 verdict order #3):
+    a deterministic purge cohort (doc_id % 37 == 0, plus its aligned
+    embedding vectors) is erased and every derived artifact the store
+    materializes — the near-dup cluster table, the mod50 IVF cell
+    index, the training-shard landing — is REBUILT from the purged
+    source through its real build path under a purge-aware fingerprint
+    (sources/takedown.py: the purge spec joins the artifact version,
+    so a new takedown batch = new fingerprint = from-scratch rebuild;
+    this drives the artifact-store invalidation path no other query
+    exercises). The output is one certification row per artifact:
+    row count, the count of rows still referencing a purged doc
+    (computed as DATA, not asserted — the oracle pins it to 0), and a
+    modular id-pair checksum strong enough that a single wrong
+    cluster_id / cid / shard byte anywhere misses the hash. The oracle
+    re-derives every post-purge artifact from scratch: the recursive
+    connected components over the purged planted corpus, the nearest-
+    centroid assignment over surviving vectors (vec 0 is purged, so
+    the index re-seeds — a filter of the old assignment could NOT
+    match), and the salted-sha shard census. Rebuild-not-filter is the
+    load-bearing semantic: purging can split clusters, rename their
+    canonicals and re-seed IVF cells.
+
+    Physical plan: each artifact builds ONCE per (corpus fingerprint,
+    purge spec) — the CC iteration, the corpus x centroids assignment
+    and the shard exchange are build-time costs — and this query scans
+    the three committed parquet artifacts (the shard census aggregates
+    FROM THE FILES, certifying the landing a trainer would stream)
+    into three one-row aggregates with map-side partials. At 100 TB a
+    takedown batch costs one rebuild of each derived artifact — which
+    is exactly what erasure requires — and certification stays a
+    columnar scan. Reference surface: none (the reference transports
+    CDC deletes, index.js:255-333, but has no derived-artifact layer);
+    north-star BASELINE.json trajectory."""
+    from ..sources.takedown import (
+        PURGE_MOD,
+        takedown_cluster_table,
+        takedown_ivf_cells,
+        takedown_shards_path,
+    )
+
+    prime = 1_000_000_007
+    cl = takedown_cluster_table(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            (
+                (F.col("doc_id") % 1_000_000 % PURGE_MOD == 0)
+                | (F.col("cluster_id") % 1_000_000 % PURGE_MOD == 0)
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_purged"),
+        F.expr(f"CAST(SUM((doc_id * 31 + cluster_id * 17) % {prime}) AS BIGINT)")
+        .alias("checksum"),
+    ).select(F.lit("clusters").alias("artifact"), "n_rows", "n_purged", "checksum")
+    iv = takedown_ivf_cells(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum((F.col("vec_id") % PURGE_MOD == 0).cast("int"))
+        .cast("long")
+        .alias("n_purged"),
+        F.expr(f"CAST(SUM((vec_id * 31 + cid * 17) % {prime}) AS BIGINT)")
+        .alias("checksum"),
+    ).select(F.lit("ivf_cells").alias("artifact"), "n_rows", "n_purged", "checksum")
+    shards = spark.read.schema(
+        "doc_id bigint, n_bytes bigint, h string, shard string"
+    ).parquet(takedown_shards_path(spark, sf_dir))
+    shd = shards.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum((F.col("doc_id") % PURGE_MOD == 0).cast("int"))
+        .cast("long")
+        .alias("n_purged"),
+        F.expr(
+            f"CAST(SUM((doc_id * 31 + (instr('0123456789abcdef', shard) - 1)"
+            f" * 17) % {prime}) AS BIGINT)"
+        ).alias("checksum"),
+    ).select(F.lit("shards").alias("artifact"), "n_rows", "n_purged", "checksum")
+    return cl.unionByName(iv).unionByName(shd).orderBy("artifact")

@@ -45,76 +45,72 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-14 window (50 slots), composed mechanically per
+    # Round-15 window (50 slots), composed mechanically per
     # tests/test_freshness.py (scripts/freshness.py is the source of
     # truth; this list just pins its output):
-    # (a) 3 never-checked new registrations (cap 3, fully used):
-    #     q_sitemap_census (E44 sitemap.xml discovery census),
-    #     q_crawl_frontier (E43 frontier composition: E39 URLs +
-    #     E44 sitemap x E42 robots broadcast x E41 rank),
-    #     q_stream_host_graph (E45 epoch-partial host-graph census);
-    # (b) 4 changed-path entries: the three JPEG queries (bulk
-    #     _BitWriter, sparse-support scan_ops/decoder sweeps, cached
-    #     unit lists, over-subscribed-DHT guard — byte-identical
-    #     streams, re-proof due anyway) and q_host_graph (webgraph.py
-    #     extraction + MEMORY_AND_DISK persist);
-    # (c) rotation = the r14 STALE-DRAIN (r13 verdict order #1): all
-    #     4 r7 + the 39 oldest r8 verdicts in registration order. The
-    #     4 r8 entries left outside (q_stream_doc_dedup,
-    #     q_compact_partials, q_stream_sample, q_stream_manifest) tie
-    #     the newest r8 inside (window capacity, allowed by the
-    #     oldest-first invariant) and were self-proven at HEAD via
-    #     scripts/check_parity.py — see BASELINE.md r14 notes.
-    "q_sitemap_census",
+    # (a) 2 never-checked new registrations (cap 3, 2 used):
+    #     q_web_corpus_e2e (E46 web->corpus bridge: WET main content
+    #     through the E6 quality/dedup pipeline),
+    #     q_takedown_propagation (E47 compliance purge propagated
+    #     through cluster/IVF/shard artifacts);
+    # (b) 3 changed-path entries: q_url_dedup + q_crawl_frontier
+    #     (canonical_url_col now the single shared canonicalization
+    #     definition — r14 advice #2) and q_jpeg_progressive_stats
+    #     (duplicate-support-position corrupt guard — r14 advice #4);
+    # (c) rotation = the r15 STALE DRAIN (r14 verdict order #1): the
+    #     4 r8 window-capacity holdovers lead, then the ENTIRE 39-query
+    #     r9 cohort in registration order, then 2 bonus slots for the
+    #     oldest r10 pair — the oldest verdict after this window is r10.
+    "q_web_corpus_e2e",
+    "q_takedown_propagation",
     "q_crawl_frontier",
-    "q_stream_host_graph",
-    "q_jpeg_coeff_stats",
-    "q_jpeg_color_stats",
     "q_jpeg_progressive_stats",
-    "q_host_graph",
-    "q_stream_changepoint",
-    "q_join_order_choice",
-    "q_hierarchy_depth",
-    "q_subtree_rollup",
-    "q_intersect_active",
-    "q_median_value",
-    "q_grouping_sets",
-    "q_ops_unpivot",
-    "q_value_parts",
-    "q_cluster_sizes",
-    "q_ann_recall",
-    "q_ivf_incremental",
-    "q_stream_ingest_counts",
-    "q_stream_cdc_replay",
-    "q_stream_window_counts",
-    "q_stream_dedupe",
-    "q_stream_sessions",
-    "q_stream_stream_join",
-    "q_stream_alerts",
-    "q_stream_join_view",
-    "q_stream_funnel",
-    "q_stream_topk",
-    "q_stream_late_drops",
-    "q_moving_avg",
-    "q_lag_delta",
-    "q_first_last",
-    "q_ntile",
-    "q_topn_per_group",
-    "q_rolling_1h_count",
-    "q_rank_stats",
-    "q_stream_dq",
-    "q_stream_event_drift",
-    "q_compaction_parity",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_corpus_mix",
-    "q_kmeans_iter",
-    "q_scd2_history",
-    "q_stream_scd2",
-    "q_scd2_asof",
-    "q_stream_delta_agg",
-    "q_boilerplate_grams",
-    "q_canonical_pick",
+    "q_url_dedup",
+    "q_stream_doc_dedup",
+    "q_compact_partials",
+    "q_stream_sample",
+    "q_stream_manifest",
+    "q_ops_by_table_op",
+    "q_status_counts",
+    "q_validate_events",
+    "q_parse_envelope",
+    "q_explode_rows",
+    "q_normalize",
+    "q_string_ops",
+    "q_batch_insert_gen",
+    "q_anti_orphans",
+    "q_semi_active",
+    "q_ratio_join",
+    "q_unique_check",
+    "q_asof_join",
+    "q_range_join",
+    "q_skew_salted_join",
+    "q_latency_histogram",
+    "q_totals_last",
+    "q_sums_filtered",
+    "q_rollup_ops",
+    "q_cube_ops",
+    "q_windowed_distinct",
+    "q_hll_distinct",
+    "q_order_count_dist",
+    "q_sql_region_revenue",
+    "q_forecast_revenue",
+    "q_idle_rich_customers",
+    "q_pii_scan",
+    "q_term_stats",
+    "q_embedding_stats",
+    "q_ann_batch",
+    "q_bigram_counts",
+    "q_doc_len_histogram",
+    "q_null_profile",
+    "q_key_skew",
+    "q_schema_drift",
+    "q_pruned_scan",
+    "q_vec_quantize",
+    "q_delta_agg",
+    "q_kmv_distinct",
+    "q_rate_5m",
+    "q_error_ratio",
 ]
 
 

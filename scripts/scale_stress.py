@@ -98,6 +98,7 @@ STRESS_QUERIES = {
         "q_robots_policy",
         "q_main_content",
         "q_crawl_frontier",
+        "q_web_corpus_e2e",
     ],
     "codec": [
         "q_bmp_pixel_stats",
@@ -153,9 +154,32 @@ DOC_SKEW_QUERIES = {
     ],
 }
 
+# --host-skew mode (r14 verdict item 4): real crawls have hub hosts —
+# a few domains own half the pages. Every EVEN doc_id is remapped to
+# doc_id * 1000 (unique, and ≡ 0 mod 1000), so the synth host formula
+# (media_id * 7 + r) % 1000 collapses half of ALL pages onto hosts
+# site0/site1/site2.example (one per record index r), and the
+# external-link targets of those pages collapse onto a handful of ext
+# hosts too. This is the adversarial input for the (host, url) dedup
+# shuffle (one host key owns half the rows), the per-host candidate
+# census, and the politeness broadcast (which must stay O(hosts) —
+# now FEWER distinct hosts — while the per-host row fan-in explodes).
+HOST_SKEW_QUERIES = {
+    "web_host_skew": [
+        "q_url_dedup",
+        "q_host_graph",
+        "q_crawl_frontier",
+        "q_web_corpus_e2e",
+    ],
+}
+
 
 def build_scaled_dir(
-    spark, mult: int, skew: bool = False, doc_skew: bool = False
+    spark,
+    mult: int,
+    skew: bool = False,
+    doc_skew: bool = False,
+    host_skew: bool = False,
 ) -> str:
     """Materialize a mult-x dir next to spark-warehouse; symlink the
     seven unscaled TPC-H tables, replicate the three scaled ones.
@@ -165,7 +189,12 @@ def build_scaled_dir(
     co-bucketed maintainers and AQE skew handling must absorb.
     With ``doc_skew=True`` half of every replica's documents (even
     doc_id) get the SAME un-rotated boilerplate suffix, so its grams
-    and shingles are shared by 50% of the whole scaled corpus."""
+    and shingles are shared by 50% of the whole scaled corpus.
+    With ``host_skew=True`` every even doc_id maps to doc_id * 1000
+    after the replica shift (unique: odd ids are never multiples of
+    1000, and 1e3-scaled ids dwarf later replica ranges), so the web
+    synth's mod-1000 host derivation lands HALF of all crawl pages on
+    hosts site{0,1,2}.example — the hub-host distribution."""
     from pyspark.sql import functions as F
 
     # ALWAYS rebuild: reusing a previous run's dir would reuse its
@@ -173,7 +202,11 @@ def build_scaled_dir(
     # indexes/pair tables committed by that run — and the "cold"
     # column would silently measure the warm artifact-serve path.
     # Fresh files per run keep cold genuinely cold.
-    suffix = "_skew" if skew else ("_docskew" if doc_skew else "")
+    suffix = (
+        "_skew"
+        if skew
+        else "_docskew" if doc_skew else "_hostskew" if host_skew else ""
+    )
     out = STRESS_ROOT / f"m{mult}{suffix}"
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True)
@@ -222,9 +255,18 @@ def build_scaled_dir(
         rotated = F.translate(
             "text", ALPHABET + ALPHABET.upper(), rot + rot.upper()
         )
+        shifted_doc = F.col("doc_id") + k * ID_STRIDE
         doc_parts.append(
             docs.select(
-                (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
+                (
+                    # hub hosts: even ids land on media_id ≡ 0 mod 1000,
+                    # collapsing their synth pages onto site{0,1,2}
+                    F.when(
+                        F.col("doc_id") % 2 == 0, shifted_doc * 1000
+                    ).otherwise(shifted_doc)
+                    if host_skew
+                    else shifted_doc
+                ).alias("doc_id"),
                 (
                     # the boilerplate is appended AFTER rotation, so the
                     # identical grams recur across all replicas — one
@@ -332,6 +374,12 @@ def main() -> None:
         help="append one un-rotated boilerplate suffix to half of all "
         "documents and run only the shingle/gram-keyed queries",
     )
+    mode.add_argument(
+        "--host-skew",
+        action="store_true",
+        help="remap even doc_ids so half of all crawl pages land on "
+        "three hub hosts and run only the host-keyed web queries",
+    )
     ap.add_argument(
         "--families",
         default=None,
@@ -344,7 +392,11 @@ def main() -> None:
     queries_by_family = (
         SKEW_QUERIES
         if args.skew
-        else DOC_SKEW_QUERIES if args.doc_skew else STRESS_QUERIES
+        else (
+            DOC_SKEW_QUERIES
+            if args.doc_skew
+            else HOST_SKEW_QUERIES if args.host_skew else STRESS_QUERIES
+        )
     )
     if args.families:
         wanted = {f.strip() for f in args.families.split(",")}
@@ -366,7 +418,11 @@ def main() -> None:
     for m in mults:
         t0 = time.perf_counter()
         dirs[m] = build_scaled_dir(
-            spark, m, skew=args.skew, doc_skew=args.doc_skew
+            spark,
+            m,
+            skew=args.skew,
+            doc_skew=args.doc_skew,
+            host_skew=args.host_skew,
         )
         build_secs[m] = round(time.perf_counter() - t0, 2)
         print(f"built m{m} in {build_secs[m]}s -> {dirs[m]}", flush=True)
@@ -419,6 +475,7 @@ def main() -> None:
         "src": SRC_DIR,
         "skew": args.skew,
         "doc_skew": args.doc_skew,
+        "host_skew": args.host_skew,
         "mults": mults,
         "build_secs": build_secs,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
