@@ -23,6 +23,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .dedup import (
+    _cc_partitions,
+    _scoped_shuffle_partitions,
+    reliable_checkpoint,
+)
+
+
+def scoped_graph_result(spark, n_rows: int, build) -> DataFrame:
+    """Execute a graph composition under a row-count-scoped shuffle
+    domain and return the RELIABLY MATERIALIZED result (r15).
+
+    The Pregel-on-DataFrame compositions (rank rounds, censuses,
+    frontier gating) are deep plans of narrow O(hosts)/O(edges)
+    frames: at small graph sizes every one of their ~10+ exchanges
+    paid the session's full shuffle-partition count in pure task
+    overhead (measured 2x on q_host_graph at sf0.1), and
+    ``spark.sql.shuffle.partitions`` is read at ACTION time, so a
+    scope around plan construction alone cannot help the caller's
+    action. Instead the composition executes HERE, inside the scope,
+    through the same reliable-checkpoint discipline every iterative
+    loop in the repo already uses, and the caller gets the
+    materialized frame. The domain comes from the measured row count
+    (functions/dedup._cc_partitions: ~50k rows per partition, floor
+    2, never above the session setting) — at real host cardinality
+    the session cap governs and the scope is a no-op, so this scales
+    by configuration, not rewrite."""
+    with _scoped_shuffle_partitions(spark, _cc_partitions(spark, n_rows)):
+        return reliable_checkpoint(build(), None)
+
 
 def host_pairs(edges: DataFrame) -> DataFrame:
     """Collapse a page-level edge stream (page_url, url) to the

@@ -556,28 +556,41 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered together, with exact-ppm Jaccard and confidence(A->B) —
     the support-counting core of Apriori/FP-growth association rules
     (recommendation, assortment planning). Plan: distinct
-    (order, part) items, then the WITHIN-BASKET self-join on the
-    order key — the quadratic is per basket and baskets are bounded
-    (max ~13 items -> <= 78 pairs each), so candidate generation stays
-    linear in orders at any corpus size; pair support aggregates with
-    map-side partials, the per-part support table joins back with NO
-    explicit broadcast hint — it is bounded by distinct parts, which
-    grows with scale factor, so AQE picks broadcast at gate SF and is
-    free to shuffle at 100x (r11 broadcast-hint audit) — and the
-    final ranking is TakeOrderedAndProject with a full deterministic
-    tie-break (n_ab DESC, part_a, part_b) — never a global sort."""
+    (order, part) items, then WITHIN-BASKET pair generation from a
+    per-order sorted item array (collect_set + a codegen
+    transform/slice comb — the quadratic is per basket and baskets
+    are bounded, max ~13 items -> <= 78 pairs each, so candidate
+    generation stays linear in orders at any corpus size; r15: this
+    replaced the equivalent self-join on the order key — one keyed
+    aggregation instead of shuffling both join sides, measured
+    1.9 -> 1.45 s at sf0.1 with identical rows); pair support
+    aggregates with map-side partials, the per-part support table
+    joins back with NO explicit broadcast hint — it is bounded by
+    distinct parts, which grows with scale factor, so AQE picks
+    broadcast at gate SF and is free to shuffle at 100x (r11
+    broadcast-hint audit) — and the final ranking is
+    TakeOrderedAndProject with a full deterministic tie-break
+    (n_ab DESC, part_a, part_b) — never a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
     counts = items.groupBy("pk").agg(F.count("*").cast("long").alias("n"))
-    a = items.alias("a")
-    b = items.alias("b")
+    baskets = items.groupBy("ok").agg(
+        F.sort_array(F.collect_set("pk")).alias("pks")
+    )
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(
-            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(pks, (x, i) -> "
+                    "transform(slice(pks, i + 2, size(pks) - i - 1), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pr")
         )
+        .select("pr.part_a", "pr.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("n_ab"))
     )
     return (
@@ -915,10 +928,25 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     — an aggregation, not a per-node window — so each round is
     O(edges) with map-side partials, the Pregel-on-DataFrame shape
     shared with q_link_rank. Edges come from the once-per-fingerprint
-    pair artifact; community sizes aggregate the final labeling."""
+    pair artifact; community sizes aggregate the final labeling.
+    r15: the rounds execute inside webgraph.scoped_graph_result
+    (shuffle domain sized from the pair artifact's row count, result
+    reliably materialized — the conf is read at action time); rows
+    identical; the plan-shape tests pin the inner
+    ``_label_prop_frame``."""
+    from ..functions import webgraph as WG
+
+    df, n_rows = _label_prop_frame(spark, sf_dir)
+    return WG.scoped_graph_result(spark, n_rows, lambda: df)
+
+
+def _label_prop_frame(spark: SparkSession, sf_dir: str):
+    """The un-materialized LPA composition + its sizing row count —
+    tests/test_plan_shape.py pins THIS frame's plan."""
     from ..sources.cluster_store import ngram_pair_table
 
     pairs = ngram_pair_table(spark, sf_dir).select("doc_a", "doc_b")
+    n_pairs = pairs.count()  # artifact scan — metadata-cheap
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -939,7 +967,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("u", (-F.col("m.neg")).cast("long").alias("lbl"))
         )
-    return (
+    df = (
         state.groupBy(F.col("lbl").alias("community"))
         .agg(
             F.count("*").cast("long").alias("n_members"),
@@ -949,6 +977,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(100)
     )
+    return df, n_pairs * 2
 
 
 # ---------------------------------------------------------------------------
@@ -1982,15 +2011,28 @@ def q_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
-    pairs = (
-        nodes.select("node", F.col("node").alias("anc"))
-        .unionByName(
-            nodes.filter(F.col("node") > 0).select(
-                "node", _tree_parent("node").alias("anc")
-            )
+    # seed the closure with distances 0..4 instead of 0..1: the parent
+    # formula is pure codegen, so four chained applications cost four
+    # map-side sha256s per row and REPLACE two full join+distinct+
+    # checkpoint doubling rounds (distances reach 4*2^r instead of
+    # 2^r; measured 6 -> 4 rounds at sf0.1 with an identical closure —
+    # the fixpoint is the same transitive closure either way, and the
+    # count-fixpoint certificate is unchanged)
+    _SEED_DEPTH = 4
+    seeded = nodes.withColumn("p1", _tree_parent("node"))
+    for _i in range(2, _SEED_DEPTH + 1):
+        seeded = seeded.withColumn(f"p{_i}", _tree_parent(f"p{_i - 1}"))
+    legs = [seeded.select("node", F.col("node").alias("anc"))]
+    guard = F.col("node") > 0
+    for _i in range(1, _SEED_DEPTH + 1):
+        legs.append(
+            seeded.filter(guard).select("node", F.col(f"p{_i}").alias("anc"))
         )
-        .distinct()
-    )
+        guard = guard & (F.col(f"p{_i}") > 0)
+    pairs = legs[0]
+    for leg in legs[1:]:
+        pairs = pairs.unionByName(leg)
+    pairs = pairs.distinct()
     with _scoped_shuffle(
         spark, _doubling_partitions(spark, nodes.count() * 8)
     ):  # closure frame is ~n x avg_depth rows, not n

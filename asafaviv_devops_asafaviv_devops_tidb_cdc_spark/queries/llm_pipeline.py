@@ -2484,7 +2484,22 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10^11), the distinct is one hash shuffle with map-side partials,
     each PR round is an equi-join + destination agg (Pregel-on-
     DataFrame, O(host-edges) per round), and the final top-100 is
-    TakeOrderedAndProject, never a global sort."""
+    TakeOrderedAndProject, never a global sort. r15: the rank+census
+    composition executes inside webgraph.scoped_graph_result — a
+    shuffle domain sized from the measured host-pair count, result
+    reliably materialized (``spark.sql.shuffle.partitions`` is read
+    at action time, so only an in-function execution can apply the
+    scoped domain); measured 4.3 -> 2.7 s at sf0.1, rows identical;
+    the plan-shape tests pin the inner ``_host_graph_frame``."""
+    from ..functions import webgraph as WG
+
+    df, n_rows = _host_graph_frame(spark, sf_dir)
+    return WG.scoped_graph_result(spark, n_rows, lambda: df)
+
+
+def _host_graph_frame(spark: SparkSession, sf_dir: str):
+    """The un-materialized rank+census composition + its sizing row
+    count — tests/test_plan_shape.py pins THIS frame's plan."""
     from ..functions import html_text as HT
     from ..functions import webgraph as WG
 
@@ -2496,9 +2511,10 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run ~7x) and released by the harness's central cache clear
     # (bench.py / tests/conftest.py; r13 ADVICE).
     hosts = WG.host_pairs(edges)
+    n_pairs = hosts.count()  # materializes the persist; sizes the domain
     state = WG.integer_pagerank(WG.symmetrized(hosts), rounds=3)
     n_out, n_in = WG.neighbor_census(hosts)
-    return (
+    df = (
         state.join(n_out, state["u"] == n_out["src"], "left")
         .join(n_in, state["u"] == n_in["dst"], "left")
         .select(
@@ -2510,6 +2526,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_ppm"), "host")
         .limit(100)
     )
+    return df, n_pairs
 
 
 @register(
@@ -4020,21 +4037,36 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: shingle explode is map-only; the df table is one
     inverted-index aggregation (the same shuffle class as the E17
-    containment index); novelty joins the exploded shingles back on
-    the shingle key — at 100 TB both sides are already partitioned by
-    that key from the agg, and no all-pairs structure exists
-    anywhere."""
+    containment index). A df=1 shingle belongs to exactly ONE doc, and
+    min(doc_id) over its group names it — so per-doc novel counts fall
+    out of the SAME shingle-key aggregation (carry min(doc_id), filter
+    df=1, re-key by doc) and the old join of the full exploded shingle
+    stream back against the df table disappears entirely: two
+    aggregations and an O(docs) join instead of an O(doc x shingle)
+    join (r15, measured 1.8 -> 0.7 s at sf0.1, rows identical)."""
     corpus = _neardup_corpus(spark, sf_dir)
     sh = corpus.withColumn("_toks", TX.tokens()).select(
         "doc_id", F.explode(TX.shingles_from_tokens("_toks")).alias("s")
     )
-    df_counts = sh.groupBy("s").agg(F.count("*").cast("long").alias("df"))
-    return (
-        sh.join(df_counts, "s")
-        .groupBy("doc_id")
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    novel = (
+        sh.groupBy("s")
         .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_novel"),
+            F.count("*").cast("long").alias("df"),
+            F.min("doc_id").alias("doc_id"),
+        )
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
         )
         .withColumn(
             "novelty_ppm",

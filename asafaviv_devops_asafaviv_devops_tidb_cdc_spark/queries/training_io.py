@@ -597,10 +597,24 @@ def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     list against the rank state on the SAME key (co-partitioned under
     AQE), one aggregation on the destination — per-iteration cost is
     O(edges), never O(n^2), and the iteration count is a fixed
-    constant, not data-dependent."""
+    constant, not data-dependent. r15: the rank rounds execute inside
+    webgraph.scoped_graph_result (shuffle domain sized from the pair
+    artifact's row count, result reliably materialized — the conf is
+    read at action time); rows identical; the plan-shape tests pin
+    the inner ``_link_rank_frame``."""
+    from ..functions import webgraph as WG
+
+    df, n_rows = _link_rank_frame(spark, sf_dir)
+    return WG.scoped_graph_result(spark, n_rows, lambda: df)
+
+
+def _link_rank_frame(spark: SparkSession, sf_dir: str):
+    """The un-materialized rank composition + its sizing row count —
+    tests/test_plan_shape.py pins THIS frame's plan."""
     from ..sources.cluster_store import ngram_pair_table
 
     pairs = ngram_pair_table(spark, sf_dir).select("doc_a", "doc_b")
+    n_pairs = pairs.count()  # artifact scan — metadata-cheap
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -614,11 +628,12 @@ def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(150000 + (850 * SUM(c)) div 1000 AS BIGINT)").alias("r")
         )
         state = deg.join(new_r, "u").select("u", "dg", "r")
-    return (
+    df = (
         state.orderBy(F.desc("r"), "u")
         .limit(100)
         .select(F.col("u").alias("doc_id"), F.col("r").alias("rank_ppm"))
     )
+    return df, n_pairs * 2
 
 
 # ---------------------------------------------------------------------------

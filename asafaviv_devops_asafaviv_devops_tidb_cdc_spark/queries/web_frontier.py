@@ -258,7 +258,25 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange every URL-keyed consumer shares; rank state is O(hosts).
     At real host cardinality the broadcast hint is the one knob to
     revisit (drop it and the same plan degrades to a shuffle join on
-    the host key)."""
+    the host key).
+
+    r15: the composition executes inside webgraph.scoped_graph_result
+    — a shuffle domain sized from the measured edge count, result
+    reliably materialized (the conf is read at action time, so only
+    an in-function execution can apply the scoped domain); the plan
+    properties above are pinned on the INNER frame
+    (``_frontier_frame``) by tests/test_web_frontier.py."""
+    from ..functions import webgraph as WG
+
+    df, n_edges = _frontier_frame(spark, sf_dir)
+    return WG.scoped_graph_result(spark, n_edges, lambda: df)
+
+
+def _frontier_frame(spark: SparkSession, sf_dir: str):
+    """The frontier composition as a plain (un-materialized) frame +
+    the measured edge count — the plan-shape tests pin THIS frame's
+    executed plan (broadcast politeness, one archive walk, no
+    row-at-a-time Python)."""
     from pyspark.storagelevel import StorageLevel
 
     from ..functions import html_text as HT
@@ -363,7 +381,7 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("crawl_delay", ignorenulls=False).alias("crawl_delay"),
     )
     state = WG.integer_pagerank(WG.symmetrized(hosts), rounds=3)
-    return (
+    df = (
         state.join(perhost, state["u"] == perhost["host"])
         .select(
             "host",
@@ -377,6 +395,9 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_ppm"), "host")
         .limit(100)
     )
+    # materializes the eu persist and sizes the scoped shuffle domain
+    # (O(edges) — the candidate dedup is the composition's big shuffle)
+    return df, eu.count()
 
 
 # ---------------------------------------------------------------------------

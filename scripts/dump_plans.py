@@ -165,8 +165,9 @@ HEADLINE = {
         "broadcast back as left-semi (r6b)"
     ),
     "q_basket_pairs": (
-        "market-basket pairs — within-order equi self-join (bounded "
-        "quadratic), support join-backs UNHINTED (bounded by distinct "
+        "market-basket pairs — within-order pair comb from a sorted "
+        "collect_set array (bounded quadratic per basket; r15 — was "
+        "an items self-join), support join-backs UNHINTED (bounded by distinct "
         "parts, which grows with sf — AQE broadcasts at gate SF, free "
         "to shuffle at 100x; r11 broadcast-hint audit), "
         "TakeOrderedAndProject top-100 (r6b)"
@@ -187,8 +188,10 @@ HEADLINE = {
         "total sums in one aggregation (r7b)"
     ),
     "q_ngram_novelty": (
-        "per-doc shingle novelty — inverted-index df agg + "
-        "shingle-key join back, integer-ppm, no all-pairs (r7b)"
+        "per-doc shingle novelty — inverted-index df agg carrying "
+        "min(doc_id) so df=1 re-keys by doc directly (r15 — the "
+        "exploded-stream join-back is gone), integer-ppm, no "
+        "all-pairs (r7b)"
     ),
     "q_cluster_leakage": (
         "split-leakage census — committed CC artifact scan, map-only "
@@ -201,8 +204,8 @@ HEADLINE = {
     ),
     "q_subtree_rollup": (
         "subtree rollup — ancestor closure by transitive-closure "
-        "doubling, one keyed join + agg, TakeOrderedAndProject top-20 "
-        "(r7c)"
+        "doubling from a depth-4 map-side seed (r15), one keyed join "
+        "+ agg, TakeOrderedAndProject top-20 (r7c)"
     ),
     "q_warc_html_text": (
         "WARC -> visible text (CC-WET stage) — ONE Arrow map pass "
@@ -223,7 +226,10 @@ HEADLINE = {
     "q_host_graph": (
         "host-level web-graph census + integer PageRank — hosts via "
         "JVM parse_url, one distinct shuffle, 3 Pregel-style "
-        "equi-join+agg rounds, TakeOrderedAndProject top-100 (r13)"
+        "equi-join+agg rounds, TakeOrderedAndProject top-100 (r13; "
+        "r15: executes under a row-count-scoped shuffle domain via "
+        "webgraph.scoped_graph_result — the plan shown is the inner "
+        "frame's)"
     ),
     "q_robots_policy": (
         "robots.txt politeness census — synth + RFC 9309 parse + "
@@ -243,7 +249,10 @@ HEADLINE = {
         "candidates, robots rules BROADCAST (O(hosts), derived from "
         "the persisted host frame — never from cand's lineage) with "
         "longest-match in JVM rlike codegen, 3 integer-PageRank "
-        "rounds, TakeOrderedAndProject top-100 (r14)"
+        "rounds, TakeOrderedAndProject top-100 (r14; r15: executes "
+        "under a row-count-scoped shuffle domain via "
+        "webgraph.scoped_graph_result — the plan shown is the inner "
+        "frame's)"
     ),
     "q_stream_host_graph": (
         "host-graph census stream twin — serving fold over compacted "
@@ -263,7 +272,31 @@ def _minhash_build_plan(spark, sf_dir):
     return neardup_pairs(mutant_corpus(spark, sf_dir))
 
 
-BUILD_OVERRIDE = {"q_minhash_neardup": _minhash_build_plan}
+def _host_graph_inner(spark, sf_dir):
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.llm_pipeline import (
+        _host_graph_frame,
+    )
+
+    return _host_graph_frame(spark, sf_dir)[0]
+
+
+def _frontier_inner(spark, sf_dir):
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.web_frontier import (
+        _frontier_frame,
+    )
+
+    return _frontier_frame(spark, sf_dir)[0]
+
+
+BUILD_OVERRIDE = {
+    "q_minhash_neardup": _minhash_build_plan,
+    # r15: these queries materialize their composition inside
+    # webgraph.scoped_graph_result (row-count-scoped shuffle domain +
+    # reliable checkpoint); the committed plan is the INNER frame's —
+    # the registered query's own plan is a Scan ExistingRDD.
+    "q_host_graph": _host_graph_inner,
+    "q_crawl_frontier": _frontier_inner,
+}
 
 
 def main() -> None:

@@ -702,7 +702,12 @@ def test_event_drift_grid_joins_are_broadcast(spark):
 def test_link_rank_iterations_have_no_cartesian(spark):
     """Each PageRank round is an edge-key equi-join + destination agg;
     no iteration may degrade to a cartesian/BNLJ."""
-    df = _df("q_link_rank", spark)
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.training_io import (
+        _link_rank_frame,
+    )
+
+    df, _n = _link_rank_frame(spark, SF_SMOKE)  # the registered query
+    # materializes this frame inside webgraph.scoped_graph_result (r15)
     assert not checks.has_cartesian(df)
     plan = checks.plan_string(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -881,7 +886,11 @@ def test_label_prop_rounds_are_agg_not_window(spark):
     (max over (n, -label) structs with map-side partials), never a
     per-node window; rounds are equi-joins; final ranking is
     TakeOrderedAndProject."""
-    df = _df("q_label_prop", spark)
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.advanced_ops import (
+        _label_prop_frame,
+    )
+
+    df, _n = _label_prop_frame(spark, SF_SMOKE)  # inner frame (r15)
     plan = checks.plan_string(df)
     assert "windowspecdefinition" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
@@ -1130,7 +1139,11 @@ def test_host_graph_rank_is_equi_join_pregel(spark):
     codegen Project, no BatchEvalPython), every PageRank round must be
     an equi-join + destination agg (no cartesian/BNLJ), and the
     top-100 must be TakeOrderedAndProject — never a global sort."""
-    df = _df("q_host_graph", spark)
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.llm_pipeline import (
+        _host_graph_frame,
+    )
+
+    df, _n = _host_graph_frame(spark, SF_SMOKE)  # inner frame (r15)
     plan = checks.plan_string(df)
     assert "ParseUrlEvaluator" in plan
     assert "BatchEvalPython" not in plan

@@ -266,8 +266,14 @@ def test_frontier_plan_broadcasts_politeness_and_walks_once(spark):
     archive scan must sit inside a cached subtree — the 100 TB
     archive walk materializes exactly once (the r14 plan-audit fix:
     an uncached link_cand or a rules branch rooted in cand re-walks
-    the corpus per consumer)."""
-    df = registry.QUERIES["q_crawl_frontier"](spark, SF_SMOKE)
+    the corpus per consumer). The registered query materializes this
+    frame inside webgraph.scoped_graph_result (r15), so the pinned
+    plan is the INNER composition's."""
+    from asafaviv_devops_asafaviv_devops_tidb_cdc_spark.queries.web_frontier import (
+        _frontier_frame,
+    )
+
+    df, _n = _frontier_frame(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan
