@@ -1931,17 +1931,40 @@ def q_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     n_nodes = cust.count()  # driver scalar sizing the loop's shuffle domain
+    # seed the pointers 4 parent hops deep instead of 1 (r15): the
+    # parent formula is pure codegen, so three extra chained
+    # applications are map-side sha256s that replace whole doubling
+    # rounds (each a join + checkpoint) — depths reach 4*2^r instead
+    # of 2^r; measured 1.8 -> 1.45 s at sf0.1 with identical rows.
     f = cust.select(
         F.col("c_custkey").cast("long").alias("node"),
         cents("c_acctbal").alias("bal"),
-    ).select(
+    )
+    f = (
+        f.withColumn("p1", _tree_parent("node"))
+        .withColumn("p2", _tree_parent("p1"))
+        .withColumn("p3", _tree_parent("p2"))
+        .withColumn("p4", _tree_parent("p3"))
+    )
+    _d0 = (
+        F.when(F.col("node") <= 0, F.lit(0))
+        .when(F.col("p1") <= 0, F.lit(1))
+        .when(F.col("p2") <= 0, F.lit(2))
+        .when(F.col("p3") <= 0, F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    _anc0 = (
+        F.when(F.col("node") <= 0, F.lit(0))
+        .when(F.col("p1") <= 0, F.lit(0))
+        .when(F.col("p2") <= 0, F.lit(0))
+        .when(F.col("p3") <= 0, F.lit(0))
+        .otherwise(F.col("p4"))
+    )
+    f = f.select(
         "node",
         "bal",
-        _tree_parent("node").alias("anc"),
-        F.when(F.col("node") <= 0, F.lit(0))
-        .otherwise(F.lit(1))
-        .cast("long")
-        .alias("d"),
+        _anc0.cast("long").alias("anc"),
+        _d0.cast("long").alias("d"),
     )
     with _scoped_shuffle(spark, _doubling_partitions(spark, n_nodes)):
         f = reliable_checkpoint(f, None)

@@ -53,19 +53,40 @@ _CHECK_FIRST = [
     #     through the E6 quality/dedup pipeline),
     #     q_takedown_propagation (E47 compliance purge propagated
     #     through cluster/IVF/shard artifacts);
-    # (b) 3 changed-path entries: q_url_dedup + q_crawl_frontier
+    # (b) 16 changed-path entries: q_url_dedup + q_crawl_frontier
     #     (canonical_url_col now the single shared canonicalization
-    #     definition — r14 advice #2) and q_jpeg_progressive_stats
-    #     (duplicate-support-position corrupt guard — r14 advice #4);
+    #     definition — r14 advice #2), q_jpeg_progressive_stats
+    #     (duplicate-support-position corrupt guard — r14 advice #4),
+    #     and the 13 queries whose derivations the r15 OPTIMIZATION
+    #     round touched (all output-identical by interleaved A/B +
+    #     sf0.01 parity, but a changed path must be driver-re-proven
+    #     by invariant): the CC-artifact consumers (neardup_clusters
+    #     init+domain fix), the scoped-domain graph compositions, the
+    #     closure-seed tree queries, and the novelty/basket
+    #     restructures — see OPTIMIZATION_r15.md;
     # (c) rotation = the r15 STALE DRAIN (r14 verdict order #1): the
-    #     4 r8 window-capacity holdovers lead, then the ENTIRE 39-query
-    #     r9 cohort in registration order, then 2 bonus slots for the
-    #     oldest r10 pair — the oldest verdict after this window is r10.
+    #     4 r8 window-capacity holdovers lead, then the first 28 of
+    #     the 39-query r9 cohort in registration order — the last 11
+    #     r9 entries tie the oldest-round-inside (window capacity)
+    #     and lead the r16 rotation.
     "q_web_corpus_e2e",
     "q_takedown_propagation",
     "q_crawl_frontier",
     "q_jpeg_progressive_stats",
     "q_url_dedup",
+    "q_basket_pairs",
+    "q_canonical_pick",
+    "q_cluster_leakage",
+    "q_cluster_sizes",
+    "q_dedup_yield_by_source",
+    "q_hierarchy_depth",
+    "q_host_graph",
+    "q_label_prop",
+    "q_link_rank",
+    "q_neardup_clusters",
+    "q_ngram_novelty",
+    "q_pipeline_e2e",
+    "q_subtree_rollup",
     "q_stream_doc_dedup",
     "q_compact_partials",
     "q_stream_sample",
@@ -98,19 +119,6 @@ _CHECK_FIRST = [
     "q_idle_rich_customers",
     "q_pii_scan",
     "q_term_stats",
-    "q_embedding_stats",
-    "q_ann_batch",
-    "q_bigram_counts",
-    "q_doc_len_histogram",
-    "q_null_profile",
-    "q_key_skew",
-    "q_schema_drift",
-    "q_pruned_scan",
-    "q_vec_quantize",
-    "q_delta_agg",
-    "q_kmv_distinct",
-    "q_rate_5m",
-    "q_error_ratio",
 ]
 
 
