@@ -45,80 +45,70 @@ _QUERY_MODULES = [
 # Queries not listed here keep registration order after the listed ones;
 # all of them still run in bench and pytest regardless.
 _CHECK_FIRST = [
-    # Round-15 window (50 slots), composed mechanically per
+    # Round-16 window (50 slots), composed mechanically per
     # tests/test_freshness.py (scripts/freshness.py is the source of
-    # truth; this list just pins its output):
-    # (a) 2 never-checked new registrations (cap 3, 2 used):
-    #     q_web_corpus_e2e (E46 web->corpus bridge: WET main content
-    #     through the E6 quality/dedup pipeline),
-    #     q_takedown_propagation (E47 compliance purge propagated
-    #     through cluster/IVF/shard artifacts);
-    # (b) 16 changed-path entries: q_url_dedup + q_crawl_frontier
-    #     (canonical_url_col now the single shared canonicalization
-    #     definition — r14 advice #2), q_jpeg_progressive_stats
-    #     (duplicate-support-position corrupt guard — r14 advice #4),
-    #     and the 13 queries whose derivations the r15 OPTIMIZATION
-    #     round touched (all output-identical by interleaved A/B +
-    #     sf0.01 parity, but a changed path must be driver-re-proven
-    #     by invariant): the CC-artifact consumers (neardup_clusters
-    #     init+domain fix), the scoped-domain graph compositions, the
-    #     closure-seed tree queries, and the novelty/basket
-    #     restructures — see OPTIMIZATION_r15.md;
-    # (c) rotation = the r15 STALE DRAIN (r14 verdict order #1): the
-    #     4 r8 window-capacity holdovers lead, then the first 28 of
-    #     the 39-query r9 cohort in registration order — the last 11
-    #     r9 entries tie the oldest-round-inside (window capacity)
-    #     and lead the r16 rotation.
-    "q_web_corpus_e2e",
-    "q_takedown_propagation",
-    "q_crawl_frontier",
-    "q_jpeg_progressive_stats",
-    "q_url_dedup",
-    "q_basket_pairs",
-    "q_canonical_pick",
-    "q_cluster_leakage",
-    "q_cluster_sizes",
-    "q_dedup_yield_by_source",
-    "q_hierarchy_depth",
-    "q_host_graph",
-    "q_label_prop",
-    "q_link_rank",
-    "q_neardup_clusters",
-    "q_ngram_novelty",
-    "q_pipeline_e2e",
-    "q_subtree_rollup",
-    "q_stream_doc_dedup",
-    "q_compact_partials",
-    "q_stream_sample",
-    "q_stream_manifest",
-    "q_ops_by_table_op",
-    "q_status_counts",
-    "q_validate_events",
-    "q_parse_envelope",
-    "q_explode_rows",
-    "q_normalize",
-    "q_string_ops",
-    "q_batch_insert_gen",
-    "q_anti_orphans",
-    "q_semi_active",
-    "q_ratio_join",
-    "q_unique_check",
-    "q_asof_join",
-    "q_range_join",
-    "q_skew_salted_join",
-    "q_latency_histogram",
-    "q_totals_last",
-    "q_sums_filtered",
-    "q_rollup_ops",
-    "q_cube_ops",
-    "q_windowed_distinct",
-    "q_hll_distinct",
-    "q_order_count_dist",
-    "q_sql_region_revenue",
-    "q_forecast_revenue",
-    "q_idle_rich_customers",
-    "q_pii_scan",
-    "q_term_stats",
+    # truth; this list just pins its output). At round start the
+    # changed-path and never-checked sets are both EMPTY (the r15
+    # driver verdict re-proved all 50 r15-window entries, including
+    # every r15-touched path), so all 50 slots are rotation slots =
+    # the 50 oldest verdicts: the 11 r9 window-capacity leftovers the
+    # r15 recomposition documented, then 39 of the 40-query r10
+    # cohort in prior iteration order (q_decay_engagement ties the
+    # r10 round inside — window capacity, the invariant's only
+    # allowed reason to stay out — and leads the r17 rotation).
+    # NOTE: if an optimization this round changes a query's reference
+    # closure, that query must displace rotation slots here (the
+    # freshness tests enforce it) — recompose before round close.
+    "q_embedding_stats",
+    "q_ann_batch",
+    "q_bigram_counts",
+    "q_doc_len_histogram",
+    "q_null_profile",
+    "q_key_skew",
+    "q_schema_drift",
+    "q_pruned_scan",
+    "q_vec_quantize",
+    "q_delta_agg",
+    "q_kmv_distinct",
+    "q_rate_5m",
+    "q_error_ratio",
+    "q_quantiles",
+    "q_hll_error_bound",
+    "q_alert_liveness",
+    "q_prom_quantile",
+    "q_rate_per_op",
+    "q_increase_1h",
+    "q_date_histogram",
+    "q_topk_recent",
+    "q_approx_quantile_bound",
+    "q_funnel_stages",
+    "q_time_weighted_avg",
+    "q_anomaly_mad",
+    "q_metrics_exposition",
+    "q_order_priority",
+    "q_late_shipments",
+    "q_blocking_suppliers",
+    "q_cohort_retention",
+    "q_sample_estimate_bound",
+    "q_minhash_neardup",
+    "q_embedding_neardup",
+    "q_frame_sample",
+    "q_multimodal_features",
+    "q_cosine_pairs",
+    "q_ivf_topk_trained",
+    "q_ann_batch_ivf",
+    "q_neardup_recall",
+    "q_doc_chunks",
+    "q_vocab_coverage",
+    "q_embedding_gram",
+    "q_semantic_dedup",
+    "q_bpe_merges",
+    "q_bpe_tokenize",
+    "q_alert_rules_eval",
+    "q_vocab_growth",
+    "q_zorder_layout",
+    "q_embedding_norm_hist",
+    "q_bloom_decontaminate",
 ]
 
 
