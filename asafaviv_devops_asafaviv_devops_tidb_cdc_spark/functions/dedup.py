@@ -443,13 +443,31 @@ def reliable_checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> Dat
 
 @contextmanager
 def _scoped_shuffle_partitions(spark, n: int):
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
+    """Run the scope under an ``n``-partition shuffle domain. When the
+    domain was sized DOWN from the session setting — i.e. the caller
+    measured the data and found it small — adaptive execution is
+    disabled inside the scope too (r16): AQE re-plans and re-optimizes
+    every query stage, which on a KB-scale iterative loop is pure
+    driver overhead with nothing to win (measured 1.45x on the web CC
+    loop at sf0.1: 4.53 -> 3.12 s median of 3 interleaved reps,
+    fixpoint identical). At real cardinality the formula hits the
+    session cap (n == session setting) and AQE stays on, so skew/
+    coalesce handling at scale is untouched. NOTE: mutates shared
+    session conf — safe only while queries execute serially (the
+    driver/bench contract); revisit before any concurrent-query
+    feature."""
+    p_key = "spark.sql.shuffle.partitions"
+    a_key = "spark.sql.adaptive.enabled"
+    old_p = spark.conf.get(p_key)
+    old_a = spark.conf.get(a_key)
+    spark.conf.set(p_key, str(n))
+    if n < int(old_p):
+        spark.conf.set(a_key, "false")
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        spark.conf.set(p_key, old_p)
+        spark.conf.set(a_key, old_a)
 
 
 def _cc_partitions(spark, n_edges: int) -> int:

@@ -1883,13 +1883,25 @@ def _doubling_partitions(spark: SparkSession, approx_rows: int) -> int:
 
 @contextmanager
 def _scoped_shuffle(spark: SparkSession, n: int):
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
+    """Same contract as functions/dedup._scoped_shuffle_partitions
+    (r16): a domain sized DOWN from the session setting means the data
+    is measured-small, so AQE is disabled inside the scope as well —
+    adaptive replanning of every tiny stage is pure driver overhead on
+    the log-round doubling loops (measured 1.45x on the web CC loop;
+    the doubling loops share the same per-round shape). At real
+    cardinality the formula hits the session cap and AQE stays on."""
+    p_key = "spark.sql.shuffle.partitions"
+    a_key = "spark.sql.adaptive.enabled"
+    old_p = spark.conf.get(p_key)
+    old_a = spark.conf.get(a_key)
+    spark.conf.set(p_key, str(n))
+    if n < int(old_p):
+        spark.conf.set(a_key, "false")
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        spark.conf.set(p_key, old_p)
+        spark.conf.set(a_key, old_a)
 
 
 _HIERARCHY_DEPTH_ORACLE = f"""

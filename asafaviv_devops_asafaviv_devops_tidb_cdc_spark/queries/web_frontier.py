@@ -716,7 +716,9 @@ def q_web_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ded = exact_dedup(qual)
     non_canonical = (
-        web_cluster_table(spark, sf_dir)
+        # share the persisted corpus with a cold artifact build so the
+        # staging walk runs once per invocation, not twice (r16)
+        web_cluster_table(spark, sf_dir, corpus=corpus)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
